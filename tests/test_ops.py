@@ -1,0 +1,211 @@
+"""Unit tests for the ops layer: nn primitives, attention, DoRA math, RSA."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.io  # noqa: F401  (ensures scipy present)
+from scipy.stats import spearmanr, rankdata
+
+from vit_project_tpu.ops import nn as vnn
+from vit_project_tpu.ops import attention as attn
+from vit_project_tpu.ops import dora as vdora
+from vit_project_tpu.ops import rsa as vrsa
+
+
+class TestNN:
+    def test_layer_norm_matches_manual(self):
+        x = np.random.RandomState(0).randn(4, 7, 32).astype(np.float32)
+        scale = np.random.RandomState(1).randn(32).astype(np.float32)
+        bias = np.random.RandomState(2).randn(32).astype(np.float32)
+        got = vnn.layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        want = (x - mean) / np.sqrt(var + 1e-5) * scale + bias
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_patch_embed_equals_conv(self):
+        """conv(stride=kernel=patch) == reshape+matmul."""
+        rs = np.random.RandomState(0)
+        B, H, W, C, P, D = 2, 8, 8, 3, 4, 16
+        img = rs.randn(B, H, W, C).astype(np.float32)
+        kernel = rs.randn(D, C, P, P).astype(np.float32)  # torch conv layout
+        bias = rs.randn(D).astype(np.float32)
+        w = vnn.conv_kernel_to_patch_matrix(kernel)
+        got = vnn.patch_embed(jnp.asarray(img), jnp.asarray(w), jnp.asarray(bias), P)
+        # direct conv with lax
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(img), jnp.asarray(np.transpose(kernel, (2, 3, 1, 0))),
+            window_strides=(P, P), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        want = np.asarray(out).reshape(B, -1, D) + bias
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    def test_quick_gelu(self):
+        x = jnp.linspace(-3, 3, 7)
+        got = vnn.quick_gelu(x)
+        want = np.asarray(x) * (1 / (1 + np.exp(-1.702 * np.asarray(x))))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+class TestAttention:
+    def test_reference_softmax_attention(self):
+        rs = np.random.RandomState(0)
+        q = rs.randn(2, 3, 5, 8).astype(np.float32)
+        k = rs.randn(2, 3, 5, 8).astype(np.float32)
+        v = rs.randn(2, 3, 5, 8).astype(np.float32)
+        got = attn.mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+        s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bhkd->bhqd", p, v)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_causal_mask(self):
+        rs = np.random.RandomState(1)
+        q = jnp.asarray(rs.randn(1, 1, 4, 8).astype(np.float32))
+        out = attn.mha_reference(q, q, q, causal=True)
+        # row 0 attends only to itself -> equals v[0]
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0],
+                                   np.asarray(q)[0, 0, 0], atol=1e-5)
+
+    def test_pallas_interpret_matches_reference(self):
+        """Run the Pallas kernel in interpreter mode on CPU and compare."""
+        from jax.experimental.pallas import tpu as pltpu
+        rs = np.random.RandomState(2)
+        q = jnp.asarray(rs.randn(2, 2, 13, 16).astype(np.float32))
+        k = jnp.asarray(rs.randn(2, 2, 13, 16).astype(np.float32))
+        v = jnp.asarray(rs.randn(2, 2, 13, 16).astype(np.float32))
+        want = attn.mha_reference(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            got = attn._mha_pallas_raw(q, k, v, causal=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_vjp_matches_reference_grad(self):
+        rs = np.random.RandomState(3)
+        q = jnp.asarray(rs.randn(1, 2, 6, 8).astype(np.float32))
+        k = jnp.asarray(rs.randn(1, 2, 6, 8).astype(np.float32))
+        v = jnp.asarray(rs.randn(1, 2, 6, 8).astype(np.float32))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attn.mha_reference(q, k, v) ** 2)
+
+        gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        # the custom bwd (used with the Pallas fwd) must match the XLA autodiff
+        o = attn.mha_reference(q, k, v)
+        gcustom = attn._mha_bwd(False, (q, k, v), 2 * o)
+        for a, b in zip(gref, gcustom):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+class TestDoRA:
+    """Validate DoRA against an independently-written torch oracle implementing
+    the reference equations (DoRALayer, new_cvpr...pipeline.py:407-481)."""
+
+    def test_init_decomposition(self):
+        rs = np.random.RandomState(0)
+        w = rs.randn(16, 12).astype(np.float32)  # [in, out]
+        tr, buf = vdora.dora_init(jax.random.PRNGKey(0), jnp.asarray(w), r=4)
+        # m = column norms, D unit columns, D*m == w
+        np.testing.assert_allclose(np.asarray(tr["m"]),
+                                   np.linalg.norm(w, axis=0), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(buf["D"]), axis=0),
+            np.ones(12), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(buf["D"]) * np.asarray(tr["m"]),
+                                   w, rtol=1e-5)
+
+    def test_kaiming_bounds(self):
+        tr, _ = vdora.dora_init(jax.random.PRNGKey(1),
+                                jnp.ones((64, 48)), r=8)
+        A = np.asarray(tr["delta_D_A"])  # [8, 48] -> bound 1/sqrt(48)
+        B = np.asarray(tr["delta_D_B"])  # [64, 8] -> bound 1/sqrt(8)
+        assert np.abs(A).max() <= 1 / np.sqrt(48) + 1e-6
+        assert np.abs(B).max() <= 1 / np.sqrt(8) + 1e-6
+        # and they are not degenerate
+        assert np.abs(A).max() > 0.5 / np.sqrt(48)
+
+    def test_adapted_weight_against_torch_oracle(self):
+        import torch
+        rs = np.random.RandomState(0)
+        in_f, out_f, r, alpha = 10, 6, 3, 16
+        w = rs.randn(in_f, out_f).astype(np.float32)
+        A = rs.randn(r, out_f).astype(np.float32)
+        B = rs.randn(in_f, r).astype(np.float32)
+        m = rs.rand(out_f).astype(np.float32) + 0.5
+
+        tr = {"m": jnp.asarray(m), "delta_D_A": jnp.asarray(A),
+              "delta_D_B": jnp.asarray(B)}
+        D = jnp.asarray(w) / jnp.linalg.norm(jnp.asarray(w), axis=0)
+        got = vdora.dora_weight(tr, D, alpha=alpha, r=r)
+
+        # torch oracle: the reference weight property, written from the equations
+        tw = torch.tensor(w)
+        tD = tw / torch.norm(tw, dim=0)
+        delta = (torch.tensor(B) @ torch.tensor(A)) * (alpha / r)
+        Dn = tD + delta
+        norms = torch.norm(Dn, dim=0, keepdim=True) + 1e-8
+        want = (Dn / norms) * torch.tensor(m)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dropout_on_delta_not_activations(self):
+        """With dropout_p=1.0 every delta entry is dropped -> W = m * colnorm(D)."""
+        rs = np.random.RandomState(0)
+        w = rs.randn(8, 4).astype(np.float32)
+        tr, buf = vdora.dora_init(jax.random.PRNGKey(0), jnp.asarray(w), r=2)
+        wfull = vdora.dora_weight(tr, buf["D"], alpha=16, r=2,
+                                  dropout_p=0.9999999, deterministic=False,
+                                  dropout_key=jax.random.PRNGKey(1))
+        # D already unit columns -> colnorm(D) = D, so W == D * m == original w
+        np.testing.assert_allclose(np.asarray(wfull), w, rtol=1e-3, atol=1e-4)
+
+    def test_param_count_vit_l14(self):
+        """rank 32, out_proj 1024x1024 (x2 visual) + 768x768 (x1 text)
+        -> 183,040 trainable params (reference log evidence)."""
+        def n(in_f, out_f, r=32):
+            return out_f + r * out_f + in_f * r
+        total = 2 * n(1024, 1024) + n(768, 768)
+        assert total == 183040
+
+
+class TestRSA:
+    def test_rdm_matches_numpy(self):
+        rs = np.random.RandomState(0)
+        emb = rs.randn(48, 66).astype(np.float32)
+        got = np.asarray(vrsa.rdm_from_embeddings(jnp.asarray(emb)))
+        want = 1 - np.corrcoef(emb)
+        np.fill_diagonal(want, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_rankdata_with_ties(self):
+        a = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0])
+        got = np.asarray(vrsa.rankdata_average(jnp.asarray(a)))
+        want = rankdata(a)
+        np.testing.assert_allclose(got, want)
+
+    def test_spearman_matches_scipy_with_ties(self):
+        rs = np.random.RandomState(0)
+        # quantize to force ties (the human triplet RDM has ties)
+        x = (np.round(rs.rand(1128) * 20) / 20).astype(np.float32)
+        y = (np.round(rs.rand(1128) * 20) / 20 + 0.3 * x).astype(np.float32)
+        rho, p = vrsa.spearman(jnp.asarray(x), jnp.asarray(y))
+        want_rho, want_p = spearmanr(x, y)
+        np.testing.assert_allclose(float(rho), want_rho, atol=1e-5)
+        np.testing.assert_allclose(float(p), want_p, rtol=1e-4, atol=1e-12)
+
+    def test_behavioral_rsa_end_to_end_vs_scipy(self):
+        rs = np.random.RandomState(1)
+        emb = rs.randn(48, 66).astype(np.float32)
+        ref_rdm = rs.rand(48, 48).astype(np.float32)
+        ref_rdm = (ref_rdm + ref_rdm.T) / 2
+        np.fill_diagonal(ref_rdm, 0)
+        rho, p, model_rdm = vrsa.behavioral_rsa(jnp.asarray(emb),
+                                                jnp.asarray(ref_rdm))
+        want_rdm = 1 - np.corrcoef(emb)
+        np.fill_diagonal(want_rdm, 0)
+        iu = np.triu_indices_from(ref_rdm, k=1)
+        want_rho, want_p = spearmanr(ref_rdm[iu], want_rdm[iu])
+        np.testing.assert_allclose(float(rho), want_rho, atol=1e-5)
+        np.testing.assert_allclose(float(p), want_p, rtol=1e-3, atol=1e-12)

@@ -1,0 +1,126 @@
+"""Config surface.
+
+Mirrors the reference's plain-dict config contract (reference
+clip_train_behavior_baseline.py:11-33, clip_train_behavior_sweep.py:118-147,
+clip_train_behavior_lengths.py:94-134) so drivers can be written the same way, while
+giving the framework a typed dataclass internally.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class ClipRunConfig:
+    """One CLIP-HBA behavioral training run (baseline, sweep fork, or lengths fork)."""
+
+    # data
+    csv_file: str = ""
+    img_dir: str = ""
+    inference_csv_file: str = ""
+    RDM48_triplet_dir: str = ""
+
+    # model
+    backbone: str = "ViT-L/14"
+    clip_weights: Optional[str] = None     # path to converted (or OpenAI .pt) weights
+    bpe_vocab: Optional[str] = None        # path to the CLIP BPE vocab (gz or txt)
+    vision_layers: int = 2                 # last-n visual blocks that get DoRA
+    transformer_layers: int = 1            # last-n text blocks that get DoRA
+    rank: int = 32
+    dora_alpha: int = 16
+    dora_dropout: float = 0.1
+
+    # optimization
+    epochs: int = 500
+    batch_size: int = 64
+    train_portion: float = 0.8
+    lr: float = 3e-4
+    criterion: str = "mse"
+    early_stopping_patience: int = 20
+    random_seed: int = 1
+    compute_dtype: str = "bfloat16"        # frozen-tower compute dtype on TPU
+
+    # perturbation
+    perturb_type: str = "baseline"         # random_target | label_shuffle |
+                                           # uniform_images | image_noise | baseline
+    perturb_length: int = 0
+    perturb_distribution: str = "target"   # normal | target
+    perturb_seed: int = 42
+    training_run: int = 0                  # 1-indexed epoch the perturbation starts at
+
+    # resume / fork
+    resume_from_epoch: int = 0
+    baseline_dora_directory: Optional[str] = None
+    baseline_random_state_path: Optional[str] = None
+    baseline_split_indices_path: Optional[str] = None
+    resume_dora_parameters_path: Optional[str] = None
+    resume_random_state_path: Optional[str] = None
+    previous_training_res_path: Optional[str] = None
+
+    # outputs
+    checkpoint_path: str = "clip_hba_model.ckpt"
+    training_res_path: str = "training_res.csv"
+    dora_parameters_path: str = "./dora_params"
+    random_state_path: str = "./random_states"
+
+    # optional per-epoch inference-embedding dumps (reference runs produced
+    # things_48_embeddings_epochN.csv files; see SURVEY.md section 0)
+    dump_inference_embeddings: bool = False
+    inference_dump_dir: Optional[str] = None
+
+    # misc knobs kept for dict-compat with the reference config surface
+    logger: Any = None
+    cuda: int = 0
+    output_base_directory: Optional[str] = None
+    output_directory: Optional[str] = None
+    output_dir: Optional[str] = None
+    perturb_epoch: int = 0
+    model: Optional[str] = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ClipRunConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in names:
+                continue
+            if k == "criterion" and not isinstance(v, str):
+                v = "mse"  # reference passes nn.MSELoss(); we key on a string
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class ViTTrainConfig:
+    """ViT-B/16 ImageNet supervised training (reference train_vit_sgd.py:246-257)."""
+
+    data_path: str = ""
+    output_dir: str = "./vit_out"
+    batch_size: int = 256          # per process (sharded over the mesh inside the step)
+    epochs: int = 100
+    lr: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    num_workers: int = 8
+    warmup_epochs: int = 5
+    num_classes: int = 1000
+    random_seed: int = 0
+    compute_dtype: str = "bfloat16"  # AMP-equivalent; bf16 needs no GradScaler
+    image_size: int = 224
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ViTTrainConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+# Normalization constants (exact values from the reference).
+THINGS_MEAN = (0.52997664, 0.48070561, 0.41943838)
+THINGS_STD = (0.27608301, 0.26593025, 0.28238822)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)

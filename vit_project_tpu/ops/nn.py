@@ -1,0 +1,80 @@
+"""Core neural-net ops, written MXU-first.
+
+Design rules (see /opt/skills/guides/pallas_guide.md and the scaling-book recipe):
+- params live in float32; activations are computed in a configurable compute dtype
+  (bfloat16 on TPU) with float32 accumulation via ``preferred_element_type``.
+- patch embedding is a single big matmul (conv with stride == kernel == patch size is
+  exactly a reshape + matmul), which tiles perfectly onto the 128x128 MXU.
+- elementwise ops (GELU, LayerNorm, bias adds) are left to XLA fusion; the flash
+  attention kernel lives in ops/attention.py.
+
+These replace the reference's reliance on cuDNN/cuBLAS under torch nn.Modules
+(the reference has no native source of its own; SURVEY.md section 2).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """x @ w (+ b). w is [in, out]. Accumulates in f32 on the MXU."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, computed in f32 for stability."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — matches torch.nn.GELU default used by timm ViT."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """QuickGELU x * sigmoid(1.702 x) — the activation used by OpenAI CLIP."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp(x: jax.Array, p: dict, act=gelu) -> jax.Array:
+    """Transformer MLP block: dense -> act -> dense."""
+    h = dense(x, p["fc1_w"], p["fc1_b"])
+    h = act(h)
+    return dense(h, p["fc2_w"], p["fc2_b"])
+
+
+def patch_embed(images: jax.Array, w: jax.Array, b: jax.Array | None,
+                patch: int) -> jax.Array:
+    """Patchify + embed as ONE matmul (conv stride==kernel==patch).
+
+    images: [B, H, W, 3] -> [B, (H/p)*(W/p), D].
+    w: [p*p*3, D] (flattened in (ph, pw, c) order), b: [D] or None.
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)           # [B, gh, gw, p, p, C]
+    x = x.reshape(B, gh * gw, patch * patch * C)
+    return dense(x, w, b)
+
+
+def conv_kernel_to_patch_matrix(kernel: np.ndarray) -> np.ndarray:
+    """Convert a torch conv kernel [D, C, p, p] to our [p*p*C, D] patch matrix.
+
+    The patchify in `patch_embed` flattens each patch in (ph, pw, c) order, so the
+    kernel must be permuted to (p, p, C, D) before flattening.
+    """
+    D, C, ph, pw = kernel.shape
+    k = np.transpose(kernel, (2, 3, 1, 0))      # [p, p, C, D]
+    return k.reshape(ph * pw * C, D)
