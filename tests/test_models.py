@@ -1,0 +1,260 @@
+"""Model-layer tests: block numerics vs a torch oracle, CLIP-HBA forward contract,
+DoRA adapter integration, converters, tokenizer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_project_tpu.models import vit as vvit
+from vit_project_tpu.models import clip as vclip
+from vit_project_tpu.models import convert as vconvert
+from vit_project_tpu.models import tokenizer as vtok
+from vit_project_tpu.adapters import dora as adora
+from vit_project_tpu.data.spose66 import SPOSE_DIMENSIONS_66
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TestBlockVsTorch:
+    """Our pre-norm transformer block against torch nn.MultiheadAttention."""
+
+    @pytest.mark.parametrize("quick_gelu", [False, True])
+    def test_block_forward_matches_torch(self, quick_gelu):
+        import torch
+        import torch.nn as tnn
+
+        W, H, S, B = 32, 4, 10, 2
+        rs = np.random.RandomState(0)
+        p = vvit.init_block(jax.random.PRNGKey(0), W, 4)
+        # randomize LN affine so the test is not trivial
+        p["ln1"]["scale"] = jnp.asarray(rs.rand(W).astype(np.float32) + 0.5)
+        p["ln2"]["bias"] = jnp.asarray(rs.randn(W).astype(np.float32) * 0.1)
+        x = rs.randn(B, S, W).astype(np.float32)
+
+        got = vvit.block_forward(p, jnp.asarray(x), H, quick_gelu=quick_gelu,
+                                 use_pallas=False)
+
+        # torch oracle
+        attn = tnn.MultiheadAttention(W, H, batch_first=True)
+        with torch.no_grad():
+            attn.in_proj_weight.copy_(torch.tensor(_np(p["qkv_w"]).T))
+            attn.in_proj_bias.copy_(torch.tensor(_np(p["qkv_b"])))
+            attn.out_proj.weight.copy_(torch.tensor(_np(p["out_w"]).T))
+            attn.out_proj.bias.copy_(torch.tensor(_np(p["out_b"])))
+        ln1 = tnn.LayerNorm(W)
+        ln2 = tnn.LayerNorm(W)
+        with torch.no_grad():
+            ln1.weight.copy_(torch.tensor(_np(p["ln1"]["scale"])))
+            ln1.bias.copy_(torch.tensor(_np(p["ln1"]["bias"])))
+            ln2.weight.copy_(torch.tensor(_np(p["ln2"]["scale"])))
+            ln2.bias.copy_(torch.tensor(_np(p["ln2"]["bias"])))
+        fc1 = tnn.Linear(W, 4 * W)
+        fc2 = tnn.Linear(4 * W, W)
+        with torch.no_grad():
+            fc1.weight.copy_(torch.tensor(_np(p["fc1_w"]).T))
+            fc1.bias.copy_(torch.tensor(_np(p["fc1_b"])))
+            fc2.weight.copy_(torch.tensor(_np(p["fc2_w"]).T))
+            fc2.bias.copy_(torch.tensor(_np(p["fc2_b"])))
+
+        xt = torch.tensor(x)
+        with torch.no_grad():
+            h = ln1(xt)
+            a, _ = attn(h, h, h, need_weights=False)
+            xt2 = xt + a
+            h2 = ln2(xt2)
+            if quick_gelu:
+                m = fc2(fc1(h2) * torch.sigmoid(1.702 * fc1(h2)))
+            else:
+                m = fc2(torch.nn.functional.gelu(fc1(h2)))
+            want = xt2 + m
+        np.testing.assert_allclose(_np(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_causal_block_matches_torch(self):
+        import torch
+        import torch.nn as tnn
+        W, H, S = 16, 2, 7
+        rs = np.random.RandomState(1)
+        p = vvit.init_block(jax.random.PRNGKey(1), W, 4)
+        x = rs.randn(1, S, W).astype(np.float32)
+        got = vvit.block_forward(p, jnp.asarray(x), H, quick_gelu=True,
+                                 causal=True, use_pallas=False)
+        attn = tnn.MultiheadAttention(W, H, batch_first=True)
+        with torch.no_grad():
+            attn.in_proj_weight.copy_(torch.tensor(_np(p["qkv_w"]).T))
+            attn.in_proj_bias.copy_(torch.tensor(_np(p["qkv_b"])))
+            attn.out_proj.weight.copy_(torch.tensor(_np(p["out_w"]).T))
+            attn.out_proj.bias.copy_(torch.tensor(_np(p["out_b"])))
+        mask = torch.triu(torch.full((S, S), float("-inf")), diagonal=1)
+        xt = torch.tensor(x)
+        with torch.no_grad():
+            h = torch.nn.functional.layer_norm(xt, (W,))
+            a, _ = attn(h, h, h, attn_mask=mask, need_weights=False)
+            h2 = torch.nn.functional.layer_norm(xt + a, (W,))
+            f1 = h2 @ torch.tensor(_np(p["fc1_w"])) + torch.tensor(_np(p["fc1_b"]))
+            f1 = f1 * torch.sigmoid(1.702 * f1)
+            m = f1 @ torch.tensor(_np(p["fc2_w"])) + torch.tensor(_np(p["fc2_b"]))
+            want = xt + a + m
+        np.testing.assert_allclose(_np(got), want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+class TestViTClassifier:
+    def test_logits_and_features(self):
+        cfg = vvit.ViTConfig(patch=8, width=32, layers=2, heads=2,
+                             image_size=32, num_classes=10)
+        p = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(np.random.RandomState(0)
+                          .randn(2, 32, 32, 3).astype(np.float32))
+        logits = vvit.vit_classify(p, img, cfg, use_pallas=False)
+        assert logits.shape == (2, 10)
+        cls = vvit.forward_features(p, img, cfg, pool="token", use_pallas=False)
+        avg = vvit.forward_features(p, img, cfg, pool="avg", use_pallas=False)
+        assert cls.shape == (2, 32) and avg.shape == (2, 32)
+        assert not np.allclose(_np(cls), _np(avg))
+
+    def test_timm_converter_shapes(self):
+        """Build a timm-style state dict and verify conversion runs forward."""
+        rs = np.random.RandomState(0)
+        W, L, P, N = 32, 2, 8, (32 // 8) ** 2 + 1
+        sd = {
+            "patch_embed.proj.weight": rs.randn(W, 3, P, P).astype(np.float32),
+            "patch_embed.proj.bias": rs.randn(W).astype(np.float32),
+            "cls_token": rs.randn(1, 1, W).astype(np.float32),
+            "pos_embed": rs.randn(1, N, W).astype(np.float32),
+            "norm.weight": np.ones(W, np.float32),
+            "norm.bias": np.zeros(W, np.float32),
+            "head.weight": rs.randn(10, W).astype(np.float32),
+            "head.bias": np.zeros(10, np.float32),
+        }
+        for i in range(L):
+            pre = f"blocks.{i}"
+            sd |= {
+                f"{pre}.norm1.weight": np.ones(W, np.float32),
+                f"{pre}.norm1.bias": np.zeros(W, np.float32),
+                f"{pre}.attn.qkv.weight": rs.randn(3 * W, W).astype(np.float32),
+                f"{pre}.attn.qkv.bias": np.zeros(3 * W, np.float32),
+                f"{pre}.attn.proj.weight": rs.randn(W, W).astype(np.float32),
+                f"{pre}.attn.proj.bias": np.zeros(W, np.float32),
+                f"{pre}.norm2.weight": np.ones(W, np.float32),
+                f"{pre}.norm2.bias": np.zeros(W, np.float32),
+                f"{pre}.mlp.fc1.weight": rs.randn(4 * W, W).astype(np.float32),
+                f"{pre}.mlp.fc1.bias": np.zeros(4 * W, np.float32),
+                f"{pre}.mlp.fc2.weight": rs.randn(W, 4 * W).astype(np.float32),
+                f"{pre}.mlp.fc2.bias": np.zeros(W, np.float32),
+            }
+        p = vconvert.vit_params_from_timm_state_dict(sd, layers=L)
+        cfg = vvit.ViTConfig(patch=P, width=W, layers=L, heads=2,
+                             image_size=32, num_classes=10)
+        img = jnp.asarray(rs.randn(2, 32, 32, 3).astype(np.float32))
+        logits = vvit.vit_classify(p, img, cfg, use_pallas=False)
+        assert logits.shape == (2, 10)
+        assert np.isfinite(_np(logits)).all()
+
+
+class TestClipHBA:
+    def test_forward_contract(self):
+        """model(images) -> [B, 66] finite scores; text tower EOT pooling."""
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        prompts = vtok.tokenize(list(SPOSE_DIMENSIONS_66),
+                                context_length=cfg.text.context_length)
+        # clip vocab ids exceed tiny vocab; clamp for the tiny test model
+        prompts = np.minimum(prompts, cfg.text.vocab_size - 1)
+        img = jnp.asarray(np.random.RandomState(0)
+                          .randn(3, 32, 32, 3).astype(np.float32))
+        scores = vclip.clip_hba_forward(params, img, jnp.asarray(prompts), cfg,
+                                        use_pallas=False)
+        assert scores.shape == (3, 66)
+        assert np.isfinite(_np(scores)).all()
+        # logit-scaled cosine: |score| <= exp(logit_scale)
+        assert np.abs(_np(scores)).max() <= np.exp(
+            float(params["logit_scale"])) + 1e-3
+
+    def test_pos_embedding_flag(self):
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        img = jnp.asarray(np.random.RandomState(0)
+                          .randn(1, 32, 32, 3).astype(np.float32))
+        with_pos = vclip.encode_image(params, img, cfg, use_pallas=False,
+                                      use_pos_embedding=True)
+        without = vclip.encode_image(params, img, cfg, use_pallas=False,
+                                     use_pos_embedding=False)
+        assert not np.allclose(_np(with_pos), _np(without))
+
+    def test_dora_adapters_change_output_and_grads_flow(self):
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+        trainable, static, acfg = adora.apply_dora(
+            params, spec, r=4, key=jax.random.PRNGKey(1))
+        prompts = jnp.asarray(np.random.RandomState(0)
+                              .randint(1, 500, (5, cfg.text.context_length)))
+        img = jnp.asarray(np.random.RandomState(1)
+                          .randn(2, 32, 32, 3).astype(np.float32))
+
+        def fwd(tr):
+            ad = adora.assemble(tr, static)
+            s = vclip.clip_hba_forward(params, img, prompts, cfg, adapters=ad,
+                                       adapter_cfg=acfg, use_pallas=False)
+            return jnp.sum(s ** 2)
+
+        g = jax.grad(fwd)(trainable)
+        norms = [float(jnp.linalg.norm(x))
+                 for x in jax.tree_util.tree_leaves(g)]
+        assert all(n > 0 for n in norms), norms
+        # kaiming-initialized A/B => adapted forward differs from frozen forward
+        base = vclip.clip_hba_forward(params, img, prompts, cfg,
+                                      use_pallas=False)
+        ad = adora.assemble(trainable, static)
+        adapted = vclip.clip_hba_forward(params, img, prompts, cfg, adapters=ad,
+                                         adapter_cfg=acfg, use_pallas=False)
+        assert not np.allclose(_np(base), _np(adapted))
+
+    def test_reference_name_roundtrip(self):
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+        trainable, static, _ = adora.apply_dora(
+            params, spec, r=4, key=jax.random.PRNGKey(1))
+        flat = adora.to_reference_names(trainable)
+        assert f"clip_model.visual.transformer.resblocks.{cfg.visual.layers-1}" \
+               ".attn.out_proj.m" in flat
+        back = adora.from_reference_names(flat, spec)
+        merged = adora.merge_loaded(trainable, back)
+        for tower in trainable:
+            for idx in trainable[tower]:
+                for k in trainable[tower][idx]:
+                    np.testing.assert_array_equal(
+                        _np(merged[tower][idx][k]), _np(trainable[tower][idx][k]))
+
+
+class TestTokenizer:
+    def test_hash_fallback_deterministic_and_framed(self):
+        toks = vtok.tokenize(["a photo of a dog", "a photo of a dog"])
+        assert (toks[0] == toks[1]).all()
+        assert toks[0, 0] == vtok.SOT
+        eot_pos = int(np.argmax(toks[0]))
+        assert toks[0, eot_pos] == vtok.EOT or toks[0, 0] == vtok.SOT
+        # argmax finds EOT (largest id) — the text-tower pooling contract
+        assert toks[0].max() == vtok.SOT or toks[0].max() == vtok.EOT
+
+    def test_truncation(self):
+        long = " ".join(["word"] * 200)
+        toks = vtok.tokenize([long], context_length=16)
+        assert toks.shape == (1, 16)
+        assert toks[0, -1] == vtok.EOT
+
+    def test_bpe_tokenizer_with_synthetic_vocab(self, tmp_path):
+        """Merge 'h e' -> 'he', 'l l' -> 'll', 'he ll' -> 'hell', plus word-final
+        'hell o</w>' -> 'hello</w>'."""
+        vocab = tmp_path / "bpe.txt"
+        vocab.write_text("#version\nh e\nl l\nhe ll\nhell o</w>\n")
+        tok = vtok.ClipTokenizer(str(vocab))
+        ids = tok.encode("hello")
+        assert len(ids) == 1
+        assert tok.decoder[ids[0]] == "hello</w>"
+        assert tok.decode(ids).strip() == "hello"
+        # unknown structure falls back to chars
+        ids2 = tok.encode("hel")
+        assert len(ids2) >= 1

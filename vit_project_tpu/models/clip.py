@@ -1,0 +1,165 @@
+"""CLIP image+text towers and the CLIP-HBA prompt-similarity head.
+
+Reimplements, natively, what the reference imports from the external CLIP-HBA
+package (`src.models.CLIPs.clip_hba.clip`, new_cvpr_train_behavior_things_pipeline.py:21):
+a CLIP model whose forward takes (image, tokenized_prompts, pos_embedding) and
+returns a [B, n_prompts] similarity score matrix — one score per SPoSE class-name
+prompt (CLIPHBA.forward, ref :287-304). Scores are logit-scaled cosine similarities
+between the image embedding and the n_prompts text embeddings.
+
+The text tower carries DoRA adapters in its last n blocks during behavioral
+fine-tuning, so prompt embeddings are (cheaply — 66 x 77 tokens) recomputed each
+step inside the jitted train step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn as vnn
+from . import vit as vvit
+from .vit import ViTConfig
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    vocab_size: int = 49408
+    context_length: int = 77
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    visual: ViTConfig
+    text: TextConfig
+    embed_dim: int
+
+
+CLIP_VIT_L14 = CLIPConfig(visual=vvit.CLIP_VIT_L14_VISUAL,
+                          text=TextConfig(width=768, layers=12, heads=12),
+                          embed_dim=768)
+CLIP_VIT_B32 = CLIPConfig(visual=vvit.CLIP_VIT_B32_VISUAL,
+                          text=TextConfig(width=512, layers=12, heads=8),
+                          embed_dim=512)
+CLIP_VIT_B16 = CLIPConfig(visual=vvit.CLIP_VIT_B16_VISUAL,
+                          text=TextConfig(width=512, layers=12, heads=8),
+                          embed_dim=512)
+
+CLIP_CONFIGS = {"ViT-L/14": CLIP_VIT_L14, "ViT-B/32": CLIP_VIT_B32,
+                "ViT-B/16": CLIP_VIT_B16}
+
+
+def tiny_clip_config(width=32, layers=2, heads=2, patch=16, image_size=32,
+                     embed_dim=16, vocab=512, context=16) -> CLIPConfig:
+    """Miniature CLIP for tests / CI."""
+    return CLIPConfig(
+        visual=ViTConfig(patch=patch, width=width, layers=layers, heads=heads,
+                         image_size=image_size, pre_norm=True, patch_bias=False,
+                         quick_gelu=True, out_dim=embed_dim),
+        text=TextConfig(width=width, layers=layers, heads=heads,
+                        vocab_size=vocab, context_length=context),
+        embed_dim=embed_dim)
+
+
+def init_text_params(key, cfg: TextConfig, embed_dim: int) -> dict:
+    ks = jax.random.split(key, cfg.layers + 4)
+    return {
+        "token_embedding": 0.02 * jax.random.normal(
+            ks[0], (cfg.vocab_size, cfg.width), jnp.float32),
+        "pos": 0.01 * jax.random.normal(
+            ks[1], (cfg.context_length, cfg.width), jnp.float32),
+        "blocks": [vvit.init_block(ks[3 + i], cfg.width, 4)
+                   for i in range(cfg.layers)],
+        "ln_final": {"scale": jnp.ones(cfg.width), "bias": jnp.zeros(cfg.width)},
+        "text_projection": (cfg.width ** -0.5) * jax.random.normal(
+            ks[2], (cfg.width, embed_dim), jnp.float32),
+    }
+
+
+def init_clip_params(key, cfg: CLIPConfig) -> dict:
+    kv, kt = jax.random.split(key)
+    return {
+        "visual": vvit.init_vit_params(kv, cfg.visual),
+        "text": init_text_params(kt, cfg.text, cfg.embed_dim),
+        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+def encode_text(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
+                adapters: dict | None = None, adapter_cfg: dict | None = None,
+                dropout_key: jax.Array | None = None, deterministic: bool = True,
+                use_pallas: bool | None = None,
+                compute_dtype=jnp.float32) -> jax.Array:
+    """tokens [N, context] int32 -> [N, embed_dim].
+
+    Causal transformer; features taken at the EOT position (argmax of token ids,
+    since EOT is the largest id) then projected — OpenAI CLIP semantics.
+    """
+    tp = params["text"]
+    x = tp["token_embedding"][tokens].astype(compute_dtype)
+    x = x + tp["pos"].astype(x.dtype)
+    adapters = adapters or {}
+    for i, bp in enumerate(tp["blocks"]):
+        ad = adapters.get(i)
+        dk = None
+        if ad is not None and dropout_key is not None:
+            dk = jax.random.fold_in(dropout_key, i)
+        x = vvit.block_forward(bp, x, cfg.text.heads, quick_gelu=True,
+                               causal=True, adapter=ad, adapter_cfg=adapter_cfg,
+                               dropout_key=dk, deterministic=deterministic,
+                               use_pallas=use_pallas)
+    x = vnn.layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+    eot = jnp.argmax(tokens, axis=-1)
+    feats = x[jnp.arange(x.shape[0]), eot]
+    out = jnp.dot(feats, tp["text_projection"].astype(feats.dtype),
+                  preferred_element_type=jnp.float32)
+    return out.astype(jnp.float32)
+
+
+def encode_image(params: dict, images: jax.Array, cfg: CLIPConfig, *,
+                 adapters: dict | None = None, adapter_cfg: dict | None = None,
+                 dropout_key: jax.Array | None = None,
+                 deterministic: bool = True, use_pallas: bool | None = None,
+                 use_pos_embedding: bool = True,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    return vvit.clip_visual_encode(
+        params["visual"], images, cfg.visual, adapters=adapters,
+        adapter_cfg=adapter_cfg, dropout_key=dropout_key,
+        deterministic=deterministic, use_pallas=use_pallas,
+        use_pos_embedding=use_pos_embedding, compute_dtype=compute_dtype)
+
+
+def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
+                     cfg: CLIPConfig, *, adapters: dict | None = None,
+                     adapter_cfg: dict | None = None,
+                     dropout_key: jax.Array | None = None,
+                     deterministic: bool = True,
+                     use_pallas: bool | None = None,
+                     use_pos_embedding: bool = True,
+                     compute_dtype=jnp.float32) -> jax.Array:
+    """model(images) -> [B, n_prompts] prediction scores (CLIPHBA contract).
+
+    adapters = {"visual": {idx: dora}, "text": {idx: dora}} — the DoRA surgery of
+    apply_dora_to_ViT applied as a pure function of parameter trees.
+    """
+    adapters = adapters or {}
+    kv = kt = None
+    if dropout_key is not None:
+        kv, kt = jax.random.split(dropout_key)
+    img = encode_image(params, images, cfg, adapters=adapters.get("visual"),
+                       adapter_cfg=adapter_cfg, dropout_key=kv,
+                       deterministic=deterministic, use_pallas=use_pallas,
+                       use_pos_embedding=use_pos_embedding,
+                       compute_dtype=compute_dtype)
+    txt = encode_text(params, prompt_tokens, cfg, adapters=adapters.get("text"),
+                      adapter_cfg=adapter_cfg, dropout_key=kt,
+                      deterministic=deterministic, use_pallas=use_pallas,
+                      compute_dtype=compute_dtype)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    return scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)

@@ -1,0 +1,134 @@
+"""Checkpoint converters: torch state dicts -> our param pytrees.
+
+Supports the two pretrained sources the reference depends on:
+- OpenAI CLIP .pt archives (jit or plain state dict), as downloaded by the external
+  clip package (reference load_clip_to_cpu, new_cvpr...pipeline.py:251-265);
+- timm `vit_base_patch16_224` state dicts (reference train_vit_sgd.py:283).
+
+torch (CPU wheel) is used only as a deserializer here; all compute is JAX.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .clip import CLIPConfig, TextConfig
+from .vit import ViTConfig
+from ..ops.nn import conv_kernel_to_patch_matrix
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch checkpoint (handles jit archives) into {name: np.ndarray}."""
+    import torch
+    try:
+        model = torch.jit.load(path, map_location="cpu").eval()
+        sd = model.state_dict()
+    except RuntimeError:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    return {k: np.asarray(v.detach().float().numpy() if hasattr(v, "detach")
+                          else v) for k, v in sd.items()}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _clip_block(sd, prefix):
+    """One CLIP ResidualAttentionBlock -> our block dict (weights transposed to
+    [in, out])."""
+    return {
+        "ln1": _ln(sd, prefix + ".ln_1"),
+        "qkv_w": sd[prefix + ".attn.in_proj_weight"].T.copy(),
+        "qkv_b": sd[prefix + ".attn.in_proj_bias"],
+        "out_w": sd[prefix + ".attn.out_proj.weight"].T.copy(),
+        "out_b": sd[prefix + ".attn.out_proj.bias"],
+        "ln2": _ln(sd, prefix + ".ln_2"),
+        "fc1_w": sd[prefix + ".mlp.c_fc.weight"].T.copy(),
+        "fc1_b": sd[prefix + ".mlp.c_fc.bias"],
+        "fc2_w": sd[prefix + ".mlp.c_proj.weight"].T.copy(),
+        "fc2_b": sd[prefix + ".mlp.c_proj.bias"],
+    }
+
+
+def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
+    """Infer the architecture from checkpoint shapes (mirrors what
+    clip.build_model derives)."""
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    patch = sd["visual.conv1.weight"].shape[-1]
+    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    vision_layers = len({k.split(".")[3] for k in sd
+                        if k.startswith("visual.transformer.resblocks.")})
+    embed_dim = sd["text_projection"].shape[1]
+    text_width = sd["ln_final.weight"].shape[0]
+    text_layers = len({k.split(".")[2] for k in sd
+                      if k.startswith("transformer.resblocks.")})
+    vocab = sd["token_embedding.weight"].shape[0]
+    context = sd["positional_embedding"].shape[0]
+    return CLIPConfig(
+        visual=ViTConfig(patch=patch, width=vision_width, layers=vision_layers,
+                         heads=vision_width // 64, image_size=grid * patch,
+                         pre_norm=True, patch_bias=False, quick_gelu=True,
+                         out_dim=embed_dim),
+        text=TextConfig(width=text_width, layers=text_layers,
+                        heads=text_width // 64, vocab_size=vocab,
+                        context_length=context),
+        embed_dim=embed_dim)
+
+
+def clip_params_from_state_dict(sd: dict) -> tuple[dict, CLIPConfig]:
+    cfg = clip_config_from_state_dict(sd)
+    visual = {
+        "patch_w": conv_kernel_to_patch_matrix(sd["visual.conv1.weight"]),
+        "patch_b": None,
+        "cls": sd["visual.class_embedding"],
+        "pos": sd["visual.positional_embedding"],
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": [_clip_block(sd, f"visual.transformer.resblocks.{i}")
+                   for i in range(cfg.visual.layers)],
+        "norm": _ln(sd, "visual.ln_post"),
+        "proj": sd["visual.proj"],
+    }
+    text = {
+        "token_embedding": sd["token_embedding.weight"],
+        "pos": sd["positional_embedding"],
+        "blocks": [_clip_block(sd, f"transformer.resblocks.{i}")
+                   for i in range(cfg.text.layers)],
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+    }
+    params = {"visual": visual, "text": text,
+              "logit_scale": np.asarray(sd["logit_scale"], np.float32)}
+    return params, cfg
+
+
+def _timm_block(sd, prefix):
+    return {
+        "ln1": _ln(sd, prefix + ".norm1"),
+        "qkv_w": sd[prefix + ".attn.qkv.weight"].T.copy(),
+        "qkv_b": sd[prefix + ".attn.qkv.bias"],
+        "out_w": sd[prefix + ".attn.proj.weight"].T.copy(),
+        "out_b": sd[prefix + ".attn.proj.bias"],
+        "ln2": _ln(sd, prefix + ".norm2"),
+        "fc1_w": sd[prefix + ".mlp.fc1.weight"].T.copy(),
+        "fc1_b": sd[prefix + ".mlp.fc1.bias"],
+        "fc2_w": sd[prefix + ".mlp.fc2.weight"].T.copy(),
+        "fc2_b": sd[prefix + ".mlp.fc2.bias"],
+    }
+
+
+def vit_params_from_timm_state_dict(sd: dict, layers: int = 12) -> dict:
+    """timm vit_base_patch16_224 -> our classifier param tree."""
+    p = {
+        "patch_w": conv_kernel_to_patch_matrix(sd["patch_embed.proj.weight"]),
+        "patch_b": sd["patch_embed.proj.bias"],
+        "cls": sd["cls_token"].reshape(-1),
+        "pos": sd["pos_embed"].reshape(sd["pos_embed"].shape[-2],
+                                       sd["pos_embed"].shape[-1]),
+        "blocks": [_timm_block(sd, f"blocks.{i}") for i in range(layers)],
+        "norm": _ln(sd, "norm"),
+    }
+    if "head.weight" in sd:
+        p["head_w"] = sd["head.weight"].T.copy()
+        p["head_b"] = sd["head.bias"]
+    return p

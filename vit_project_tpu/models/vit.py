@@ -1,0 +1,229 @@
+"""Shared Vision-Transformer trunk.
+
+One functional encoder serves both model families the reference uses:
+- the OpenAI-CLIP visual tower (ViT-L/14: pre-LN stem `ln_pre`, QuickGELU, no patch
+  bias, CLS ln_post + projection) — reference loads it via the external clip_hba
+  package (new_cvpr_train_behavior_things_pipeline.py:251-265);
+- the timm-style ViT-B/16 classifier (patch bias, exact GELU, final LayerNorm over
+  all tokens, CLS head) — reference builds it via timm.create_model
+  (train_vit_sgd.py:283) and uses `forward_features` + CLS pooling for RSA
+  (measure_single_epoch_perturbation_effect.py:309-322).
+
+Params are plain pytrees (nested dicts / lists), so adapter surgery and checkpoint
+conversion are pure tree transformations. Blocks are unrolled Python loops — 12-24
+layers compile quickly and run without scan overhead; DoRA-adapted blocks differ
+structurally from frozen ones, which unrolling expresses naturally.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn as vnn
+from ..ops import attention as vattn
+from ..ops import dora as vdora
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    patch: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    image_size: int = 224
+    pre_norm: bool = False        # CLIP visual tower has ln_pre
+    patch_bias: bool = True       # CLIP conv1 has no bias
+    quick_gelu: bool = False      # CLIP uses QuickGELU
+    out_dim: Optional[int] = None  # CLIP projection dim (e.g. 768 for ViT-L/14)
+    num_classes: Optional[int] = None  # classifier head (timm path)
+
+    @property
+    def seq_len(self) -> int:
+        return (self.image_size // self.patch) ** 2 + 1
+
+
+VIT_B16 = ViTConfig(patch=16, width=768, layers=12, heads=12, num_classes=1000)
+CLIP_VIT_L14_VISUAL = ViTConfig(patch=14, width=1024, layers=24, heads=16,
+                                pre_norm=True, patch_bias=False,
+                                quick_gelu=True, out_dim=768)
+CLIP_VIT_B32_VISUAL = ViTConfig(patch=32, width=768, layers=12, heads=12,
+                                pre_norm=True, patch_bias=False,
+                                quick_gelu=True, out_dim=512)
+CLIP_VIT_B16_VISUAL = ViTConfig(patch=16, width=768, layers=12, heads=12,
+                                pre_norm=True, patch_bias=False,
+                                quick_gelu=True, out_dim=512)
+
+
+def _trunc_normal(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def init_block(key, width: int, mlp_ratio: int) -> dict:
+    ks = jax.random.split(key, 4)
+    hidden = width * mlp_ratio
+    return {
+        "ln1": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
+        "qkv_w": _trunc_normal(ks[0], (width, 3 * width)),
+        "qkv_b": jnp.zeros(3 * width),
+        "out_w": _trunc_normal(ks[1], (width, width)),
+        "out_b": jnp.zeros(width),
+        "ln2": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
+        "fc1_w": _trunc_normal(ks[2], (width, hidden)),
+        "fc1_b": jnp.zeros(hidden),
+        "fc2_w": _trunc_normal(ks[3], (hidden, width)),
+        "fc2_b": jnp.zeros(width),
+    }
+
+
+def init_vit_params(key, cfg: ViTConfig) -> dict:
+    ks = jax.random.split(key, cfg.layers + 5)
+    p = {
+        "patch_w": _trunc_normal(ks[0], (cfg.patch * cfg.patch * 3, cfg.width)),
+        "patch_b": jnp.zeros(cfg.width) if cfg.patch_bias else None,
+        "cls": _trunc_normal(ks[1], (cfg.width,)),
+        "pos": _trunc_normal(ks[2], (cfg.seq_len, cfg.width)),
+        "blocks": [init_block(ks[4 + i], cfg.width, cfg.mlp_ratio)
+                   for i in range(cfg.layers)],
+        "norm": {"scale": jnp.ones(cfg.width), "bias": jnp.zeros(cfg.width)},
+    }
+    if cfg.pre_norm:
+        p["ln_pre"] = {"scale": jnp.ones(cfg.width), "bias": jnp.zeros(cfg.width)}
+    if cfg.out_dim is not None:
+        p["proj"] = _trunc_normal(ks[3], (cfg.width, cfg.out_dim),
+                                  std=cfg.width ** -0.5)
+    if cfg.num_classes is not None:
+        p["head_w"] = _trunc_normal(ks[3], (cfg.width, cfg.num_classes))
+        p["head_b"] = jnp.zeros(cfg.num_classes)
+    return p
+
+
+def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
+                  causal: bool = False, adapter: dict | None = None,
+                  adapter_cfg: dict | None = None,
+                  dropout_key: jax.Array | None = None,
+                  deterministic: bool = True,
+                  use_pallas: bool | None = None) -> jax.Array:
+    """Pre-norm transformer block. If `adapter` is given, the attention output
+    projection is DoRA-adapted (replaces attn.out_proj, matching the reference's
+    apply_dora_to_ViT surgery, new_cvpr...pipeline.py:484-513)."""
+    act = vnn.quick_gelu if quick_gelu else vnn.gelu
+    h = vnn.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
+
+    B, S, D = h.shape
+    dh = D // heads
+    qkv = vnn.dense(h, p["qkv_w"], p["qkv_b"])
+    qkv = qkv.reshape(B, S, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+    o = vattn.attention_core(qkv[0], qkv[1], qkv[2], causal=causal,
+                             use_pallas=use_pallas)
+    o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+    if adapter is not None:
+        o = vdora.dora_linear(
+            o, adapter["trainable"], adapter["buffers"],
+            alpha=adapter_cfg["alpha"], r=adapter_cfg["r"],
+            dropout_p=adapter_cfg.get("dropout", 0.0),
+            dropout_key=dropout_key, deterministic=deterministic)
+    else:
+        o = vnn.dense(o, p["out_w"], p["out_b"])
+    x = x + o
+
+    h = vnn.layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
+    h = vnn.mlp(h, p, act=act)
+    return x + h
+
+
+def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
+               adapters: dict | None = None, adapter_cfg: dict | None = None,
+               dropout_key: jax.Array | None = None, deterministic: bool = True,
+               use_pallas: bool | None = None,
+               compute_dtype=jnp.float32) -> jax.Array:
+    """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
+
+    `adapters` maps block index -> {trainable, buffers} DoRA entries.
+    This is the timm `forward_features` contract for the classifier config and
+    the pre-ln_post token stream for the CLIP config.
+    """
+    x = images.astype(compute_dtype)
+    x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos"].astype(x.dtype)
+    if cfg.pre_norm:
+        x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    adapters = adapters or {}
+    for i, bp in enumerate(params["blocks"]):
+        ad = adapters.get(i)
+        dk = None
+        if ad is not None and dropout_key is not None:
+            dk = jax.random.fold_in(dropout_key, i)
+        x = block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                          adapter=ad, adapter_cfg=adapter_cfg, dropout_key=dk,
+                          deterministic=deterministic, use_pallas=use_pallas)
+    return vnn.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+
+
+def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
+                 use_pallas: bool | None = None,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """ViT classifier logits [B, num_classes] from the CLS token."""
+    tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
+                        compute_dtype=compute_dtype)
+    cls = tokens[:, 0]
+    logits = vnn.dense(cls, params["head_w"], params["head_b"])
+    return logits.astype(jnp.float32)
+
+
+def forward_features(params: dict, images: jax.Array, cfg: ViTConfig, *,
+                     pool: str = "token", use_pallas: bool | None = None,
+                     compute_dtype=jnp.float32) -> jax.Array:
+    """timm forward_features + pooling, used for ViT RSA embeddings
+    (reference compute_rsa_score, measure...effect.py:309-322):
+    pool='token' -> CLS token; pool='avg' -> mean of patch tokens."""
+    tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
+                        compute_dtype=compute_dtype)
+    if pool == "avg":
+        return tokens[:, 1:].mean(axis=1)
+    return tokens[:, 0]
+
+
+def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
+                       adapters: dict | None = None,
+                       adapter_cfg: dict | None = None,
+                       dropout_key: jax.Array | None = None,
+                       deterministic: bool = True,
+                       use_pallas: bool | None = None,
+                       use_pos_embedding: bool = True,
+                       compute_dtype=jnp.float32) -> jax.Array:
+    """CLIP visual tower: trunk -> ln_post(CLS) -> projection -> [B, out_dim].
+
+    `use_pos_embedding` mirrors the reference CLIPHBA pos_embedding flag
+    (cvpr_train_behavior_things_pipeline_baseline.py:184: forward passes it to the
+    clip_hba CLIP; True for ViT backbones, False for RN50). When False the visual
+    positional embedding is skipped.
+    """
+    x = images.astype(compute_dtype)
+    x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    if use_pos_embedding:
+        x = x + params["pos"].astype(x.dtype)
+    x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    adapters = adapters or {}
+    for i, bp in enumerate(params["blocks"]):
+        ad = adapters.get(i)
+        dk = None
+        if ad is not None and dropout_key is not None:
+            dk = jax.random.fold_in(dropout_key, i)
+        x = block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                          adapter=ad, adapter_cfg=adapter_cfg, dropout_key=dk,
+                          deterministic=deterministic, use_pallas=use_pallas)
+    cls_tok = vnn.layer_norm(x[:, 0], params["norm"]["scale"],
+                             params["norm"]["bias"])
+    out = jnp.dot(cls_tok, params["proj"].astype(cls_tok.dtype),
+                  preferred_element_type=jnp.float32)
+    return out.astype(jnp.float32)
