@@ -1,0 +1,228 @@
+"""Integration tests: end-to-end CLIP-HBA behavioral training on a synthetic
+THINGS-like dataset with the tiny backbone, exercising the full loop -> CSV ->
+checkpoints -> fork/resume. The central property (the reference defends it with
+exhaustive RNG checkpointing, SURVEY.md section 4): a fork from epoch N
+reproduces the baseline EXACTLY outside the perturbation window."""
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from vit_project_tpu.train import clip_loop
+from vit_project_tpu.core import csvio
+
+
+@pytest.fixture(scope="module")
+def things_fixture(tmp_path_factory):
+    """Synthetic THINGS: 60 train images + 48 inference images + RDM .mat."""
+    from PIL import Image
+    import pandas as pd
+    import scipy.io
+
+    root = tmp_path_factory.mktemp("things")
+    img_dir = root / "images"
+    os.makedirs(img_dir)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(60):
+        arr = rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        name = f"thing_{i:03d}.png"
+        Image.fromarray(arr).save(img_dir / name)
+        names.append(name)
+
+    df = pd.DataFrame({"image_name": names})
+    for j in range(66):
+        df[f"d{j}"] = (rs.rand(60) * 2).astype(np.float32)
+    train_csv = root / "spose_train.csv"
+    df.to_csv(train_csv)
+
+    inf_df = pd.DataFrame({"image_name": names[:48]})
+    for j in range(66):
+        inf_df[f"d{j}"] = (rs.rand(48) * 2).astype(np.float32)
+    inf_csv = root / "spose_val.csv"
+    inf_df.to_csv(inf_csv)
+
+    rdm = rs.rand(48, 48).astype(np.float64)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+    mat = root / "RDM48_triplet.mat"
+    scipy.io.savemat(mat, {"RDM48_triplet": rdm})
+
+    return {"csv_file": str(train_csv), "img_dir": str(img_dir),
+            "inference_csv_file": str(inf_csv),
+            "RDM48_triplet_dir": str(mat)}
+
+
+def base_config(things_fixture, out_dir, **over):
+    cfg = {
+        **things_fixture,
+        "backbone": "test-tiny",
+        "epochs": 3,
+        "batch_size": 16,
+        "train_portion": 0.8,
+        "lr": 3e-4,
+        "logger": None,
+        "early_stopping_patience": 20,
+        "checkpoint_path": os.path.join(out_dir, "model.ckpt"),
+        "training_res_path": os.path.join(out_dir, "training_res.csv"),
+        "dora_parameters_path": os.path.join(out_dir, "dora_params"),
+        "random_state_path": os.path.join(out_dir, "random_states"),
+        "random_seed": 1,
+        "vision_layers": 1,
+        "transformer_layers": 1,
+        "rank": 4,
+        "criterion": "mse",
+        "cuda": 0,
+        "perturb_type": "baseline",
+        "perturb_length": 0,
+        "perturb_distribution": "target",
+        "perturb_seed": 42,
+        "training_run": 0,
+        "compute_dtype": "float32",
+    }
+    cfg.update(over)
+    return cfg
+
+
+def read_csv_rows(path):
+    with open(path) as f:
+        return list(csv.reader(f))
+
+
+class TestBaselineRun:
+    def test_baseline_end_to_end(self, things_fixture, tmp_path):
+        out = str(tmp_path / "baseline")
+        cfg = base_config(things_fixture, out)
+        result = clip_loop.run_behavioral_training(cfg)
+        assert result["last_epoch0"] == 2
+
+        rows = read_csv_rows(cfg["training_res_path"])
+        assert rows[0] == csvio.CLIP_HEADERS
+        assert len(rows) == 4  # header + 3 epochs
+        assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
+        # all perturbation flags False in baseline
+        for r in rows[1:]:
+            assert r[5:] == ["False", "False", "False", "False"]
+        # rsa rho in [-1, 1], losses finite
+        for r in rows[1:]:
+            assert -1 <= float(r[3]) <= 1
+            assert np.isfinite(float(r[1])) and np.isfinite(float(r[2]))
+
+        # artifacts
+        for e in (1, 2, 3):
+            assert os.path.exists(os.path.join(
+                out, "dora_params", f"epoch{e}_dora_params.pth"))
+            assert os.path.exists(os.path.join(
+                out, "random_states", f"epoch{e}_random_states.pth"))
+        assert os.path.exists(os.path.join(
+            out, "random_states", "dataset_split_indices.pth"))
+
+    def test_baseline_deterministic(self, things_fixture, tmp_path):
+        outs = []
+        for name in ("a", "b"):
+            out = str(tmp_path / name)
+            cfg = base_config(things_fixture, out, epochs=2)
+            clip_loop.run_behavioral_training(cfg)
+            outs.append(read_csv_rows(cfg["training_res_path"]))
+        assert outs[0] == outs[1]
+
+
+class TestForkResume:
+    def test_fork_outside_window_reproduces_baseline(self, things_fixture,
+                                                     tmp_path):
+        """Sweep-style fork from epoch 1 with the perturbation window far in the
+        future must continue the baseline bit-exactly (epochs 2..3)."""
+        base_out = str(tmp_path / "base")
+        bcfg = base_config(things_fixture, base_out, epochs=3)
+        clip_loop.run_behavioral_training(bcfg)
+        base_rows = read_csv_rows(bcfg["training_res_path"])
+
+        fork_out = str(tmp_path / "fork")
+        fcfg = base_config(
+            things_fixture, fork_out, epochs=3,
+            perturb_type="random_target", perturb_length=1,
+            training_run=99,  # window far beyond the run
+            resume_from_epoch=1,
+            baseline_dora_directory=os.path.join(base_out, "dora_params"),
+            baseline_random_state_path=os.path.join(base_out, "random_states"),
+            baseline_split_indices_path=os.path.join(
+                base_out, "random_states", "dataset_split_indices.pth"))
+        # fork loads DoRA ckpt epoch{training_run-1}=98 (missing) -> must point
+        # resume path at the baseline artifacts instead
+        fcfg["resume_dora_parameters_path"] = os.path.join(base_out,
+                                                           "dora_params")
+        clip_loop.run_behavioral_training(fcfg)
+        fork_rows = read_csv_rows(fcfg["training_res_path"])
+
+        # epochs 2 and 3 identical to baseline, bit-exact
+        assert fork_rows[1][0] == "2" and fork_rows[2][0] == "3"
+        assert fork_rows[1][:5] == base_rows[2][:5]
+        assert fork_rows[2][:5] == base_rows[3][:5]
+
+    def test_perturbed_epoch_differs_then_recovers_data_order(
+            self, things_fixture, tmp_path):
+        """Perturbing exactly epoch 2 changes epoch-2 metrics but flags row 2
+        only (the single-epoch sweep contract)."""
+        base_out = str(tmp_path / "base2")
+        bcfg = base_config(things_fixture, base_out, epochs=3)
+        clip_loop.run_behavioral_training(bcfg)
+        base_rows = read_csv_rows(bcfg["training_res_path"])
+
+        fork_out = str(tmp_path / "fork2")
+        fcfg = base_config(
+            things_fixture, fork_out, epochs=3,
+            perturb_type="random_target", perturb_length=1,
+            training_run=2, resume_from_epoch=1,
+            baseline_dora_directory=os.path.join(base_out, "dora_params"),
+            baseline_random_state_path=os.path.join(base_out, "random_states"),
+            baseline_split_indices_path=os.path.join(
+                base_out, "random_states", "dataset_split_indices.pth"))
+        clip_loop.run_behavioral_training(fcfg)
+        rows = read_csv_rows(fcfg["training_res_path"])
+        # row for epoch 2 flagged used_random_targets and metrics differ
+        assert rows[1][0] == "2"
+        assert rows[1][5] == "True"
+        assert rows[1][1] != base_rows[2][1]
+        # epoch 3 unflagged
+        assert rows[2][5] == "False"
+
+    def test_cross_file_resume_prepopulates(self, things_fixture, tmp_path):
+        """Lengths-style: resume into a NEW csv pre-populated from the previous
+        run's rows (reference train_model :816-834)."""
+        base_out = str(tmp_path / "base3")
+        bcfg = base_config(things_fixture, base_out, epochs=2)
+        clip_loop.run_behavioral_training(bcfg)
+
+        new_out = str(tmp_path / "longer")
+        ncfg = base_config(
+            things_fixture, new_out, epochs=3,
+            perturb_type="random_target", perturb_length=2,
+            training_run=1, resume_from_epoch=2,
+            previous_training_res_path=bcfg["training_res_path"],
+            resume_dora_parameters_path=os.path.join(base_out, "dora_params"),
+            resume_random_state_path=os.path.join(base_out, "random_states"),
+            baseline_dora_directory=os.path.join(base_out, "dora_params"),
+            baseline_random_state_path=os.path.join(base_out, "random_states"),
+            baseline_split_indices_path=os.path.join(
+                base_out, "random_states", "dataset_split_indices.pth"))
+        clip_loop.run_behavioral_training(ncfg)
+        rows = read_csv_rows(ncfg["training_res_path"])
+        base_rows = read_csv_rows(bcfg["training_res_path"])
+        assert [r[0] for r in rows[1:]] == ["1", "2", "3"]
+        # rows 1-2 copied from the shorter run
+        assert rows[1] == base_rows[1]
+        assert rows[2] == base_rows[2]
+
+
+class TestEarlyStopping:
+    def test_patience_triggers(self, things_fixture, tmp_path):
+        out = str(tmp_path / "es")
+        # lr=0 -> no improvement ever after epoch 1 -> stops at patience+1 epochs
+        cfg = base_config(things_fixture, out, epochs=10, lr=0.0,
+                          early_stopping_patience=2)
+        result = clip_loop.run_behavioral_training(cfg)
+        rows = read_csv_rows(cfg["training_res_path"])
+        # epoch1 sets best; epochs 2,3 no improve (ties are not improvements)
+        assert len(rows) - 1 == 3
+        assert result["last_epoch0"] == 2

@@ -1,0 +1,288 @@
+"""Tests for data pipelines, perturbation injectors, windows, schedules, ckpt."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_project_tpu.core import csvio
+from vit_project_tpu.core.prng import batch_perturb_key
+from vit_project_tpu.data import things as dthings
+from vit_project_tpu.data import imagenet as dimg
+from vit_project_tpu.perturb import injectors, windows
+from vit_project_tpu.train.schedules import CosineAnnealingLRWithWarmup
+from vit_project_tpu.ckpt import serialization as ser
+from vit_project_tpu.parallel import mesh as vmesh
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    """20 tiny synthetic images."""
+    from PIL import Image
+    d = tmp_path_factory.mktemp("imgs")
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(20):
+        arr = rs.randint(0, 255, (40, 50, 3), dtype=np.uint8)
+        name = f"img_{i:03d}.png"
+        Image.fromarray(arr).save(d / name)
+        names.append(name)
+    return d, names
+
+
+class TestThingsData:
+    def test_dataset_loads_and_caches(self, image_dir, tmp_path):
+        d, names = image_dir
+        import pandas as pd
+        rs = np.random.RandomState(1)
+        df = pd.DataFrame({"image_name": names})
+        for j in range(66):
+            df[f"dim{j}"] = rs.rand(len(names)).astype(np.float32)
+        csv = tmp_path / "train.csv"
+        df.to_csv(csv)
+        cache = tmp_path / "cache.npz"
+        ds = dthings.ThingsDataset(str(csv), str(d), size=32,
+                                   cache_file=str(cache))
+        assert ds.images_u8.shape == (20, 32, 32, 3)
+        assert ds.targets.shape == (20, 66)
+        assert cache.exists()
+        ds2 = dthings.ThingsDataset(str(csv), str(d), size=32,
+                                    cache_file=str(cache))
+        np.testing.assert_array_equal(ds.images_u8, ds2.images_u8)
+
+    def test_normalize_on_device(self):
+        u8 = jnp.asarray(np.full((2, 4, 4, 3), 128, np.uint8))
+        x = dthings.normalize_uint8(u8)
+        want = (128 / 255.0 - np.asarray(dthings.THINGS_MEAN)) / \
+            np.asarray(dthings.THINGS_STD)
+        np.testing.assert_allclose(np.asarray(x)[0, 0, 0], want, atol=1e-5)
+
+    def test_split_save_load_roundtrip(self, tmp_path):
+        tr, te = dthings.random_split_indices(100, 0.8, seed=1)
+        assert len(tr) == 80 and len(te) == 20
+        assert sorted(tr + te) == list(range(100))
+        p = tmp_path / "dataset_split_indices.pth"
+        dthings.save_split_indices(str(p), tr, te, 1)
+        info = dthings.load_split_indices(str(p))
+        assert info["train_indices"] == tr
+        assert info["random_seed"] == 1
+        # deterministic across calls
+        tr2, _ = dthings.random_split_indices(100, 0.8, seed=1)
+        assert tr2 == tr
+
+    def test_epoch_shuffler_replayable(self):
+        sh = dthings.EpochShuffler(50, 16, data_seed=7)
+        a = list(sh.batches(3))
+        b = list(dthings.EpochShuffler(50, 16, data_seed=7).batches(3))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        # different epochs differ; covers all indices
+        c = np.concatenate(list(sh.batches(4)))
+        assert sorted(c.tolist()) == list(range(50))
+        assert not np.array_equal(np.concatenate(a), c)
+        assert sh.num_batches() == 4  # 16*3+2
+
+
+class TestImageFolder:
+    def test_scan_and_loader_determinism(self, tmp_path):
+        from PIL import Image
+        rs = np.random.RandomState(0)
+        for cls in ["cat", "dog"]:
+            os.makedirs(tmp_path / "train" / cls)
+            for i in range(6):
+                arr = rs.randint(0, 255, (60, 70, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(
+                    tmp_path / "train" / cls / f"{i}.png")
+        paths, labels, classes = dimg.scan_image_folder(
+            str(tmp_path / "train"))
+        assert classes == ["cat", "dog"]
+        assert (labels[:6] == 0).all() and (labels[6:] == 1).all()
+
+        ld = dimg.ImageFolderLoader(str(tmp_path / "train"), 4, train=True,
+                                    seed=3, size=32, workers=2)
+        e1 = [(i.copy(), l.copy()) for i, l in ld.epoch(0)]
+        e2 = [(i.copy(), l.copy()) for i, l in ld.epoch(0)]
+        for (i1, l1), (i2, l2) in zip(e1, e2):
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(l1, l2)
+        # different epoch -> different augs/order
+        e3 = [(i, l) for i, l in ld.epoch(1)]
+        assert not all(np.array_equal(a[0], b[0]) for a, b in zip(e1, e3))
+
+    def test_label_tables(self):
+        t = injectors.shuffled_label_table(10, 42)
+        t2 = injectors.shuffled_label_table(10, 42)
+        np.testing.assert_array_equal(t, t2)
+        assert sorted(t.tolist()) == list(range(10))
+        r = injectors.random_target_table(100, 1000, 42)
+        assert r.min() >= 0 and r.max() < 1000
+
+
+class TestInjectors:
+    def test_batch_key_determinism_and_uniqueness(self):
+        k1 = batch_perturb_key(42, 5, 3)
+        k2 = batch_perturb_key(42, 5, 3)
+        k3 = batch_perturb_key(42, 5, 4)
+        assert (np.asarray(k1) == np.asarray(k2)).all()
+        assert not (np.asarray(k1) == np.asarray(k3)).all()
+
+    def test_random_target_distributions(self):
+        key = jax.random.PRNGKey(0)
+        g = injectors.random_targets(key, (2000, 66), "normal", 5.0, 3.0)
+        assert abs(float(jnp.mean(g))) < 0.02
+        t = injectors.random_targets(key, (2000, 66), "target", 5.0, 3.0)
+        assert abs(float(jnp.mean(t)) - 5.0) < 0.05
+        assert abs(float(jnp.std(t)) - 3.0) < 0.05
+
+    def test_shuffle_targets_is_permutation(self):
+        x = jnp.arange(32, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+        y = injectors.shuffle_targets(jax.random.PRNGKey(1), x)
+        assert sorted(np.asarray(y)[:, 0].tolist()) == \
+            sorted(np.asarray(x)[:, 0].tolist())
+        assert not np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_uniform_and_noise(self):
+        img = jnp.ones((4, 8, 8, 3)) * 2.0
+        u = injectors.uniform_images(img)
+        assert float(jnp.max(jnp.abs(u - 0.5))) == 0
+        n = injectors.image_noise(jax.random.PRNGKey(0), img, 1.0, 0.5)
+        assert abs(float(jnp.mean(n)) - 1.0) < 0.1
+
+    def test_apply_dispatch(self):
+        key = jax.random.PRNGKey(0)
+        img = jnp.ones((4, 8, 8, 3))
+        tgt = jnp.arange(4, dtype=jnp.float32)[:, None] * jnp.ones((1, 6))
+        for kind in ("none", "baseline"):
+            i2, t2 = injectors.apply_clip_perturbation(kind, key, img, tgt)
+            assert i2 is img and t2 is tgt
+        i2, t2 = injectors.apply_clip_perturbation("random_target", key, img,
+                                                   tgt, distribution="normal")
+        assert i2 is img and t2.shape == tgt.shape
+        assert not np.allclose(np.asarray(t2), np.asarray(tgt))
+
+    def test_distribution_stats(self):
+        emb = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+        assert injectors.perturb_distribution_stats(emb, "normal") == (0.0, 1.0)
+        m, s = injectors.perturb_distribution_stats(emb, "target")
+        assert m == 2.5 and abs(s - np.std(emb)) < 1e-6
+
+
+class TestWindows:
+    def test_window_arithmetic(self):
+        # training_run=5, length=1 -> only 0-indexed epoch 4
+        assert not windows.in_window(3, 5, 1)
+        assert windows.in_window(4, 5, 1)
+        assert not windows.in_window(5, 5, 1)
+        # length=3 -> epochs 4,5,6
+        assert windows.window_bounds(5, 3) == (4, 6)
+        assert windows.in_window(6, 5, 3)
+        assert not windows.in_window(7, 5, 3)
+
+    def test_epoch_flags(self):
+        f = windows.epoch_flags(4, 5, 1, "image_noise")
+        assert f["used_image_noise"] and not f["used_random_targets"]
+        f2 = windows.epoch_flags(4, 5, 1, "baseline")
+        assert not any(f2.values())
+
+
+class TestSchedules:
+    def test_matches_reference_trajectory(self):
+        """Reference quirk: epoch 0 runs at base_lr, warmup applies to epochs
+        1..warmup (scale (e)/warmup at epoch e after e steps)."""
+        import math
+        s = CosineAnnealingLRWithWarmup(0.1, warmup_epochs=5, max_epochs=20)
+        lrs = []
+        for _ in range(20):
+            lrs.append(s.peek())
+            s.step()
+        assert lrs[0] == 0.1
+        np.testing.assert_allclose(lrs[1], 0.1 * 1 / 5)
+        np.testing.assert_allclose(lrs[5], 0.1 * 5 / 5)
+        # first cosine step has progress 0 -> still base lr (reference quirk)
+        np.testing.assert_allclose(lrs[6], 0.1)
+        prog = (6 - 5) / 15
+        np.testing.assert_allclose(
+            lrs[7], 0.05 * (1 + math.cos(math.pi * prog)))
+
+    def test_state_roundtrip(self):
+        s = CosineAnnealingLRWithWarmup(0.1, 5, 20)
+        for _ in range(7):
+            s.step()
+        d = s.state_dict()
+        s2 = CosineAnnealingLRWithWarmup(0.9, 1, 2)
+        s2.load_state_dict(d)
+        for _ in range(5):
+            a, b = s.step(), s2.step()
+            assert a == b
+
+
+class TestSerialization:
+    def test_pytree_roundtrip(self, tmp_path):
+        tree = {"a": jnp.arange(5), "b": [np.ones(3), {"c": 2, "d": "x"}]}
+        p = tmp_path / "t.pth"
+        ser.save(str(p), tree)
+        back = ser.load(str(p))
+        np.testing.assert_array_equal(back["a"], np.arange(5))
+        assert back["b"][1]["d"] == "x"
+        assert ser.tree_equal(tree, back)
+
+    def test_optax_state_roundtrip(self, tmp_path):
+        import optax
+        params = {"w": jnp.ones((3, 3))}
+        opt = optax.adamw(1e-3)
+        st = opt.init(params)
+        ser.save(str(tmp_path / "o.pth"), st)
+        back = ser.load(str(tmp_path / "o.pth"))
+        back = jax.tree_util.tree_map(jnp.asarray, back)
+        # usable state: one update applies cleanly
+        g = {"w": jnp.ones((3, 3))}
+        u, _ = opt.update(g, back, params)
+        assert jax.tree_util.tree_leaves(u)[0].shape == (3, 3)
+
+
+class TestCsvIO:
+    def test_clip_csv_prepopulation(self, tmp_path):
+        prev = tmp_path / "prev.csv"
+        csvio.init_clip_csv(str(prev))
+        for e in range(1, 6):
+            csvio.append_clip_row(str(prev), e, 1.0, 2.0, 0.5, 0.01,
+                                  False, False, False, False)
+        new = tmp_path / "new.csv"
+        csvio.init_clip_csv(str(new), resume_from_epoch=3,
+                            previous_training_res_path=str(prev))
+        assert csvio.last_completed_epoch0(str(new)) == 2  # rows 1..3
+        # in-place resume leaves the file alone
+        csvio.init_clip_csv(str(prev), resume_from_epoch=5,
+                            previous_training_res_path=str(prev))
+        assert csvio.last_completed_epoch0(str(prev)) == 4
+
+    def test_vit_csv(self, tmp_path):
+        p = tmp_path / "m.csv"
+        csvio.append_vit_row(str(p), 0, 5.5, 9.6, 12.35)
+        csvio.append_vit_row(str(p), 1, 4.5, 8.5, 18.46)
+        lines = p.read_text().splitlines()
+        assert lines[0] == "epoch,train_loss,val_loss,val_acc"
+        assert lines[1] == "0,5.500000,9.600000,12.3500"
+
+
+class TestMesh:
+    def test_eight_device_data_sharding(self):
+        mesh = vmesh.make_mesh()
+        assert mesh.devices.size == 8
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+        sharded = vmesh.shard_batch(mesh, batch)
+        assert sharded["x"].sharding.num_devices == 8
+
+        @jax.jit
+        def mean(b):
+            return jnp.mean(b["x"])
+
+        assert float(mean(sharded)) == pytest.approx(7.5)
+
+    def test_pad_to_multiple(self):
+        batch = (np.ones((13, 2)), np.ones(13))
+        (a, b), real = vmesh.pad_to_multiple(batch, 8)
+        assert a.shape[0] == 16 and real == 13
+        batch2, real2 = vmesh.pad_to_multiple((np.ones((16, 2)),), 8)
+        assert real2 == 16 and batch2[0].shape[0] == 16

@@ -1,0 +1,191 @@
+"""ImageNet-style ImageFolder pipeline.
+
+Reference contract (get_dataloaders, train_vit_sgd.py:29-90): ImageFolder train/val
+with RandomResizedCrop(224)+HFlip train augs, Resize(256)+CenterCrop(224) val,
+ImageNet normalization, DistributedSampler sharding, pinned prefetching workers.
+
+TPU-first design: a thread-pool loader decodes + augments into pinned uint8 host
+batches while the device trains (normalization happens inside the jitted step).
+Augmentations are derived from numpy Generators seeded per (seed, epoch, index), so
+the stream is exactly replayable from a checkpointed seed — the DataLoader-
+generator-state equivalent collapses to one integer.
+"""
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..core.configs import IMAGENET_MEAN, IMAGENET_STD
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
+
+
+def scan_image_folder(root: str):
+    """torchvision ImageFolder semantics: classes = sorted dir names ->
+    contiguous ids; returns (paths, labels, class_names)."""
+    classes = sorted(d.name for d in os.scandir(root) if d.is_dir())
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    paths, labels = [], []
+    for c in classes:
+        cdir = os.path.join(root, c)
+        for dirpath, _, filenames in sorted(os.walk(cdir)):
+            for fn in sorted(filenames):
+                if fn.lower().endswith(IMG_EXTS):
+                    paths.append(os.path.join(dirpath, fn))
+                    labels.append(class_to_idx[c])
+    return paths, np.asarray(labels, np.int32), classes
+
+
+def random_resized_crop_flip(img, rng: np.random.Generator, size: int = 224,
+                             scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """PIL RandomResizedCrop + RandomHorizontalFlip with torchvision's sampling
+    procedure (10 area/ratio attempts then center-crop fallback)."""
+    from PIL import Image
+    W, H = img.size
+    area = W * H
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+        aspect = math.exp(rng.uniform(*log_ratio))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= W and 0 < h <= H:
+            i = int(rng.integers(0, H - h + 1))
+            j = int(rng.integers(0, W - w + 1))
+            img = img.crop((j, i, j + w, i + h))
+            break
+    else:
+        in_ratio = W / H
+        if in_ratio < ratio[0]:
+            w, h = W, int(round(W / ratio[0]))
+        elif in_ratio > ratio[1]:
+            w, h = int(round(H * ratio[1])), H
+        else:
+            w, h = W, H
+        i, j = (H - h) // 2, (W - w) // 2
+        img = img.crop((j, i, j + w, i + h))
+    img = img.resize((size, size), Image.BILINEAR)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    return img
+
+
+def resize_center_crop(img, size: int = 224, resize_to: int = 256):
+    from PIL import Image
+    W, H = img.size
+    if W < H:
+        nw, nh = resize_to, int(resize_to * H / W)
+    else:
+        nw, nh = int(resize_to * W / H), resize_to
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def _load_train(path: str, seed_tuple, size: int) -> np.ndarray:
+    from PIL import Image
+    rng = np.random.Generator(np.random.PCG64(list(seed_tuple)))
+    img = Image.open(path).convert("RGB")
+    img = random_resized_crop_flip(img, rng, size)
+    return np.asarray(img, np.uint8)
+
+
+def _load_val(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    return np.asarray(resize_center_crop(img, size), np.uint8)
+
+
+class ImageFolderLoader:
+    """Deterministic, prefetching ImageFolder loader.
+
+    train=True: per-epoch shuffle from PCG64([seed, epoch]) + per-sample augs from
+    PCG64([seed, epoch, dataset_index]); train=False: dataset order, center crop.
+    Yields (images_u8 [B,H,W,3], labels [B]) host batches, `prefetch` batches
+    ahead, decoding with `workers` threads.
+    """
+
+    def __init__(self, root: str, batch_size: int, *, train: bool,
+                 seed: int = 0, size: int = 224, workers: int = 16,
+                 prefetch: int = 4, drop_last: bool = False,
+                 label_table: np.ndarray | None = None):
+        self.paths, self.labels, self.classes = scan_image_folder(root)
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.size = size
+        self.workers = workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        # label_table: index-table label perturbation (ShuffledLabelsDataset /
+        # TargetNoiseDataset semantics — measure...effect.py:57-93)
+        self.label_table = label_table
+
+    def __len__(self):
+        n = len(self.paths)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def num_samples(self):
+        return len(self.paths)
+
+    def _label(self, i: int):
+        if self.label_table is not None:
+            return self.label_table[i]
+        return self.labels[i]
+
+    def epoch(self, epoch: int = 0):
+        n = len(self.paths)
+        if self.train:
+            rng = np.random.Generator(np.random.PCG64([self.seed, epoch]))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        end = n - n % self.batch_size if self.drop_last else n
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.workers) as ex:
+                for s in range(0, end, self.batch_size):
+                    if stop.is_set():
+                        return
+                    idx = order[s:s + self.batch_size]
+                    if self.train:
+                        futs = [ex.submit(_load_train, self.paths[i],
+                                          (self.seed, epoch, int(i)), self.size)
+                                for i in idx]
+                    else:
+                        futs = [ex.submit(_load_val, self.paths[i], self.size)
+                                for i in idx]
+                    imgs = np.stack([f.result() for f in futs])
+                    lbls = np.asarray([self._label(int(i)) for i in idx],
+                                      np.int32)
+                    q.put((imgs, lbls))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def normalize_imagenet(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                       dtype=None):
+    import jax.numpy as jnp
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    if dtype is not None:
+        x = x.astype(dtype)
+    return x

@@ -52,6 +52,15 @@ CLIP_VIT_B16 = CLIPConfig(visual=vvit.CLIP_VIT_B16_VISUAL,
 CLIP_CONFIGS = {"ViT-L/14": CLIP_VIT_L14, "ViT-B/32": CLIP_VIT_B32,
                 "ViT-B/16": CLIP_VIT_B16}
 
+# miniature backbone for integration tests / CI (full 224 input, 2-layer towers)
+CLIP_CONFIGS["test-tiny"] = CLIPConfig(
+    visual=ViTConfig(patch=32, width=32, layers=2, heads=2, image_size=224,
+                     pre_norm=True, patch_bias=False, quick_gelu=True,
+                     out_dim=16),
+    text=TextConfig(width=32, layers=2, heads=2, vocab_size=49408,
+                    context_length=77),
+    embed_dim=16)
+
 
 def tiny_clip_config(width=32, layers=2, heads=2, patch=16, image_size=32,
                      embed_dim=16, vocab=512, context=16) -> CLIPConfig:

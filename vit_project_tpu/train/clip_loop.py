@@ -1,0 +1,434 @@
+"""CLIP-HBA behavioral training loop.
+
+Faithful port of the reference semantics (train_model + run_behavioral_training,
+new_cvpr_train_behavior_things_pipeline.py:782-1227) onto jitted TPU steps:
+
+- per-epoch: train over shuffled batches -> eval on test split -> behavioral RSA on
+  the 48 inference images -> CSV row -> DoRA checkpoint -> random-state checkpoint
+  -> early stopping (patience paused inside the perturbation window, ref
+  :1043-1056);
+- perturbation window [training_run-1, training_run-1+perturb_length-1] 0-indexed,
+  per-batch injector keys from perturb_seed + training_run*1000 + batch_idx;
+- NaN guards: a batch whose targets/predictions/loss are non-finite is skipped
+  without an optimizer update (ref :929-998 `continue`);
+- resume: CSV pre-population, DoRA + optimizer-state restore, replayable data order.
+
+Throughput design: batches are uint8 host slices; normalization, perturbation,
+forward, backward, and the AdamW update are ONE jitted call with donated
+(trainable, opt_state). Eval and the 48-image RSA are jitted too, so a full epoch
+is ~25 device calls with zero host-side math.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..adapters import dora as adora
+from ..ckpt import clip_ckpt, serialization as ser
+from ..core import csvio
+from ..core.configs import ClipRunConfig, THINGS_MEAN, THINGS_STD
+from ..core.logs import setup_logger
+from ..core.prng import batch_perturb_key
+from ..data import things as dthings
+from ..data.spose66 import classnames66
+from ..models import clip as vclip
+from ..models import tokenizer as vtok
+from ..ops import rsa as vrsa
+from ..perturb import injectors, windows
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """torch AdamW defaults (reference uses AdamW(params, lr=lr), ref :1181):
+    betas (0.9, 0.999), eps 1e-8, decoupled weight decay 0.01."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+
+class ClipHBATrainer:
+    """Bundles model config, jitted step builders, and checkpoint plumbing."""
+
+    def __init__(self, clip_cfg: vclip.CLIPConfig, params: dict,
+                 adapter_cfg: dict, static: dict, prompt_tokens: np.ndarray,
+                 lr: float, compute_dtype=jnp.bfloat16,
+                 perturb_distribution: str = "target",
+                 dist_mean: float = 0.0, dist_std: float = 1.0):
+        self.cfg = clip_cfg
+        self.params = params
+        self.acfg = adapter_cfg
+        self.static = static
+        self.prompts = jnp.asarray(prompt_tokens)
+        self.optimizer = make_optimizer(lr)
+        self.compute_dtype = compute_dtype
+        self.perturb_distribution = perturb_distribution
+        self.dist_mean = dist_mean
+        self.dist_std = dist_std
+        self._steps: dict = {}
+
+    def init_opt_state(self, trainable):
+        return self.optimizer.init(trainable)
+
+    # -- jitted steps -------------------------------------------------------
+
+    def _train_step(self, perturb_type: str):
+        if perturb_type not in self._steps:
+            optimizer = self.optimizer
+            cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
+            cdt = self.compute_dtype
+            dist_kind = self.perturb_distribution
+            dmean, dstd = self.dist_mean, self.dist_std
+
+            def loss_fn(trainable, params, static, images, targets,
+                        dropout_key):
+                ad = adora.assemble(trainable, static)
+                preds = vclip.clip_hba_forward(
+                    params, images, prompts, cfg, adapters=ad,
+                    adapter_cfg=acfg, dropout_key=dropout_key,
+                    deterministic=False, compute_dtype=cdt)
+                loss = jnp.mean((preds - targets) ** 2)
+                return loss, preds
+
+            def step(trainable, opt_state, params, static, images_u8,
+                     targets, perturb_key, dropout_key):
+                images = dthings.normalize_uint8(images_u8)
+                images, targets = injectors.apply_clip_perturbation(
+                    perturb_type, perturb_key, images, targets,
+                    distribution=dist_kind, mean=dmean, std=dstd)
+                (loss, preds), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(trainable, params, static, images,
+                                           targets, dropout_key)
+                # NaN guard (reference skips the batch, ref :929-998)
+                ok = (jnp.isfinite(loss)
+                      & jnp.all(jnp.isfinite(targets))
+                      & jnp.all(jnp.isfinite(preds)))
+                updates, new_opt = optimizer.update(grads, opt_state, trainable)
+                new_trainable = optax.apply_updates(trainable, updates)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+                return (keep(new_trainable, trainable), keep(new_opt, opt_state),
+                        loss, ok)
+
+            self._steps[perturb_type] = jax.jit(step, donate_argnums=(0, 1))
+        return self._steps[perturb_type]
+
+    @functools.cached_property
+    def _eval_step(self):
+        cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
+            self.compute_dtype
+
+        def step(trainable, params, static, images_u8, targets):
+            images = dthings.normalize_uint8(images_u8)
+            ad = adora.assemble(trainable, static)
+            preds = vclip.clip_hba_forward(params, images, prompts, cfg,
+                                           adapters=ad, adapter_cfg=acfg,
+                                           deterministic=True,
+                                           compute_dtype=cdt)
+            # dataset-weighted mean MSE (reference evaluate_model :584-602)
+            return jnp.mean((preds - targets) ** 2) * images.shape[0]
+
+        return jax.jit(step)
+
+    @functools.cached_property
+    def _infer_step(self):
+        cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
+            self.compute_dtype
+
+        def step(trainable, params, static, images_u8):
+            images = dthings.normalize_uint8(images_u8)
+            ad = adora.assemble(trainable, static)
+            return vclip.clip_hba_forward(params, images, prompts, cfg,
+                                          adapters=ad, adapter_cfg=acfg,
+                                          deterministic=True,
+                                          compute_dtype=cdt)
+
+        return jax.jit(step)
+
+    # -- epoch-level operations --------------------------------------------
+
+    def evaluate(self, trainable, images_u8: np.ndarray, targets: np.ndarray,
+                 batch_size: int) -> float:
+        total, n = 0.0, len(images_u8)
+        for s in range(0, n, batch_size):
+            total += float(self._eval_step(
+                trainable, self.params, self.static,
+                jnp.asarray(images_u8[s:s + batch_size]),
+                jnp.asarray(targets[s:s + batch_size])))
+        return total / n
+
+    def behavioral_rsa(self, trainable, inference_images_u8: np.ndarray,
+                       reference_rdm: np.ndarray):
+        """One device call: 48-image inference + RDM + Spearman (reference
+        behavioral_RSA :605-654 runs this on host numpy/scipy)."""
+        emb = self._infer_step(trainable, self.params, self.static,
+                               jnp.asarray(inference_images_u8))
+        rho, p, model_rdm = vrsa.behavioral_rsa(emb, jnp.asarray(reference_rdm))
+        return float(rho), float(p), np.asarray(model_rdm), np.asarray(emb)
+
+
+def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
+                train_images, train_targets, test_images, test_targets,
+                inference_images, reference_rdm, shuffler: dthings.EpochShuffler,
+                epochs: int, batch_size: int, training_res_path: str,
+                training_run: int, perturb_length: int, perturb_seed: int,
+                perturb_type: str, logger=None, early_stopping_patience: int = 5,
+                dora_parameters_path: str = "./dora_params",
+                random_state_path: str = "./random_states",
+                dropout_seed: int = 0, data_seed: int = 0,
+                resume_from_epoch: int = 0,
+                previous_training_res_path: str | None = None,
+                dump_dir: str | None = None, inference_names=None):
+    """The per-epoch loop (reference train_model :782-1063). Returns the final
+    (trainable, opt_state, last_epoch0)."""
+    log = logger.info if logger else print
+    best_test_loss = 500000.0  # reference initializes to 500000 (ref :790)
+    epochs_no_improve = 0
+
+    os.makedirs(dora_parameters_path, exist_ok=True)
+    csvio.init_clip_csv(training_res_path, resume_from_epoch,
+                        previous_training_res_path, logger)
+
+    dropout_root = jax.random.PRNGKey(dropout_seed)
+    n_train = len(train_images)
+    last_epoch0 = resume_from_epoch - 1
+
+    for epoch in range(resume_from_epoch, epochs):
+        flags = windows.epoch_flags(epoch, training_run, perturb_length,
+                                    perturb_type)
+        active = any(flags.values())
+        kind = perturb_type if active else "none"
+        if active:
+            ws, we = windows.window_bounds(training_run, perturb_length)
+            log("=" * 80)
+            log(f"*** PERTURBATION '{perturb_type}' ACTIVE FOR EPOCH "
+                f"{epoch + 1} (window: epochs {ws + 1}-{we + 1}) ***")
+            log(f"Perturbation seed: {perturb_seed}")
+            log("=" * 80)
+
+        step = trainer._train_step(kind)
+        total_loss, counted = 0.0, 0
+        for batch_idx, idx in enumerate(shuffler.batches(epoch)):
+            images_u8 = jnp.asarray(train_images[idx])
+            targets = jnp.asarray(train_targets[idx])
+            pkey = batch_perturb_key(perturb_seed, training_run, batch_idx)
+            dkey = jax.random.fold_in(
+                jax.random.fold_in(dropout_root, epoch), batch_idx)
+            trainable, opt_state, loss, ok = step(
+                trainable, opt_state, trainer.params, trainer.static,
+                images_u8, targets, pkey, dkey)
+            if bool(ok):
+                total_loss += float(loss) * len(idx)
+                counted += len(idx)
+            else:
+                log(f"WARNING: non-finite batch {batch_idx} skipped "
+                    f"(epoch {epoch + 1})")
+        # reference divides by the full dataset size regardless of skips
+        avg_train_loss = total_loss / n_train
+
+        avg_test_loss = trainer.evaluate(trainable, test_images, test_targets,
+                                         batch_size)
+        log(f"Epoch {epoch + 1}: Training Loss: {avg_train_loss:.4f}, "
+            f"Validation Loss: {avg_test_loss:.4f}")
+
+        rho, p_value, _, emb = trainer.behavioral_rsa(
+            trainable, inference_images, reference_rdm)
+        log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
+
+        if dump_dir is not None:
+            _dump_embeddings(dump_dir, epoch + 1, emb, inference_names)
+
+        csvio.append_clip_row(training_res_path, epoch + 1, avg_train_loss,
+                              avg_test_loss, rho, p_value, **flags)
+
+        clip_ckpt.save_dora_parameters(trainable, dora_parameters_path, epoch,
+                                       logger=logger)
+        log(f"DoRA parameters saved for epoch {epoch + 1}")
+        clip_ckpt.save_random_states(opt_state, epoch, random_state_path,
+                                     data_seed,
+                                     {"dropout_seed": dropout_seed},
+                                     logger=logger)
+
+        in_win = windows.in_window(epoch, training_run, perturb_length) \
+            and perturb_type in windows.PERTURB_TYPES
+        if avg_test_loss < best_test_loss:
+            best_test_loss = avg_test_loss
+            epochs_no_improve = 0
+        elif not in_win:
+            # patience frozen inside the perturbation window (ref :1049-1056)
+            epochs_no_improve += 1
+        last_epoch0 = epoch
+        if epochs_no_improve == early_stopping_patience:
+            log(f"Early stopping triggered at epoch {epoch + 1}")
+            break
+
+    return trainable, opt_state, last_epoch0
+
+
+def _dump_embeddings(dump_dir: str, epoch1: int, emb: np.ndarray, names):
+    """Optional per-epoch inference-embedding dumps
+    (things_48_embeddings_epochN.csv artifacts; SURVEY.md section 0)."""
+    import pandas as pd
+    os.makedirs(dump_dir, exist_ok=True)
+    df = pd.DataFrame(emb)
+    if names is not None:
+        df.insert(0, "image_name", list(names))
+    df.to_csv(os.path.join(dump_dir, f"things_48_embeddings_epoch{epoch1}.csv"),
+              index=False)
+
+
+def run_behavioral_training(config) -> dict:
+    """Config-dict entry point (reference run_behavioral_training :1066-1227).
+
+    Accepts the reference's dict config surface or a ClipRunConfig. Returns a
+    summary dict {last_epoch0, training_res_path, ...}.
+    """
+    cfg = (config if isinstance(config, ClipRunConfig)
+           else ClipRunConfig.from_dict(config))
+
+    log_dir = os.path.dirname(cfg.checkpoint_path) or "."
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    logger = setup_logger(os.path.join(log_dir,
+                                       f"training_log_{timestamp}.txt"))
+    logger.info("=" * 80)
+    logger.info("Starting Training Run")
+    logger.info("=" * 80)
+
+    # dataset + perturbation distribution stats (ref :1096-1105)
+    dataset = dthings.ThingsDataset(cfg.csv_file, cfg.img_dir)
+    mean, std = injectors.perturb_distribution_stats(
+        dataset.targets, cfg.perturb_distribution)
+
+    # split: replay the baseline split if provided, else fresh + persist
+    if cfg.baseline_split_indices_path and \
+            os.path.exists(cfg.baseline_split_indices_path):
+        info = dthings.load_split_indices(cfg.baseline_split_indices_path,
+                                          logger)
+        train_idx = info["train_indices"]
+        test_idx = info["test_indices"]
+        logger.info("Using baseline dataset split")
+    else:
+        train_idx, test_idx = dthings.random_split_indices(
+            len(dataset), cfg.train_portion, cfg.random_seed)
+        split_path = os.path.join(cfg.random_state_path,
+                                  "dataset_split_indices.pth")
+        dthings.save_split_indices(split_path, train_idx, test_idx,
+                                   cfg.random_seed)
+        logger.info(f"Saved fresh dataset split to {split_path}")
+
+    inference = dthings.ThingsInferenceDataset(
+        cfg.inference_csv_file, cfg.img_dir, cfg.RDM48_triplet_dir)
+    reference_rdm = inference.load_reference_rdm()
+
+    # model
+    if cfg.clip_weights and os.path.exists(cfg.clip_weights):
+        from ..models import convert
+        sd = convert.load_torch_state_dict(cfg.clip_weights)
+        params, clip_cfg = convert.clip_params_from_state_dict(sd)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        logger.info(f"Loaded CLIP weights from {cfg.clip_weights}")
+    else:
+        clip_cfg = vclip.CLIP_CONFIGS[cfg.backbone]
+        params = vclip.init_clip_params(
+            jax.random.PRNGKey(cfg.random_seed), clip_cfg)
+        logger.info("WARNING: no clip_weights provided - using random "
+                    "initialization (testing only)")
+
+    pos_embedding = cfg.backbone != "RN50"
+    logger.info(f"pos_embedding is {pos_embedding}")
+
+    tok = vtok.default_tokenizer(cfg.bpe_vocab)
+    prompts = vtok.tokenize(classnames66, tokenizer=tok,
+                            context_length=clip_cfg.text.context_length)
+    prompts = np.minimum(prompts, clip_cfg.text.vocab_size - 1)
+
+    # DoRA surgery (ref :1147-1152) — the init key is derived from random_seed so
+    # a fresh sweep-fork model reproduces the baseline's adapter init
+    spec = adora.dora_spec(clip_cfg.visual.layers, clip_cfg.text.layers,
+                           cfg.vision_layers, cfg.transformer_layers)
+    trainable, static, acfg = adora.apply_dora(
+        params, spec, r=cfg.rank, alpha=cfg.dora_alpha,
+        dropout=cfg.dora_dropout, key=jax.random.PRNGKey(cfg.random_seed + 123))
+
+    training_run = cfg.training_run
+
+    # DoRA checkpoint to fork from (ref :1156-1171)
+    dora_path = None
+    if cfg.resume_from_epoch > 0 and cfg.resume_dora_parameters_path:
+        dora_path = os.path.join(cfg.resume_dora_parameters_path,
+                                 f"epoch{cfg.resume_from_epoch}_dora_params.pth")
+    elif cfg.baseline_dora_directory:
+        dora_path = os.path.join(cfg.baseline_dora_directory,
+                                 f"epoch{training_run - 1}_dora_params.pth")
+    if dora_path and os.path.exists(dora_path) and training_run >= 1:
+        trainable = clip_ckpt.load_dora_parameters(dora_path, trainable, spec,
+                                                   logger)
+        logger.info(f"Loaded DoRA parameters from {dora_path}")
+    else:
+        logger.info("Using original DoRA parameters from model initialization")
+
+    trainer = ClipHBATrainer(
+        clip_cfg, params, acfg, static, prompts, lr=cfg.lr,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32,
+        perturb_distribution=cfg.perturb_distribution,
+        dist_mean=mean, dist_std=std)
+    opt_state = trainer.init_opt_state(trainable)
+
+    # random-state restore (ref :1184-1201)
+    data_seed = cfg.random_seed
+    if cfg.resume_from_epoch > 0:
+        prior = cfg.resume_random_state_path or cfg.baseline_random_state_path
+        if prior:
+            state = clip_ckpt.load_random_states(prior, cfg.resume_from_epoch,
+                                                 logger)
+            if state is not None:
+                opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                   state["optimizer_state"])
+                data_seed = state["data_seed"]
+                logger.info(f"Successfully restored all random states from "
+                            f"epoch {cfg.resume_from_epoch}")
+            else:
+                logger.warning("Could not load random states - starting with "
+                               "fresh random state")
+        else:
+            logger.warning("baseline_random_state_path not provided in config, "
+                           "cannot restore random states")
+
+    logger.info("\nModel Configuration:")
+    logger.info("-------------------")
+    for k, v in cfg.to_dict().items():
+        logger.info(f"{k}: {v}")
+    logger.info(f"\nNumber of trainable parameters: "
+                f"{adora.count_trainable_parameters(trainable)}\n")
+
+    train_images = dataset.images_u8[train_idx]
+    train_targets = dataset.targets[train_idx]
+    test_images = dataset.images_u8[test_idx]
+    test_targets = dataset.targets[test_idx]
+    shuffler = dthings.EpochShuffler(len(train_idx), cfg.batch_size, data_seed)
+
+    dump_dir = cfg.inference_dump_dir if cfg.dump_inference_embeddings else None
+
+    trainable, opt_state, last_epoch0 = train_model(
+        trainer, trainable, opt_state,
+        train_images=train_images, train_targets=train_targets,
+        test_images=test_images, test_targets=test_targets,
+        inference_images=inference.images_u8, reference_rdm=reference_rdm,
+        shuffler=shuffler, epochs=cfg.epochs, batch_size=cfg.batch_size,
+        training_res_path=cfg.training_res_path, training_run=training_run,
+        perturb_length=cfg.perturb_length, perturb_seed=cfg.perturb_seed,
+        perturb_type=cfg.perturb_type, logger=logger,
+        early_stopping_patience=cfg.early_stopping_patience,
+        dora_parameters_path=cfg.dora_parameters_path,
+        random_state_path=cfg.random_state_path,
+        dropout_seed=cfg.random_seed, data_seed=data_seed,
+        resume_from_epoch=cfg.resume_from_epoch,
+        previous_training_res_path=cfg.previous_training_res_path,
+        dump_dir=dump_dir, inference_names=inference.names)
+
+    return {"last_epoch0": last_epoch0,
+            "training_res_path": cfg.training_res_path,
+            "trainable": trainable}
