@@ -1,0 +1,93 @@
+"""Analysis-layer tests on synthetic CSV artifacts."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vit_project_tpu.analysis import figs
+from vit_project_tpu.core import csvio
+
+
+def write_clip_csv(path, losses, rsas, flags_epoch=None):
+    csvio.init_clip_csv(str(path))
+    for i, (lo, r) in enumerate(zip(losses, rsas), start=1):
+        fl = flags_epoch == i
+        csvio.append_clip_row(str(path), i, lo + 1, lo, r, 0.001,
+                              fl, False, False, False)
+
+
+class TestTrajectories:
+    def test_clip_trim_at_min_loss(self, tmp_path):
+        p = tmp_path / "base.csv"
+        write_clip_csv(p, [5.0, 3.0, 2.0, 2.5, 4.0], [0.1, 0.3, 0.5, 0.4, 0.2])
+        df = figs.clip_trajectory(str(p))
+        assert list(df["epoch"]) == [1, 2, 3]  # trimmed at min loss epoch 3
+
+
+class TestDeltas:
+    def test_sweep_deltas(self, tmp_path):
+        base = tmp_path / "base.csv"
+        write_clip_csv(base, [5.0, 3.0, 2.0], [0.1, 0.3, 0.5])
+        sweep = tmp_path / "sweep"
+        for run in (2, 3):
+            d = sweep / f"training_run{run}"
+            os.makedirs(d)
+            write_clip_csv(d / f"training_res_run{run}.csv",
+                           [5.0, 3.0 + run, 2.0 + run],
+                           [0.1, 0.3 - 0.1 * run, 0.5], flags_epoch=run)
+        df = figs.sweep_deltas(str(base), str(sweep))
+        assert sorted(df["epoch"]) == [2, 3]
+        r2 = df[df["epoch"] == 2].iloc[0]
+        np.testing.assert_allclose(r2["delta_loss"], 2.0)
+        np.testing.assert_allclose(r2["delta_rsa"], -0.2)
+
+
+class TestRecovery:
+    def test_recovery_and_nr(self, tmp_path):
+        base = tmp_path / "base.csv"
+        write_clip_csv(base, [5, 4, 3, 2, 1.5, 1.2, 1.0, 0.9],
+                       [0.1] * 8)
+        exp = tmp_path / "lengths"
+        # recovers at epoch 6 (loss back within 1%)
+        d = exp / "random_target_e3_l2"
+        os.makedirs(d)
+        write_clip_csv(d / "training_res.csv",
+                       [5, 4, 9, 9, 3.0, 1.21, 1.0, 0.9], [0.1] * 8)
+        # never recovers
+        d2 = exp / "random_target_e5_l1"
+        os.makedirs(d2)
+        write_clip_csv(d2 / "training_res.csv",
+                       [5, 4, 3, 2, 9, 9, 9, 9], [0.1] * 8)
+        tab = figs.recovery_table(str(base), str(exp))
+        assert len(tab) == 2
+        r1 = tab[(tab.onset == 3) & (tab.length == 2)].iloc[0]
+        assert r1["recovery_epoch"] == 6 and r1["recovery_time"] == 2
+        r2 = tab[(tab.onset == 5)].iloc[0]
+        assert r2["recovery_epoch"] == -1  # NR
+
+    def test_recovery_ignores_window(self, tmp_path):
+        base = tmp_path / "b.csv"
+        write_clip_csv(base, [5, 4, 3], [0.1] * 3)
+        d = tmp_path / "random_target_e1_l3"
+        os.makedirs(d)
+        # identical to baseline but entirely inside the window -> NR
+        write_clip_csv(d / "training_res.csv", [5, 4, 3], [0.1] * 3)
+        rec = figs.recovery_epoch(str(base), str(d / "training_res.csv"), 1, 3)
+        assert rec is None
+
+
+class TestPlots:
+    def test_fig1_and_fig3_render(self, tmp_path):
+        base = tmp_path / "base.csv"
+        write_clip_csv(base, [5.0, 3.0, 2.0], [0.1, 0.3, 0.5])
+        sweep = tmp_path / "sweep"
+        d = sweep / "training_run2"
+        os.makedirs(d)
+        write_clip_csv(d / "training_res_run2.csv", [5.0, 6.0, 2.0],
+                       [0.1, 0.2, 0.5], flags_epoch=2)
+        out1 = figs.plot_fig1(str(base), str(tmp_path / "f1.png"))
+        out3 = figs.plot_fig3(str(base), str(sweep),
+                              str(tmp_path / "f3.png"))
+        assert os.path.getsize(out1) > 1000
+        assert os.path.getsize(out3) > 1000

@@ -91,10 +91,28 @@ class TestAttention:
             return jnp.sum(attn.mha_reference(q, k, v) ** 2)
 
         gref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-        # the custom bwd (used with the Pallas fwd) must match the XLA autodiff
+        # the hand-written bwd math must match XLA autodiff
         o = attn.mha_reference(q, k, v)
-        gcustom = attn._mha_bwd(False, (q, k, v), 2 * o)
+        gcustom = attn.mha_bwd_reference(q, k, v, 2 * o)
         for a, b in zip(gref, gcustom):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_pallas_bwd_kernel_matches_reference(self, causal):
+        """The flash-style Pallas backward kernel (interpret mode on CPU) vs the
+        XLA reference backward."""
+        from jax.experimental.pallas import tpu as pltpu
+        rs = np.random.RandomState(4)
+        shp = (2, 3, 13, 16)
+        q = jnp.asarray(rs.randn(*shp).astype(np.float32))
+        k = jnp.asarray(rs.randn(*shp).astype(np.float32))
+        v = jnp.asarray(rs.randn(*shp).astype(np.float32))
+        do = jnp.asarray(rs.randn(*shp).astype(np.float32))
+        want = attn.mha_bwd_reference(q, k, v, do, causal)
+        with pltpu.force_tpu_interpret_mode():
+            got = attn._mha_bwd_pallas(q, k, v, do, causal)
+        for a, b in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 

@@ -1,0 +1,210 @@
+"""Variable-length perturbation CLI.
+
+Reference: Training/clip_behavioral_finetuning/length_experiments/
+clip_train_behavior_lengths.py — one (onset epoch E, duration L) condition per
+invocation, output layout `{base}/{type}_e{E}_l{L}/training_res.csv` parsed by the
+fig4 recovery analysis. Resume semantics preserved:
+1. in-place resume by scanning the existing CSV for the last completed epoch;
+2. otherwise cross-run resume from the longest shorter-length run at the same
+   onset (find_previous_run_dir), pre-populating the CSV;
+3. `--perturb_type baseline` mode for the unperturbed trajectory.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from ..core import csvio
+from ..core.logs import setup_main_logger
+from ..train.clip_loop import run_behavioral_training
+
+
+def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
+                          current_length: int):
+    """Longest run with the same onset and smaller length (reference :188-218)."""
+    candidates = []
+    if not os.path.isdir(base_dir):
+        return None, None
+    for name in os.listdir(base_dir):
+        full_path = os.path.join(base_dir, name)
+        if not os.path.isdir(full_path):
+            continue
+        if f"e{start_epoch}_" not in name:
+            continue
+        if perturb_type in ("random_target", "label_shuffle",
+                            "uniform_images", "image_noise") \
+                and not name.startswith(perturb_type):
+            continue
+        length_val = None
+        for part in name.split("_"):
+            if part.startswith("l") and part[1:].isdigit():
+                length_val = int(part[1:])
+                break
+        if length_val is None:
+            continue
+        if length_val < current_length:
+            candidates.append((length_val, full_path))
+    if not candidates:
+        return None, None
+    best = max(candidates, key=lambda t: t[0])
+    return best[1], best[0]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="CLIP-HBA variable-length "
+                                            "perturbation run (TPU-native)")
+    p.add_argument("--model", default="clip_hba")
+    p.add_argument("--perturb_type", default="random_target",
+                   choices=["random_target", "label_shuffle", "uniform_images",
+                            "image_noise", "baseline"])
+    p.add_argument("--perturb_epoch", type=int, required=True,
+                   help="Epoch to perturb (0 for baseline)")
+    p.add_argument("--perturb_length", type=int, required=True,
+                   help="Length of perturbation (0 for baseline)")
+    p.add_argument("--perturb_distribution", default="target",
+                   choices=["normal", "target"])
+    p.add_argument("--perturb_seed", type=int, default=0)
+    p.add_argument("--output_dir", required=True,
+                   help="e.g. random_target_e2_l2 (relative to base)")
+    p.add_argument("--cuda", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--early_stopping_patience", type=int, default=20)
+    p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--baseline_dora_directory", required=True)
+    p.add_argument("--baseline_random_state_path", required=True)
+    p.add_argument("--baseline_split_indices_path", required=True)
+    p.add_argument("--output_base_directory", required=True)
+    # data/model args (the reference hardcodes relative ../Data paths)
+    p.add_argument("--csv_file", default="../Data/spose_embedding66d_rescaled_1806train.csv")
+    p.add_argument("--img_dir", default="../Data/Things1854")
+    p.add_argument("--inference_csv_file",
+                   default="../Data/spose_embedding66d_rescaled_48val_reordered.csv")
+    p.add_argument("--RDM48_triplet_dir", default="../Data/RDM48_triplet.mat")
+    p.add_argument("--backbone", default="ViT-L/14")
+    p.add_argument("--clip_weights", default=None)
+    p.add_argument("--bpe_vocab", default=None)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    config = {
+        "csv_file": args.csv_file,
+        "img_dir": args.img_dir,
+        "inference_csv_file": args.inference_csv_file,
+        "RDM48_triplet_dir": args.RDM48_triplet_dir,
+        "backbone": args.backbone,
+        "clip_weights": args.clip_weights,
+        "bpe_vocab": args.bpe_vocab,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "train_portion": 0.8,
+        "lr": args.lr,
+        "logger": None,
+        "early_stopping_patience": args.early_stopping_patience,
+        "random_seed": args.random_seed,
+        "vision_layers": 2,
+        "transformer_layers": 1,
+        "rank": 32,
+        "criterion": "mse",
+        "cuda": args.cuda,
+        "compute_dtype": args.compute_dtype,
+        "baseline_dora_directory": args.baseline_dora_directory,
+        "baseline_random_state_path": args.baseline_random_state_path,
+        "baseline_split_indices_path": args.baseline_split_indices_path,
+        "perturb_type": args.perturb_type,
+        "perturb_distribution": args.perturb_distribution,
+        "perturb_seed": args.perturb_seed,
+        "training_run": args.perturb_epoch,
+        "resume_from_epoch": max(0, args.perturb_epoch - 1),
+        "output_base_directory": args.output_base_directory,
+    }
+
+    out_dir = os.path.join(args.output_base_directory, args.output_dir)
+    config["checkpoint_path"] = os.path.join(
+        out_dir, f"model_checkpoint_{args.perturb_epoch}.pth")
+    config["training_res_path"] = os.path.join(out_dir, "training_res.csv")
+    config["dora_parameters_path"] = os.path.join(
+        out_dir, f"dora_params_{args.perturb_epoch}")
+    config["random_state_path"] = os.path.join(
+        out_dir, f"random_states_{args.perturb_epoch}")
+
+    # in-place resume scan (reference :141-160)
+    last_completed_epoch = csvio.last_completed_epoch0(
+        config["training_res_path"])
+    resume_from_existing = last_completed_epoch >= 0
+
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_main_logger(
+        os.path.join(out_dir, f"training_log_{timestamp}.txt"))
+    logger.info("=" * 80)
+    logger.info("STARTING SINGLE TRAINING RUN")
+    logger.info(f"Perturbation Type: {args.perturb_type}")
+    logger.info(f"Perturbation Epoch: {args.perturb_epoch}")
+    logger.info(f"Perturbation Length: {args.perturb_length}")
+    logger.info(f"Output Directory: {out_dir}")
+    logger.info("=" * 80)
+
+    if args.perturb_type == "baseline":
+        logger.info("Running baseline training (no perturbations)")
+        config["perturb_type"] = "baseline"
+        config["perturb_length"] = 0
+        config["training_run"] = 0
+        if resume_from_existing:
+            config["resume_from_epoch"] = last_completed_epoch + 1
+            config["previous_training_res_path"] = config["training_res_path"]
+            config["resume_random_state_path"] = config["random_state_path"]
+            config["resume_dora_parameters_path"] = \
+                config["dora_parameters_path"]
+            logger.info(f"Resuming existing baseline run from epoch "
+                        f"{config['resume_from_epoch'] + 1}")
+        else:
+            config["resume_from_epoch"] = 0
+    else:
+        config["perturb_length"] = args.perturb_length
+        if resume_from_existing:
+            config["resume_from_epoch"] = last_completed_epoch + 1
+            config["previous_training_res_path"] = config["training_res_path"]
+            config["resume_random_state_path"] = config["random_state_path"]
+            config["resume_dora_parameters_path"] = \
+                config["dora_parameters_path"]
+            logger.info(f"Resuming existing run from epoch "
+                        f"{config['resume_from_epoch'] + 1}")
+        else:
+            prev_dir, prev_length = find_previous_run_dir(
+                args.output_base_directory, args.perturb_type,
+                args.perturb_epoch, args.perturb_length)
+            if prev_dir and prev_length is not None:
+                last_epoch = max(0, args.perturb_epoch - 1) + prev_length
+                config["resume_from_epoch"] = last_epoch
+                config["previous_training_res_path"] = os.path.join(
+                    prev_dir, "training_res.csv")
+                config["resume_random_state_path"] = os.path.join(
+                    prev_dir, f"random_states_{args.perturb_epoch}")
+                config["resume_dora_parameters_path"] = os.path.join(
+                    prev_dir, f"dora_params_{args.perturb_epoch}")
+                logger.info(f"Detected previous run at '{prev_dir}' with "
+                            f"length {prev_length}; resuming from epoch "
+                            f"{last_epoch + 1}")
+            else:
+                logger.info("No previous matching run found; starting from "
+                            "baseline epoch.")
+
+    try:
+        run_behavioral_training(config)
+        logger.info("TRAINING RUN COMPLETED SUCCESSFULLY")
+        logger.info(f"Results saved to: {out_dir}")
+    except Exception as e:
+        logger.error("TRAINING RUN FAILED")
+        logger.error(f"Error: {e}")
+        raise
+
+
+if __name__ == "__main__":
+    main()

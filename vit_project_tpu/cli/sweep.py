@@ -1,0 +1,200 @@
+"""Single-epoch perturbation sweep driver.
+
+Reference: Training/clip_behavioral_finetuning/uniform_sweep/clip_train_behavior_sweep.py.
+For each epoch N in the training order: fork from the baseline's epoch N-1
+checkpoints, perturb exactly epoch N, train to early stopping, write results under
+`training_run{N}/` — continuing on per-run failure with a tally (the reference's
+64-hour 98-run sweep survived run 56 failing this way).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from collections import deque
+from datetime import datetime
+
+from ..core.logs import setup_main_logger
+from ..train.clip_loop import run_behavioral_training
+
+
+def generate_midpoint_order(start: int = 1, end: int = 98) -> list[int]:
+    """Progressive midpoint refinement: start, end, middle, then breadth-first
+    interval splitting (reference :8-52) — early sweep results cover the whole
+    epoch range coarsely, later runs fill in."""
+    if start > end:
+        return []
+    epochs = [start]
+    if start != end:
+        epochs.append(end)
+    mid = (start + end) // 2
+    if mid != start and mid != end:
+        epochs.append(mid)
+    queue = deque()
+    if mid > start + 1:
+        queue.append((start, mid))
+    if end > mid + 1:
+        queue.append((mid, end))
+    while queue:
+        left, right = queue.popleft()
+        new_mid = (left + right) // 2
+        if new_mid != left and new_mid != right:
+            epochs.append(new_mid)
+            if new_mid > left + 1:
+                queue.append((left, new_mid))
+            if right > new_mid + 1:
+                queue.append((new_mid, right))
+    return epochs
+
+
+def generate_hybrid_training_order() -> list[int]:
+    """Epochs 1-15 sequentially, then midpoint order over [16, 98]
+    (reference :55-68)."""
+    return list(range(1, 16)) + generate_midpoint_order(16, 98)
+
+
+def generate_sweep_training_order() -> list[int]:
+    """Epochs 1-40 sequentially, then every 3 epochs (reference :71-78)."""
+    return list(range(1, 41)) + list(range(41, 103, 3))
+
+
+def parse_order(spec: str) -> list[int]:
+    if spec == "midpoint":
+        return generate_midpoint_order()
+    if spec == "hybrid":
+        return generate_hybrid_training_order()
+    if spec == "sweep":
+        return generate_sweep_training_order()
+    if spec.startswith("range:"):
+        a, b = spec[len("range:"):].split("-")
+        return list(range(int(a), int(b) + 1))
+    return [int(x) for x in spec.split(",") if x.strip()]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="CLIP-HBA single-epoch "
+                                            "perturbation sweep (TPU-native)")
+    p.add_argument("--csv_file", required=True)
+    p.add_argument("--img_dir", required=True)
+    p.add_argument("--inference_csv_file", required=True)
+    p.add_argument("--RDM48_triplet_dir", required=True)
+    p.add_argument("--backbone", default="ViT-L/14")
+    p.add_argument("--clip_weights", default=None)
+    p.add_argument("--bpe_vocab", default=None)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--early_stopping_patience", type=int, default=20)
+    p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--vision_layers", type=int, default=2)
+    p.add_argument("--transformer_layers", type=int, default=1)
+    p.add_argument("--rank", type=int, default=32)
+    p.add_argument("--perturb_type", default="random_target",
+                   choices=["random_target", "label_shuffle", "uniform_images",
+                            "image_noise"])
+    p.add_argument("--perturb_length", type=int, default=1)
+    p.add_argument("--perturb_distribution", default="target",
+                   choices=["normal", "target"])
+    p.add_argument("--perturb_seed", type=int, default=42)
+    p.add_argument("--baseline_dora_directory", required=True)
+    p.add_argument("--baseline_random_state_path", required=True)
+    p.add_argument("--baseline_split_indices_path", required=True)
+    p.add_argument("--output_base_directory", required=True)
+    p.add_argument("--training_order", default="midpoint",
+                   help="midpoint | hybrid | sweep | range:A-B | "
+                        "comma-separated epochs")
+    p.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    config = {
+        "csv_file": args.csv_file,
+        "img_dir": args.img_dir,
+        "inference_csv_file": args.inference_csv_file,
+        "RDM48_triplet_dir": args.RDM48_triplet_dir,
+        "backbone": args.backbone,
+        "clip_weights": args.clip_weights,
+        "bpe_vocab": args.bpe_vocab,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "train_portion": 0.8,
+        "lr": args.lr,
+        "logger": None,
+        "early_stopping_patience": args.early_stopping_patience,
+        "random_seed": args.random_seed,
+        "vision_layers": args.vision_layers,
+        "transformer_layers": args.transformer_layers,
+        "rank": args.rank,
+        "criterion": "mse",
+        "cuda": 0,
+        "compute_dtype": args.compute_dtype,
+        "baseline_dora_directory": args.baseline_dora_directory,
+        "baseline_random_state_path": args.baseline_random_state_path,
+        "baseline_split_indices_path": args.baseline_split_indices_path,
+        "perturb_type": args.perturb_type,
+        "perturb_length": args.perturb_length,
+        "perturb_distribution": args.perturb_distribution,
+        "perturb_seed": args.perturb_seed,
+        "output_base_directory": args.output_base_directory,
+    }
+
+    main_log = os.path.join(args.output_base_directory,
+                            f"main_training_log_{timestamp}.txt")
+    logger = setup_main_logger(main_log)
+    training_order = parse_order(args.training_order)
+
+    logger.info("=" * 80)
+    logger.info("STARTING MAIN TRAINING LOOP")
+    logger.info(f"Timestamp: {timestamp}")
+    logger.info(f"Perturbation Type: {config['perturb_type']}")
+    logger.info(f"Perturbation Seed: {config['perturb_seed']}")
+    logger.info(f"Output Directory: {config['output_base_directory']}")
+    logger.info(f"Training order (first 20): {training_order[:20]}")
+    logger.info(f"Total runs: {len(training_order)}")
+    logger.info("=" * 80)
+
+    successful_runs, failed_runs, failed_run_list = 0, 0, []
+    for idx, training_run in enumerate(training_order, 1):
+        logger.info("-" * 80)
+        logger.info(f"TRAINING RUN {idx}/{len(training_order)} "
+                    f"(Epoch {training_run})")
+        run_dir = os.path.join(args.output_base_directory,
+                               f"training_run{training_run}")
+        os.makedirs(run_dir, exist_ok=True)
+        config["training_run"] = training_run
+        config["checkpoint_path"] = os.path.join(
+            run_dir, f"model_checkpoint_run{training_run}.pth")
+        config["training_res_path"] = os.path.join(
+            run_dir, f"training_res_run{training_run}.csv")
+        config["dora_parameters_path"] = os.path.join(
+            run_dir, f"dora_params_run{training_run}")
+        config["random_state_path"] = os.path.join(
+            run_dir, f"random_states_run{training_run}")
+        config["resume_from_epoch"] = training_run - 1
+        try:
+            run_behavioral_training(dict(config))
+            successful_runs += 1
+            logger.info(f"  Training run {training_run} completed successfully")
+        except Exception as e:
+            failed_runs += 1
+            failed_run_list.append(training_run)
+            logger.error(f"  Training run {training_run} FAILED: {e}")
+        logger.info(f"  Progress: {successful_runs} successful, "
+                    f"{failed_runs} failed")
+
+    logger.info("=" * 80)
+    logger.info("MAIN TRAINING LOOP COMPLETED")
+    logger.info(f"Total runs: {len(training_order)}")
+    logger.info(f"Successful: {successful_runs}")
+    logger.info(f"Failed: {failed_runs}")
+    if failed_run_list:
+        logger.info(f"Failed runs: {failed_run_list}")
+    logger.info("=" * 80)
+    return failed_run_list
+
+
+if __name__ == "__main__":
+    main()

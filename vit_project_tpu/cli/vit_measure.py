@@ -1,0 +1,181 @@
+"""ViT single-epoch perturbation effect measurement.
+
+Reference: Training/vit_training/single_epoch/measure_single_epoch_perturbation_effect.py:
+for each (perturb_epoch, perturbation_type) cell: read the baseline row, load the
+checkpoint from epoch-1 (model + optimizer + scheduler), train exactly ONE
+perturbed epoch, validate + compute THINGS-48 RSA, and emit
+delta_loss / delta_rsa rows into one CSV.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..core import csvio
+from ..core.configs import ViTTrainConfig
+from ..ckpt import vit_ckpt
+from ..data import imagenet as dimg
+from ..models import vit as vvit
+from ..perturb import injectors
+from ..train.schedules import CosineAnnealingLRWithWarmup
+from ..train.vit_loop import ViTTrainer, sgd_init
+
+
+def load_things_for_vit(things_csv: str, things_img_dir: str, size: int = 224):
+    """THINGS-48 images with the ViT val transform (Resize 256 + CenterCrop 224,
+    reference measure...effect.py:436-442). Returns (names, images_u8)."""
+    from PIL import Image
+    df = pd.read_csv(things_csv)
+    names = df["image_name"].tolist()
+    imgs = []
+    for n in names:
+        img = Image.open(os.path.join(things_img_dir, n)).convert("RGB")
+        imgs.append(np.asarray(dimg.resize_center_crop(img, size), np.uint8))
+    return names, np.stack(imgs)
+
+
+def measure_perturbation_effect(
+        perturb_epoch: int, perturbation_type: str, trainer: ViTTrainer,
+        vit_cfg, baseline_checkpoint_dir: str, baseline_df: pd.DataFrame,
+        train_loader, val_loader, things_images_u8, reference_rdm,
+        scheduler_cfg: dict, epsilon: float, shuffle_seed: int = 42,
+        logger=None):
+    log = logger.info if logger else print
+    row = baseline_df[baseline_df["epoch"] == perturb_epoch]
+    if row.empty:
+        log(f"No baseline data for epoch {perturb_epoch}")
+        return None
+    baseline_loss = float(row["val_loss"].values[0])
+    baseline_rsa = float(row["rsa_score"].values[0])
+    log(f"Measuring: {perturbation_type} @ epoch {perturb_epoch} "
+        f"(baseline loss={baseline_loss:.4f}, RSA={baseline_rsa:.4f})")
+
+    ckpt_path = os.path.join(baseline_checkpoint_dir,
+                             f"checkpoint_epoch_{perturb_epoch - 1:03d}.pth")
+    if not os.path.exists(ckpt_path):
+        log(f"Checkpoint not found: {ckpt_path}")
+        return None
+    ckpt = vit_ckpt.load_checkpoint(ckpt_path)
+    params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+    momentum_buf = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+    scheduler = CosineAnnealingLRWithWarmup(**scheduler_cfg)
+    scheduler.load_state_dict(ckpt["scheduler_state"])
+
+    # label-table perturbations wrap the dataset (reference :180-184)
+    if perturbation_type == "label_shuffle":
+        table = injectors.shuffled_label_table(train_loader.num_samples(),
+                                               shuffle_seed)
+        train_loader.label_table = train_loader.labels[table]
+    elif perturbation_type == "target_noise":
+        train_loader.label_table = injectors.random_target_table(
+            train_loader.num_samples(), 1000, shuffle_seed)
+    else:
+        train_loader.label_table = None
+
+    lr = scheduler.peek()
+    params, momentum_buf, train_loss = trainer.train_one_epoch(
+        params, momentum_buf, train_loader, perturb_epoch, lr,
+        perturbation_type=perturbation_type, epsilon=epsilon,
+        perturb_seed=shuffle_seed, logger=logger)
+    scheduler.step()
+    train_loader.label_table = None
+
+    val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
+    rsa_score, _ = trainer.compute_rsa_score(params, things_images_u8,
+                                             reference_rdm)
+    result = {
+        "perturb_epoch": perturb_epoch,
+        "perturbation_type": perturbation_type,
+        "baseline_loss": baseline_loss,
+        "baseline_rsa": baseline_rsa,
+        "perturbed_loss": val_loss,
+        "perturbed_rsa": rsa_score,
+        "delta_loss": val_loss - baseline_loss,
+        "delta_rsa": rsa_score - baseline_rsa,
+    }
+    log(f"Perturbed: loss={val_loss:.4f}, RSA={rsa_score:.4f} "
+        f"(dloss={result['delta_loss']:+.4f}, drsa={result['delta_rsa']:+.4f})")
+    return result
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Measure single-epoch perturbation "
+                                            "effects on ViT (TPU-native)")
+    p.add_argument("--baseline_checkpoint_dir", required=True)
+    p.add_argument("--baseline_metrics_csv", required=True,
+                   help="CSV with epoch,val_loss,rsa_score columns")
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--output_csv", required=True)
+    p.add_argument("--things_csv", required=True)
+    p.add_argument("--things_img_dir", required=True)
+    p.add_argument("--things_rdm_path", required=True)
+    p.add_argument("--perturbation_types", nargs="+",
+                   default=["gaussian", "uniform_gray", "label_shuffle",
+                            "target_noise"])
+    p.add_argument("--perturb_epochs", type=int, nargs="+",
+                   default=[5, 10, 15, 16, 20, 25, 30, 35, 45, 70, 98])
+    p.add_argument("--epsilon", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--total_epochs", type=int, default=100)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    import scipy.io
+    args = build_parser().parse_args(argv)
+
+    cfg = ViTTrainConfig(
+        data_path=args.data_path, batch_size=args.batch_size, lr=args.lr,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs, epochs=args.total_epochs,
+        num_workers=args.num_workers, compute_dtype=args.compute_dtype)
+    vit_cfg = vvit.VIT_B16
+    trainer = ViTTrainer(vit_cfg, cfg)
+
+    baseline_df = pd.read_csv(args.baseline_metrics_csv)
+    train_loader = dimg.ImageFolderLoader(
+        f"{args.data_path}/train", args.batch_size, train=True,
+        size=224, workers=args.num_workers, drop_last=True)
+    val_loader = dimg.ImageFolderLoader(
+        f"{args.data_path}/val", args.batch_size, train=False,
+        size=224, workers=args.num_workers)
+    _, things_images = load_things_for_vit(args.things_csv,
+                                           args.things_img_dir)
+    reference_rdm = np.asarray(
+        scipy.io.loadmat(args.things_rdm_path)["RDM48_triplet"], np.float32)
+
+    scheduler_cfg = dict(base_lr=args.lr, warmup_epochs=args.warmup_epochs,
+                         max_epochs=args.total_epochs, eta_min=0.0)
+
+    results = []
+    for perturb_epoch in args.perturb_epochs:
+        if perturb_epoch == 0:
+            continue
+        for ptype in args.perturbation_types:
+            r = measure_perturbation_effect(
+                perturb_epoch, ptype, trainer, vit_cfg,
+                args.baseline_checkpoint_dir, baseline_df, train_loader,
+                val_loader, things_images, reference_rdm, scheduler_cfg,
+                args.epsilon)
+            if r is not None:
+                results.append(r)
+
+    csvio.write_measure_csv(args.output_csv, results)
+    print(f"Saved results to {args.output_csv}")
+    print(pd.DataFrame(results).to_string(index=False))
+    return results
+
+
+if __name__ == "__main__":
+    main()

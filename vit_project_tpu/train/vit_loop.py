@@ -180,3 +180,77 @@ class ViTTrainer:
         rho, p, _ = vrsa.behavioral_rsa(jnp.asarray(emb),
                                         jnp.asarray(reference_rdm))
         return float(rho), float(p)
+
+
+def run_vit_training(cfg: ViTTrainConfig, logger=None,
+                     vit_cfg: vvit.ViTConfig | None = None) -> dict:
+    """Full ViT-B/16 ImageNet training with auto-resume (reference main,
+    train_vit_sgd.py:246-371)."""
+    from ..ckpt import vit_ckpt
+    from ..train.schedules import CosineAnnealingLRWithWarmup
+    from ..parallel import dist
+
+    log = logger.info if logger else print
+    vit_cfg = vit_cfg or vvit.ViTConfig(
+        patch=16, width=768, layers=12, heads=12,
+        image_size=cfg.image_size, num_classes=cfg.num_classes)
+
+    mesh = vmesh.make_mesh()
+    n_dev = mesh.devices.size
+    log("=" * 60)
+    log("ViT-Base ImageNet Training (SGD)")
+    log("=" * 60)
+    log(f"Devices (data mesh): {n_dev}")
+    log(f"Global batch size: {cfg.batch_size}")
+    log(f"Total epochs: {cfg.epochs}")
+    log(f"Optimizer: SGD lr={cfg.lr} momentum={cfg.momentum} "
+        f"wd={cfg.weight_decay} warmup={cfg.warmup_epochs}")
+    log(f"Output directory: {cfg.output_dir}")
+
+    trainer = ViTTrainer(vit_cfg, cfg, mesh)
+    params = vvit.init_vit_params(jax.random.PRNGKey(cfg.random_seed), vit_cfg)
+    total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"Model created. Parameters: {total / 1e6:.1f}M")
+
+    momentum_buf = sgd_init(params)
+    scheduler = CosineAnnealingLRWithWarmup(cfg.lr, cfg.warmup_epochs,
+                                            cfg.epochs)
+
+    train_loader = dimg.ImageFolderLoader(
+        f"{cfg.data_path}/train", cfg.batch_size, train=True,
+        seed=cfg.random_seed, size=cfg.image_size, workers=cfg.num_workers,
+        drop_last=True)
+    val_loader = dimg.ImageFolderLoader(
+        f"{cfg.data_path}/val", cfg.batch_size, train=False,
+        size=cfg.image_size, workers=cfg.num_workers)
+    log(f"Data loaded. Train batches: {len(train_loader)}, "
+        f"Val batches: {len(val_loader)}")
+
+    start_epoch = 0
+    latest = vit_ckpt.latest_checkpoint(cfg.output_dir)
+    if latest:
+        ckpt = vit_ckpt.load_checkpoint(latest)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        momentum_buf = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+        scheduler.load_state_dict(ckpt["scheduler_state"])
+        start_epoch = ckpt["epoch"] + 1
+        log(f"Resumed from epoch {ckpt['epoch']}")
+
+    params = vmesh.replicate(mesh, params)
+    momentum_buf = vmesh.replicate(mesh, momentum_buf)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        log(f"Epoch {epoch}/{cfg.epochs - 1}")
+        lr = scheduler.peek()
+        params, momentum_buf, train_loss = trainer.train_one_epoch(
+            params, momentum_buf, train_loader, epoch, lr, logger=logger)
+        scheduler.step()
+        val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
+        if dist.is_primary():
+            vit_ckpt.save_checkpoint(epoch, params, momentum_buf,
+                                     scheduler.state_dict(), train_loss,
+                                     val_loss, val_acc, cfg.output_dir,
+                                     logger=logger)
+    log("Training Complete!")
+    return {"params": params, "momentum_buf": momentum_buf,
+            "scheduler": scheduler}
