@@ -1,0 +1,114 @@
+"""Integration test for the sweep driver CLI: baseline -> 2-run sweep with the
+reference directory layout, plus the training-order generators."""
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from vit_project_tpu.cli import sweep as sweep_cli
+from vit_project_tpu.train import clip_loop
+
+
+class TestOrders:
+    def test_midpoint_order(self):
+        order = sweep_cli.generate_midpoint_order(1, 98)
+        assert order[:3] == [1, 98, 49]
+        assert sorted(order) == list(range(1, 99))  # covers every epoch once
+
+    def test_hybrid_and_strided(self):
+        h = sweep_cli.generate_hybrid_training_order()
+        assert h[:15] == list(range(1, 16))
+        assert set(h) == set(range(1, 99))
+        s = sweep_cli.generate_sweep_training_order()
+        assert s[:40] == list(range(1, 41))
+        assert s[40:43] == [41, 44, 47]
+
+    def test_parse_order(self):
+        assert sweep_cli.parse_order("range:3-5") == [3, 4, 5]
+        assert sweep_cli.parse_order("7,9,11") == [7, 9, 11]
+        assert sweep_cli.parse_order("midpoint")[:2] == [1, 98]
+
+
+@pytest.mark.slow
+class TestSweepDriver:
+    def test_two_run_sweep(self, tmp_path):
+        # --- build synthetic THINGS + baseline artifacts
+        from PIL import Image
+        import pandas as pd
+        import scipy.io
+        work = tmp_path
+        img_dir = work / "images"
+        os.makedirs(img_dir)
+        rs = np.random.RandomState(0)
+        names = []
+        for i in range(60):
+            n = f"t{i:03d}.png"
+            Image.fromarray(rs.randint(0, 255, (48, 48, 3),
+                                       dtype=np.uint8)).save(img_dir / n)
+            names.append(n)
+        df = pd.DataFrame({"image_name": names})
+        for j in range(66):
+            df[f"d{j}"] = (rs.rand(60) * 2).astype(np.float32)
+        df.to_csv(work / "train.csv")
+        inf = pd.DataFrame({"image_name": names[:48]})
+        for j in range(66):
+            inf[f"d{j}"] = (rs.rand(48) * 2).astype(np.float32)
+        inf.to_csv(work / "val.csv")
+        rdm = rs.rand(48, 48)
+        rdm = (rdm + rdm.T) / 2
+        np.fill_diagonal(rdm, 0)
+        scipy.io.savemat(work / "rdm.mat", {"RDM48_triplet": rdm})
+
+        base = work / "baseline"
+        clip_loop.run_behavioral_training({
+            "csv_file": str(work / "train.csv"), "img_dir": str(img_dir),
+            "inference_csv_file": str(work / "val.csv"),
+            "RDM48_triplet_dir": str(work / "rdm.mat"),
+            "backbone": "test-tiny", "epochs": 3, "batch_size": 16,
+            "train_portion": 0.8, "lr": 3e-4, "logger": None,
+            "early_stopping_patience": 20,
+            "checkpoint_path": str(base / "m.ckpt"),
+            "training_res_path": str(base / "training_res.csv"),
+            "dora_parameters_path": str(base / "dora_params"),
+            "random_state_path": str(base / "random_states"),
+            "random_seed": 1, "vision_layers": 1, "transformer_layers": 1,
+            "rank": 4, "criterion": "mse", "cuda": 0,
+            "perturb_type": "baseline", "perturb_length": 0,
+            "perturb_distribution": "target", "perturb_seed": 42,
+            "training_run": 0, "compute_dtype": "float32"})
+
+        # --- drive the sweep CLI over runs {2, 3}
+        out_base = str(work / "sweep_out")
+        failed = sweep_cli.main([
+            "--csv_file", str(work / "train.csv"),
+            "--img_dir", str(img_dir),
+            "--inference_csv_file", str(work / "val.csv"),
+            "--RDM48_triplet_dir", str(work / "rdm.mat"),
+            "--backbone", "test-tiny", "--epochs", "3", "--batch_size", "16",
+            "--random_seed", "1", "--vision_layers", "1",
+            "--transformer_layers", "1", "--rank", "4",
+            "--perturb_type", "random_target", "--perturb_seed", "7",
+            "--baseline_dora_directory", str(base / "dora_params"),
+            "--baseline_random_state_path", str(base / "random_states"),
+            "--baseline_split_indices_path",
+            str(base / "random_states" / "dataset_split_indices.pth"),
+            "--output_base_directory", out_base,
+            "--training_order", "2,3", "--compute_dtype", "float32"])
+        assert failed == []
+
+        # reference directory layout: training_run{N}/training_res_run{N}.csv
+        for run in (2, 3):
+            p = os.path.join(out_base, f"training_run{run}",
+                             f"training_res_run{run}.csv")
+            assert os.path.exists(p), p
+            rows = list(csv.reader(open(p)))
+            # forked at run-1: rows start at epoch `run`
+            assert rows[1][0] == str(run)
+            assert rows[1][5] == "True"  # used_random_targets at epoch `run`
+            assert os.path.isdir(os.path.join(
+                out_base, f"training_run{run}", f"dora_params_run{run}"))
+        # a main_training_log was written
+        logs = [f for f in os.listdir(out_base)
+                if f.startswith("main_training_log_")]
+        assert logs

@@ -1,0 +1,149 @@
+"""Integration tests for the ViT ImageNet path: training + auto-resume, per-epoch
+RSA evaluation, and the single-epoch perturbation measurement grid — all on the
+8-device CPU data mesh with the test-tiny backbone and synthetic data."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vit_project_tpu.core.configs import ViTTrainConfig
+from vit_project_tpu.models import vit as vvit
+from vit_project_tpu.train.vit_loop import run_vit_training
+
+
+@pytest.fixture(scope="module")
+def imagenet_fixture(tmp_path_factory):
+    """Tiny ImageFolder: 3 classes x 16 train + 8 val images, 48x48 px."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("imagenet")
+    rs = np.random.RandomState(0)
+    for split, n in (("train", 16), ("val", 8)):
+        for cls in ("apple", "banana", "cherry"):
+            d = root / split / cls
+            os.makedirs(d)
+            for i in range(n):
+                arr = rs.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def things48_fixture(tmp_path_factory):
+    from PIL import Image
+    import scipy.io
+    root = tmp_path_factory.mktemp("things48")
+    img_dir = root / "imgs"
+    os.makedirs(img_dir)
+    rs = np.random.RandomState(1)
+    names = []
+    for i in range(48):
+        n = f"v{i:02d}.png"
+        Image.fromarray(rs.randint(0, 255, (48, 48, 3),
+                                   dtype=np.uint8)).save(img_dir / n)
+        names.append(n)
+    pd.DataFrame({"image_name": names}).to_csv(root / "things.csv",
+                                               index=False)
+    rdm = rs.rand(48, 48)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+    scipy.io.savemat(root / "rdm.mat", {"RDM48_triplet": rdm})
+    return {"things_csv": str(root / "things.csv"),
+            "things_img_dir": str(img_dir),
+            "things_rdm_path": str(root / "rdm.mat")}
+
+
+TINY = vvit.ViTConfig(patch=8, width=32, layers=2, heads=2, image_size=32,
+                      num_classes=3)
+
+
+def tiny_cfg(data_path, out, epochs=2):
+    return ViTTrainConfig(data_path=data_path, output_dir=out, batch_size=8,
+                          epochs=epochs, lr=0.01, warmup_epochs=1,
+                          num_workers=2, num_classes=3, image_size=32,
+                          compute_dtype="float32", random_seed=0)
+
+
+class TestViTTraining:
+    def test_train_and_autoresume(self, imagenet_fixture, tmp_path):
+        out = str(tmp_path / "run")
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=2),
+                         vit_cfg=TINY)
+        csv_path = os.path.join(out, "training_metrics.csv")
+        df = pd.read_csv(csv_path)
+        assert list(df["epoch"]) == [0, 1]
+        assert np.isfinite(df["train_loss"]).all()
+        assert (df["val_acc"] >= 0).all() and (df["val_acc"] <= 100).all()
+        for e in (0, 1):
+            assert os.path.exists(
+                os.path.join(out, f"checkpoint_epoch_{e:03d}.pth"))
+        assert os.path.exists(os.path.join(out, "checkpoint_latest.pth"))
+
+        # auto-resume: bump epochs to 3 -> only epoch 2 runs and appends
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=3),
+                         vit_cfg=TINY)
+        df2 = pd.read_csv(csv_path)
+        assert list(df2["epoch"]) == [0, 1, 2]
+        # rows 0-1 unchanged by the resume
+        pd.testing.assert_frame_equal(df2.iloc[:2], df)
+
+    def test_rsa_eval_cli(self, imagenet_fixture, things48_fixture, tmp_path):
+        from vit_project_tpu.cli import vit_rsa_eval
+        out = str(tmp_path / "run2")
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=2),
+                         vit_cfg=TINY)
+        out_csv = str(tmp_path / "rsa_results.csv")
+        # register tiny backbone for the CLI
+        vvit.VIT_CONFIGS["test-tiny-3"] = TINY
+        df = vit_rsa_eval.main([
+            "--checkpoint_dir", out, "--output_csv", out_csv,
+            "--backbone", "test-tiny-3", "--compute_dtype", "float32",
+            "--things_csv", things48_fixture["things_csv"],
+            "--things_img_dir", things48_fixture["things_img_dir"],
+            "--things_rdm_path", things48_fixture["things_rdm_path"]])
+        got = pd.read_csv(out_csv)
+        assert list(got.columns) == ["checkpoint", "epoch", "train_loss",
+                                     "val_loss", "val_acc", "rsa_score"]
+        assert len(got) == 2
+        assert got["rsa_score"].between(-1, 1).all()
+
+    def test_measurement_grid(self, imagenet_fixture, things48_fixture,
+                              tmp_path):
+        from vit_project_tpu.cli import vit_measure
+        out = str(tmp_path / "run3")
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=2),
+                         vit_cfg=TINY)
+        # enriched baseline CSV with rsa_score for epoch 1
+        met = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        met["rsa_score"] = [0.1, 0.2]
+        baseline_csv = str(tmp_path / "rsa_baseline.csv")
+        met.to_csv(baseline_csv, index=False)
+
+        vvit.VIT_CONFIGS["test-tiny-3"] = TINY
+        out_csv = str(tmp_path / "perturbation_effects.csv")
+        results = vit_measure.main([
+            "--baseline_checkpoint_dir", out,
+            "--baseline_metrics_csv", baseline_csv,
+            "--data_path", imagenet_fixture,
+            "--output_csv", out_csv,
+            "--things_csv", things48_fixture["things_csv"],
+            "--things_img_dir", things48_fixture["things_img_dir"],
+            "--things_rdm_path", things48_fixture["things_rdm_path"],
+            "--perturbation_types", "gaussian", "label_shuffle",
+            "--perturb_epochs", "1",
+            "--batch_size", "8", "--num_workers", "2",
+            "--backbone", "test-tiny-3", "--compute_dtype", "float32",
+            "--total_epochs", "3", "--warmup_epochs", "1", "--lr", "0.01"])
+        df = pd.read_csv(out_csv)
+        assert list(df.columns) == [
+            "perturb_epoch", "perturbation_type", "baseline_loss",
+            "baseline_rsa", "perturbed_loss", "perturbed_rsa", "delta_loss",
+            "delta_rsa"]
+        assert set(df["perturbation_type"]) == {"gaussian", "label_shuffle"}
+        assert np.allclose(df["delta_loss"],
+                           df["perturbed_loss"] - df["baseline_loss"])
+        # a missing checkpoint epoch is skipped, not fatal
+        r = vit_measure.measure_perturbation_effect(
+            99, "gaussian", None, None, out,
+            pd.read_csv(baseline_csv), None, None, None, None, {}, 0.1)
+        assert r is None

@@ -118,6 +118,29 @@ def sweep_deltas(baseline_csv: str, sweep_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def perturbation_type_deltas(baseline_csv: str, type_dirs: dict,
+                             epochs: list[int]) -> pd.DataFrame:
+    """fig2 (CLIP side): delta test loss / delta RSA per perturbation type at
+    selected epochs. `type_dirs` maps perturbation-type name -> sweep directory
+    (one sweep per type, reference fig2 compares epochs [5,15,25,35,45,70,98]
+    across the four types)."""
+    rows = []
+    for ptype, sweep_dir in type_dirs.items():
+        for e in epochs:
+            csv_path = sweep_run_csv(sweep_dir, e)
+            if not os.path.exists(csv_path):
+                continue
+            d = compute_deltas(baseline_csv, csv_path, e)
+            if d is not None:
+                rows.append({"perturbation_type": ptype, **d})
+    return pd.DataFrame(rows)
+
+
+def vit_type_deltas(perturbation_effects_csv: str) -> pd.DataFrame:
+    """fig2 (ViT side): read the measurement CSV directly."""
+    return pd.read_csv(perturbation_effects_csv)
+
+
 # -- fig4: recovery ----------------------------------------------------------
 
 def recovery_epoch(baseline_csv: str, run_csv: str, onset1: int, length: int,
@@ -186,6 +209,57 @@ def plot_fig1(clip_csv: str, out_png: str, vit_csv: str | None = None):
     return out_png
 
 
+def plot_fig2(baseline_csv: str, type_dirs: dict, epochs: list[int],
+              out_png: str, vit_effects_csv: str | None = None):
+    """Grouped delta bars per perturbation type at selected epochs (CLIP),
+    optionally alongside the ViT measurement deltas."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    df = perturbation_type_deltas(baseline_csv, type_dirs, epochs)
+    nrows = 2
+    ncols = 2 if vit_effects_csv else 1
+    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 7),
+                             squeeze=False)
+    types = sorted(df["perturbation_type"].unique()) if not df.empty else []
+    width = 0.8 / max(len(types), 1)
+    for row, metric in enumerate(("delta_loss", "delta_rsa")):
+        ax = axes[row][0]
+        for i, t in enumerate(types):
+            sub = df[df["perturbation_type"] == t].set_index("epoch")
+            xs = [j + i * width for j, e in enumerate(epochs)
+                  if e in sub.index]
+            ys = [sub.loc[e, metric] for e in epochs if e in sub.index]
+            ax.bar(xs, ys, width=width, label=t)
+        ax.set_xticks(range(len(epochs)))
+        ax.set_xticklabels(epochs)
+        ax.set_ylabel(metric)
+        ax.legend(fontsize=7)
+        ax.set_title("CLIP-HBA" if row == 0 else "")
+    if vit_effects_csv:
+        vdf = vit_type_deltas(vit_effects_csv)
+        vtypes = sorted(vdf["perturbation_type"].unique())
+        vepochs = sorted(vdf["perturb_epoch"].unique())
+        vw = 0.8 / max(len(vtypes), 1)
+        for row, metric in enumerate(("delta_loss", "delta_rsa")):
+            ax = axes[row][1]
+            for i, t in enumerate(vtypes):
+                sub = vdf[vdf["perturbation_type"] == t].set_index(
+                    "perturb_epoch")
+                xs = [j + i * vw for j, e in enumerate(vepochs)
+                      if e in sub.index]
+                ys = [sub.loc[e, metric] for e in vepochs if e in sub.index]
+                ax.bar(xs, ys, width=vw, label=t)
+            ax.set_xticks(range(len(vepochs)))
+            ax.set_xticklabels(vepochs)
+            ax.set_ylabel(metric)
+            ax.legend(fontsize=7)
+            ax.set_title("ViT" if row == 0 else "")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    return out_png
+
+
 def plot_fig3(baseline_csv: str, sweep_dir: str, out_png: str):
     import matplotlib
     matplotlib.use("Agg")
@@ -244,6 +318,14 @@ def main(argv=None):
     f1.add_argument("--clip_csv", required=True)
     f1.add_argument("--vit_csv")
     f1.add_argument("--out", required=True)
+    f2 = sub.add_parser("fig2")
+    f2.add_argument("--baseline_csv", required=True)
+    f2.add_argument("--type_dirs", nargs="+", required=True,
+                    help="perturbation_type=sweep_dir pairs")
+    f2.add_argument("--epochs", type=int, nargs="+",
+                    default=[5, 15, 25, 35, 45, 70, 98])
+    f2.add_argument("--vit_effects_csv")
+    f2.add_argument("--out", required=True)
     f3 = sub.add_parser("fig3")
     f3.add_argument("--baseline_csv", required=True)
     f3.add_argument("--sweep_dir", required=True)
@@ -256,6 +338,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.cmd == "fig1":
         print(plot_fig1(args.clip_csv, args.out, args.vit_csv))
+    elif args.cmd == "fig2":
+        type_dirs = dict(kv.split("=", 1) for kv in args.type_dirs)
+        print(plot_fig2(args.baseline_csv, type_dirs, args.epochs, args.out,
+                        args.vit_effects_csv))
     elif args.cmd == "fig3":
         print(plot_fig3(args.baseline_csv, args.sweep_dir, args.out))
     elif args.cmd == "fig4":

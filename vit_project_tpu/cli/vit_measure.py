@@ -67,13 +67,14 @@ def measure_perturbation_effect(
     scheduler.load_state_dict(ckpt["scheduler_state"])
 
     # label-table perturbations wrap the dataset (reference :180-184)
+    num_classes = trainer.cfg.num_classes
     if perturbation_type == "label_shuffle":
         table = injectors.shuffled_label_table(train_loader.num_samples(),
                                                shuffle_seed)
         train_loader.label_table = train_loader.labels[table]
     elif perturbation_type == "target_noise":
         train_loader.label_table = injectors.random_target_table(
-            train_loader.num_samples(), 1000, shuffle_seed)
+            train_loader.num_samples(), num_classes, shuffle_seed)
     else:
         train_loader.label_table = None
 
@@ -128,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--total_epochs", type=int, default=100)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--backbone", default="vit_base_patch16_224",
+                   help="model config name (see models.vit.VIT_CONFIGS)")
     return p
 
 
@@ -135,23 +138,26 @@ def main(argv=None):
     import scipy.io
     args = build_parser().parse_args(argv)
 
+    vit_cfg = vvit.VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(
         data_path=args.data_path, batch_size=args.batch_size, lr=args.lr,
         momentum=args.momentum, weight_decay=args.weight_decay,
         warmup_epochs=args.warmup_epochs, epochs=args.total_epochs,
-        num_workers=args.num_workers, compute_dtype=args.compute_dtype)
-    vit_cfg = vvit.VIT_B16
+        num_workers=args.num_workers, compute_dtype=args.compute_dtype,
+        image_size=vit_cfg.image_size,
+        num_classes=vit_cfg.num_classes or 1000)
     trainer = ViTTrainer(vit_cfg, cfg)
 
     baseline_df = pd.read_csv(args.baseline_metrics_csv)
     train_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/train", args.batch_size, train=True,
-        size=224, workers=args.num_workers, drop_last=True)
+        size=vit_cfg.image_size, workers=args.num_workers, drop_last=True)
     val_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/val", args.batch_size, train=False,
-        size=224, workers=args.num_workers)
+        size=vit_cfg.image_size, workers=args.num_workers)
     _, things_images = load_things_for_vit(args.things_csv,
-                                           args.things_img_dir)
+                                           args.things_img_dir,
+                                           size=vit_cfg.image_size)
     reference_rdm = np.asarray(
         scipy.io.loadmat(args.things_rdm_path)["RDM48_triplet"], np.float32)
 

@@ -32,19 +32,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--backbone", default="vit_base_patch16_224",
+                   help="model config name (see models.vit.VIT_CONFIGS)")
     return p
 
 
 def main(argv=None):
+    from ..models.vit import VIT_CONFIGS
     args = build_parser().parse_args(argv)
     dist.setup_distributed()
+    vit_cfg = VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(
         data_path=args.data_path, output_dir=args.output_dir,
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         momentum=args.momentum, weight_decay=args.weight_decay,
         num_workers=args.num_workers, warmup_epochs=args.warmup_epochs,
-        random_seed=args.random_seed, compute_dtype=args.compute_dtype)
-    run_vit_training(cfg)
+        random_seed=args.random_seed, compute_dtype=args.compute_dtype,
+        image_size=vit_cfg.image_size,
+        num_classes=vit_cfg.num_classes or 1000)
+    run_vit_training(cfg, vit_cfg=vit_cfg)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,18 @@ class ViTConfig:
 
 
 VIT_B16 = ViTConfig(patch=16, width=768, layers=12, heads=12, num_classes=1000)
+
+# name registry for CLI surfaces (timm-style names; reference uses
+# timm.create_model('vit_base_patch16_224'), train_vit_sgd.py:283)
+VIT_CONFIGS = {
+    "vit_base_patch16_224": VIT_B16,
+    "vit_small_patch16_224": ViTConfig(patch=16, width=384, layers=12, heads=6,
+                                       num_classes=1000),
+    "vit_large_patch16_224": ViTConfig(patch=16, width=1024, layers=24,
+                                       heads=16, num_classes=1000),
+    "test-tiny": ViTConfig(patch=8, width=32, layers=2, heads=2,
+                           image_size=32, num_classes=10),
+}
 CLIP_VIT_L14_VISUAL = ViTConfig(patch=14, width=1024, layers=24, heads=16,
                                 pre_norm=True, patch_bias=False,
                                 quick_gelu=True, out_dim=768)

@@ -56,8 +56,18 @@ class ClipHBATrainer:
                  adapter_cfg: dict, static: dict, prompt_tokens: np.ndarray,
                  lr: float, compute_dtype=jnp.bfloat16,
                  perturb_distribution: str = "target",
-                 dist_mean: float = 0.0, dist_std: float = 1.0):
+                 dist_mean: float = 0.0, dist_std: float = 1.0, mesh=None):
+        """`mesh` (a ('data',) jax Mesh) enables data-parallel batches — the
+        TPU-native equivalent of the reference's cuda==-1 nn.DataParallel wrap
+        (run_behavioral_training :1174-1176); partial batches are padded to the
+        device count and masked out of the loss."""
+        from ..parallel import mesh as vmesh
         self.cfg = clip_cfg
+        self.mesh = mesh
+        self.n_dev = mesh.devices.size if mesh is not None else 1
+        if mesh is not None:
+            params = vmesh.replicate(mesh, params)
+            static = vmesh.replicate(mesh, static)
         self.params = params
         self.acfg = adapter_cfg
         self.static = static
@@ -72,6 +82,32 @@ class ClipHBATrainer:
     def init_opt_state(self, trainable):
         return self.optimizer.init(trainable)
 
+    def prepare_state(self, tree):
+        """Replicate trainable/optimizer state onto the mesh (no-op without)."""
+        if self.mesh is None:
+            return tree
+        from ..parallel import mesh as vmesh
+        return vmesh.replicate(self.mesh, tree)
+
+    def _prep_batch(self, images_u8, targets=None):
+        """Host batch -> device batch (+ valid mask), padded to the device
+        count when data-parallel."""
+        from ..parallel import mesh as vmesh
+        n = len(images_u8)
+        if self.mesh is None:
+            valid = jnp.ones(n, jnp.float32)
+            if targets is None:
+                return jnp.asarray(images_u8), None, valid
+            return jnp.asarray(images_u8), jnp.asarray(targets), valid
+        tree = (np.asarray(images_u8),) if targets is None else (
+            np.asarray(images_u8), np.asarray(targets))
+        tree, real = vmesh.pad_to_multiple(tree, self.n_dev)
+        valid = (np.arange(len(tree[0])) < real).astype(np.float32)
+        sharded = vmesh.shard_batch(self.mesh, tree + (valid,))
+        if targets is None:
+            return sharded[0], None, sharded[1]
+        return sharded[0], sharded[1], sharded[2]
+
     # -- jitted steps -------------------------------------------------------
 
     def _train_step(self, perturb_type: str):
@@ -82,25 +118,26 @@ class ClipHBATrainer:
             dist_kind = self.perturb_distribution
             dmean, dstd = self.dist_mean, self.dist_std
 
-            def loss_fn(trainable, params, static, images, targets,
+            def loss_fn(trainable, params, static, images, targets, valid,
                         dropout_key):
                 ad = adora.assemble(trainable, static)
                 preds = vclip.clip_hba_forward(
                     params, images, prompts, cfg, adapters=ad,
                     adapter_cfg=acfg, dropout_key=dropout_key,
                     deterministic=False, compute_dtype=cdt)
-                loss = jnp.mean((preds - targets) ** 2)
+                row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
+                loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
                 return loss, preds
 
             def step(trainable, opt_state, params, static, images_u8,
-                     targets, perturb_key, dropout_key):
+                     targets, valid, perturb_key, dropout_key):
                 images = dthings.normalize_uint8(images_u8)
                 images, targets = injectors.apply_clip_perturbation(
                     perturb_type, perturb_key, images, targets,
                     distribution=dist_kind, mean=dmean, std=dstd)
                 (loss, preds), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(trainable, params, static, images,
-                                           targets, dropout_key)
+                                           targets, valid, dropout_key)
                 # NaN guard (reference skips the batch, ref :929-998)
                 ok = (jnp.isfinite(loss)
                       & jnp.all(jnp.isfinite(targets))
@@ -120,15 +157,17 @@ class ClipHBATrainer:
         cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
             self.compute_dtype
 
-        def step(trainable, params, static, images_u8, targets):
+        def step(trainable, params, static, images_u8, targets, valid):
             images = dthings.normalize_uint8(images_u8)
             ad = adora.assemble(trainable, static)
             preds = vclip.clip_hba_forward(params, images, prompts, cfg,
                                            adapters=ad, adapter_cfg=acfg,
                                            deterministic=True,
                                            compute_dtype=cdt)
-            # dataset-weighted mean MSE (reference evaluate_model :584-602)
-            return jnp.mean((preds - targets) ** 2) * images.shape[0]
+            # dataset-weighted MSE sum (reference evaluate_model :584-602
+            # accumulates loss * batch_size and divides by len(dataset))
+            row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
+            return jnp.sum(row_mse * valid)
 
         return jax.jit(step)
 
@@ -153,18 +192,19 @@ class ClipHBATrainer:
                  batch_size: int) -> float:
         total, n = 0.0, len(images_u8)
         for s in range(0, n, batch_size):
-            total += float(self._eval_step(
-                trainable, self.params, self.static,
-                jnp.asarray(images_u8[s:s + batch_size]),
-                jnp.asarray(targets[s:s + batch_size])))
+            bi, bt, valid = self._prep_batch(images_u8[s:s + batch_size],
+                                             targets[s:s + batch_size])
+            total += float(self._eval_step(trainable, self.params, self.static,
+                                           bi, bt, valid))
         return total / n
 
     def behavioral_rsa(self, trainable, inference_images_u8: np.ndarray,
                        reference_rdm: np.ndarray):
         """One device call: 48-image inference + RDM + Spearman (reference
         behavioral_RSA :605-654 runs this on host numpy/scipy)."""
-        emb = self._infer_step(trainable, self.params, self.static,
-                               jnp.asarray(inference_images_u8))
+        n = len(inference_images_u8)
+        bi, _, _ = self._prep_batch(inference_images_u8)
+        emb = self._infer_step(trainable, self.params, self.static, bi)[:n]
         rho, p, model_rdm = vrsa.behavioral_rsa(emb, jnp.asarray(reference_rdm))
         return float(rho), float(p), np.asarray(model_rdm), np.asarray(emb)
 
@@ -211,14 +251,14 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         step = trainer._train_step(kind)
         total_loss, counted = 0.0, 0
         for batch_idx, idx in enumerate(shuffler.batches(epoch)):
-            images_u8 = jnp.asarray(train_images[idx])
-            targets = jnp.asarray(train_targets[idx])
+            images_u8, targets, valid = trainer._prep_batch(
+                train_images[idx], train_targets[idx])
             pkey = batch_perturb_key(perturb_seed, training_run, batch_idx)
             dkey = jax.random.fold_in(
                 jax.random.fold_in(dropout_root, epoch), batch_idx)
             trainable, opt_state, loss, ok = step(
                 trainable, opt_state, trainer.params, trainer.static,
-                images_u8, targets, pkey, dkey)
+                images_u8, targets, valid, pkey, dkey)
             if bool(ok):
                 total_loss += float(loss) * len(idx)
                 counted += len(idx)
@@ -369,12 +409,21 @@ def run_behavioral_training(config) -> dict:
     else:
         logger.info("Using original DoRA parameters from model initialization")
 
+    # data-parallel over all local devices when more than one is present —
+    # the reference's cuda==-1 DataParallel path (ref :1174-1176)
+    mesh = None
+    if jax.device_count() > 1:
+        from ..parallel import mesh as vmesh
+        mesh = vmesh.make_mesh()
+        logger.info(f"Using {mesh.devices.size} devices (data-parallel mesh)")
+
     trainer = ClipHBATrainer(
         clip_cfg, params, acfg, static, prompts, lr=cfg.lr,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
         perturb_distribution=cfg.perturb_distribution,
-        dist_mean=mean, dist_std=std)
+        dist_mean=mean, dist_std=std, mesh=mesh)
+    trainable = trainer.prepare_state(trainable)
     opt_state = trainer.init_opt_state(trainable)
 
     # random-state restore (ref :1184-1201)
@@ -385,8 +434,8 @@ def run_behavioral_training(config) -> dict:
             state = clip_ckpt.load_random_states(prior, cfg.resume_from_epoch,
                                                  logger)
             if state is not None:
-                opt_state = jax.tree_util.tree_map(jnp.asarray,
-                                                   state["optimizer_state"])
+                opt_state = trainer.prepare_state(jax.tree_util.tree_map(
+                    jnp.asarray, state["optimizer_state"]))
                 data_seed = state["data_seed"]
                 logger.info(f"Successfully restored all random states from "
                             f"epoch {cfg.resume_from_epoch}")
