@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--backbone", default="vit_base_patch16_224",
                    help="model config name (see models.vit.VIT_CONFIGS)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the first epoch here")
     return p
 
 
@@ -49,7 +51,8 @@ def main(argv=None):
         num_workers=args.num_workers, warmup_epochs=args.warmup_epochs,
         random_seed=args.random_seed, compute_dtype=args.compute_dtype,
         image_size=vit_cfg.image_size,
-        num_classes=vit_cfg.num_classes or 1000)
+        num_classes=vit_cfg.num_classes or 1000,
+        profile_dir=args.profile_dir)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

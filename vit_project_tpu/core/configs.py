@@ -112,6 +112,7 @@ class ViTTrainConfig:
     random_seed: int = 0
     compute_dtype: str = "bfloat16"  # AMP-equivalent; bf16 needs no GradScaler
     image_size: int = 224
+    profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

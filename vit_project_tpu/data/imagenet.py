@@ -113,7 +113,8 @@ class ImageFolderLoader:
     def __init__(self, root: str, batch_size: int, *, train: bool,
                  seed: int = 0, size: int = 224, workers: int = 16,
                  prefetch: int = 4, drop_last: bool = False,
-                 label_table: np.ndarray | None = None):
+                 label_table: np.ndarray | None = None,
+                 use_native: bool = False):
         self.paths, self.labels, self.classes = scan_image_folder(root)
         self.batch_size = batch_size
         self.train = train
@@ -125,6 +126,15 @@ class ImageFolderLoader:
         # label_table: index-table label perturbation (ShuffledLabelsDataset /
         # TargetNoiseDataset semantics — measure...effect.py:57-93)
         self.label_table = label_table
+        # use_native: decode+augment through the C++ core (native/fastimage.cpp)
+        # instead of PIL. Same (seed, epoch, index) determinism contract, but a
+        # different RNG/filter implementation — a run must not mix decoders.
+        if use_native:
+            from . import fastimage
+            if not fastimage.available():
+                raise RuntimeError("use_native=True but libfastimage.so is not "
+                                   "built (make -C native)")
+        self.use_native = use_native
 
     def __len__(self):
         n = len(self.paths)
@@ -151,6 +161,24 @@ class ImageFolderLoader:
         stop = threading.Event()
 
         def produce():
+            if self.use_native:
+                from . import fastimage as fim
+                mode = fim.MODE_RRC_FLIP if self.train else \
+                    fim.MODE_CENTER_CROP
+                for s in range(0, end, self.batch_size):
+                    if stop.is_set():
+                        return
+                    idx = order[s:s + self.batch_size]
+                    seeds = [(hash((self.seed, epoch, int(i)))
+                              & 0xFFFFFFFFFFFFFFFF) for i in idx]
+                    imgs = fim.transform_batch(
+                        [self.paths[i] for i in idx], mode, self.size,
+                        self.size, seeds, threads=self.workers)
+                    lbls = np.asarray([self._label(int(i)) for i in idx],
+                                      np.int32)
+                    q.put((imgs, lbls))
+                q.put(None)
+                return
             with ThreadPoolExecutor(self.workers) as ex:
                 for s in range(0, end, self.batch_size):
                     if stop.is_set():

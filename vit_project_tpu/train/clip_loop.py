@@ -248,6 +248,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             log(f"Perturbation seed: {perturb_seed}")
             log("=" * 80)
 
+        from ..core.profiling import EpochTimer
+        timer = EpochTimer()
         step = trainer._train_step(kind)
         total_loss, counted = 0.0, 0
         for batch_idx, idx in enumerate(shuffler.batches(epoch)):
@@ -268,10 +270,11 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         # reference divides by the full dataset size regardless of skips
         avg_train_loss = total_loss / n_train
 
+        train_timing = timer.finish(images=n_train)
         avg_test_loss = trainer.evaluate(trainable, test_images, test_targets,
                                          batch_size)
         log(f"Epoch {epoch + 1}: Training Loss: {avg_train_loss:.4f}, "
-            f"Validation Loss: {avg_test_loss:.4f}")
+            f"Validation Loss: {avg_test_loss:.4f} [{train_timing}]")
 
         rho, p_value, _, emb = trainer.behavioral_rsa(
             trainable, inference_images, reference_rdm)

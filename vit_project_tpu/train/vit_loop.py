@@ -140,9 +140,11 @@ class ViTTrainer:
             total_loss += float(loss)
             num_batches += 1
         avg_loss = total_loss / max(num_batches, 1)
-        log(f"Epoch {epoch} training completed in "
-            f"{(time.time() - t0) / 60:.2f} minutes. "
-            f"Avg Train Loss: {avg_loss:.4f}")
+        n_images = num_batches * loader.batch_size
+        dt = time.time() - t0
+        log(f"Epoch {epoch} training completed in {dt / 60:.2f} minutes. "
+            f"Avg Train Loss: {avg_loss:.4f} "
+            f"[images_per_sec={n_images / max(dt, 1e-9):.1f}]")
         return params, momentum_buf, avg_loss
 
     def validate(self, params, loader, logger=None) -> tuple[float, float]:
@@ -239,11 +241,13 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     params = vmesh.replicate(mesh, params)
     momentum_buf = vmesh.replicate(mesh, momentum_buf)
 
+    from ..core.profiling import trace
     for epoch in range(start_epoch, cfg.epochs):
         log(f"Epoch {epoch}/{cfg.epochs - 1}")
         lr = scheduler.peek()
-        params, momentum_buf, train_loss = trainer.train_one_epoch(
-            params, momentum_buf, train_loader, epoch, lr, logger=logger)
+        with trace(cfg.profile_dir if epoch == start_epoch else None):
+            params, momentum_buf, train_loss = trainer.train_one_epoch(
+                params, momentum_buf, train_loader, epoch, lr, logger=logger)
         scheduler.step()
         val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
         if dist.is_primary():
