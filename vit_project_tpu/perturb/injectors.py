@@ -37,8 +37,18 @@ def random_targets(key: jax.Array, shape, distribution: str, mean: float,
     return g
 
 
-def shuffle_targets(key: jax.Array, targets: jax.Array) -> jax.Array:
-    perm = jax.random.permutation(key, targets.shape[0])
+def shuffle_targets(key: jax.Array, targets: jax.Array,
+                    valid: jax.Array | None = None) -> jax.Array:
+    """Permute the batch's target rows. With a `valid` mask (padded batches),
+    only valid rows participate: pad rows sort last so each valid row receives
+    a uniformly-random valid row's target (argsort of iid uniforms is a uniform
+    permutation, matching the reference's torch.randperm semantics)."""
+    if valid is None:
+        perm = jax.random.permutation(key, targets.shape[0])
+        return targets[perm]
+    r = jax.random.uniform(key, (targets.shape[0],))
+    r = jnp.where(valid > 0, r, 2.0)
+    perm = jnp.argsort(r)
     return targets[perm]
 
 
@@ -54,13 +64,14 @@ def image_noise(key: jax.Array, images: jax.Array, mean: float,
 def apply_clip_perturbation(perturb_type: str, key: jax.Array,
                             images: jax.Array, targets: jax.Array, *,
                             distribution: str = "target", mean: float = 0.0,
-                            std: float = 1.0):
+                            std: float = 1.0,
+                            valid: jax.Array | None = None):
     """Dispatch (static perturb_type — each epoch's step is compiled per kind)."""
     if perturb_type == "random_target":
         return images, random_targets(key, targets.shape, distribution,
                                       mean, std)
     if perturb_type == "label_shuffle":
-        return images, shuffle_targets(key, targets)
+        return images, shuffle_targets(key, targets, valid)
     if perturb_type == "uniform_images":
         return uniform_images(images), targets
     if perturb_type == "image_noise":

@@ -108,6 +108,114 @@ class ClipHBATrainer:
             return sharded[0], None, sharded[1]
         return sharded[0], sharded[1], sharded[2]
 
+    # -- device-resident dataset path ----------------------------------------
+    # The decode-once uint8 cache (data/things.py) is small enough to live in
+    # HBM (1,806 train images = 217 MB), so the whole dataset is uploaded ONCE
+    # and per-batch slices are gathered on device by index. This removes the
+    # per-batch host->device transfer from the epoch entirely (on this round's
+    # tunneled chip that transfer is ~6-8 MB/s and would dominate; on any real
+    # TPU VM it still saves PCIe traffic and host work).
+
+    def upload_dataset(self, images_u8: np.ndarray,
+                       targets: np.ndarray | None = None):
+        """Upload a full dataset to device (replicated over the mesh)."""
+        img = jnp.asarray(images_u8)
+        tgt = jnp.asarray(targets) if targets is not None else None
+        if self.mesh is not None:
+            from ..parallel import mesh as vmesh
+            img = vmesh.replicate(self.mesh, img)
+            if tgt is not None:
+                tgt = vmesh.replicate(self.mesh, tgt)
+        return img, tgt
+
+    def _prep_idx(self, idx: np.ndarray, batch_size: int):
+        """Index batch -> (device idx padded to batch_size, valid mask).
+
+        Padding to the FULL batch size (not just the device count) keeps one
+        compiled step shape for every batch including the final partial one.
+        """
+        n = len(idx)
+        pad = batch_size - n
+        idx_p = np.pad(np.asarray(idx, np.int32), (0, pad))
+        valid = (np.arange(batch_size) < n).astype(np.float32)
+        if self.mesh is not None:
+            from ..parallel import mesh as vmesh
+            idx_p, valid = vmesh.shard_batch(self.mesh, (idx_p, valid))
+        return jnp.asarray(idx_p), jnp.asarray(valid)
+
+    def _train_step_resident(self, perturb_type: str):
+        key = ("resident", perturb_type)
+        if key not in self._steps:
+            optimizer = self.optimizer
+            cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
+            cdt = self.compute_dtype
+            dist_kind = self.perturb_distribution
+            dmean, dstd = self.dist_mean, self.dist_std
+
+            def loss_fn(trainable, params, static, images, targets, valid,
+                        dropout_key):
+                ad = adora.assemble(trainable, static)
+                preds = vclip.clip_hba_forward(
+                    params, images, prompts, cfg, adapters=ad,
+                    adapter_cfg=acfg, dropout_key=dropout_key,
+                    deterministic=False, compute_dtype=cdt)
+                row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
+                loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
+                return loss, preds
+
+            def step(trainable, opt_state, params, static, all_images_u8,
+                     all_targets, idx, valid, perturb_key, dropout_key):
+                images = dthings.normalize_uint8(all_images_u8[idx])
+                targets = all_targets[idx]
+                images, targets = injectors.apply_clip_perturbation(
+                    perturb_type, perturb_key, images, targets,
+                    distribution=dist_kind, mean=dmean, std=dstd, valid=valid)
+                (loss, preds), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(trainable, params, static, images,
+                                           targets, valid, dropout_key)
+                ok = (jnp.isfinite(loss)
+                      & jnp.all(jnp.isfinite(targets))
+                      & jnp.all(jnp.isfinite(preds)))
+                updates, new_opt = optimizer.update(grads, opt_state, trainable)
+                new_trainable = optax.apply_updates(trainable, updates)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+                return (keep(new_trainable, trainable),
+                        keep(new_opt, opt_state), loss, ok)
+
+            self._steps[key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._steps[key]
+
+    @functools.cached_property
+    def _eval_step_resident(self):
+        cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
+            self.compute_dtype
+
+        def step(trainable, params, static, all_images_u8, all_targets, idx,
+                 valid):
+            images = dthings.normalize_uint8(all_images_u8[idx])
+            targets = all_targets[idx]
+            ad = adora.assemble(trainable, static)
+            preds = vclip.clip_hba_forward(params, images, prompts, cfg,
+                                           adapters=ad, adapter_cfg=acfg,
+                                           deterministic=True,
+                                           compute_dtype=cdt)
+            row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
+            return jnp.sum(row_mse * valid)
+
+        return jax.jit(step)
+
+    def evaluate_resident(self, trainable, imgs_dev, tgts_dev, n: int,
+                          batch_size: int) -> float:
+        total = 0.0
+        for s in range(0, n, batch_size):
+            idx, valid = self._prep_idx(np.arange(s, min(s + batch_size, n)),
+                                        batch_size)
+            total += float(self._eval_step_resident(
+                trainable, self.params, self.static, imgs_dev, tgts_dev,
+                idx, valid))
+        return total / n
+
     # -- jitted steps -------------------------------------------------------
 
     def _train_step(self, perturb_type: str):
@@ -198,12 +306,18 @@ class ClipHBATrainer:
                                            bi, bt, valid))
         return total / n
 
-    def behavioral_rsa(self, trainable, inference_images_u8: np.ndarray,
-                       reference_rdm: np.ndarray):
+    def behavioral_rsa(self, trainable, inference_images_u8,
+                       reference_rdm):
         """One device call: 48-image inference + RDM + Spearman (reference
-        behavioral_RSA :605-654 runs this on host numpy/scipy)."""
+        behavioral_RSA :605-654 runs this on host numpy/scipy).
+
+        Accepts host arrays or device-resident handles (upload the images once
+        with upload_dataset to avoid a per-epoch transfer)."""
         n = len(inference_images_u8)
-        bi, _, _ = self._prep_batch(inference_images_u8)
+        if isinstance(inference_images_u8, jax.Array):
+            bi = inference_images_u8
+        else:
+            bi, _, _ = self._prep_batch(inference_images_u8)
         emb = self._infer_step(trainable, self.params, self.static, bi)[:n]
         rho, p, model_rdm = vrsa.behavioral_rsa(emb, jnp.asarray(reference_rdm))
         return float(rho), float(p), np.asarray(model_rdm), np.asarray(emb)
@@ -233,7 +347,15 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
 
     dropout_root = jax.random.PRNGKey(dropout_seed)
     n_train = len(train_images)
+    n_test = len(test_images)
     last_epoch0 = resume_from_epoch - 1
+
+    # datasets live in HBM for the whole run; batches are gathered on device
+    train_imgs_dev, train_tgts_dev = trainer.upload_dataset(train_images,
+                                                            train_targets)
+    test_imgs_dev, test_tgts_dev = trainer.upload_dataset(test_images,
+                                                          test_targets)
+    inf_imgs_dev, _ = trainer.upload_dataset(inference_images)
 
     for epoch in range(resume_from_epoch, epochs):
         flags = windows.epoch_flags(epoch, training_run, perturb_length,
@@ -250,17 +372,16 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
 
         from ..core.profiling import EpochTimer
         timer = EpochTimer()
-        step = trainer._train_step(kind)
+        step = trainer._train_step_resident(kind)
         total_loss, counted = 0.0, 0
         for batch_idx, idx in enumerate(shuffler.batches(epoch)):
-            images_u8, targets, valid = trainer._prep_batch(
-                train_images[idx], train_targets[idx])
+            bidx, valid = trainer._prep_idx(idx, batch_size)
             pkey = batch_perturb_key(perturb_seed, training_run, batch_idx)
             dkey = jax.random.fold_in(
                 jax.random.fold_in(dropout_root, epoch), batch_idx)
             trainable, opt_state, loss, ok = step(
                 trainable, opt_state, trainer.params, trainer.static,
-                images_u8, targets, valid, pkey, dkey)
+                train_imgs_dev, train_tgts_dev, bidx, valid, pkey, dkey)
             if bool(ok):
                 total_loss += float(loss) * len(idx)
                 counted += len(idx)
@@ -271,13 +392,13 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         avg_train_loss = total_loss / n_train
 
         train_timing = timer.finish(images=n_train)
-        avg_test_loss = trainer.evaluate(trainable, test_images, test_targets,
-                                         batch_size)
+        avg_test_loss = trainer.evaluate_resident(
+            trainable, test_imgs_dev, test_tgts_dev, n_test, batch_size)
         log(f"Epoch {epoch + 1}: Training Loss: {avg_train_loss:.4f}, "
             f"Validation Loss: {avg_test_loss:.4f} [{train_timing}]")
 
         rho, p_value, _, emb = trainer.behavioral_rsa(
-            trainable, inference_images, reference_rdm)
+            trainable, inf_imgs_dev, reference_rdm)
         log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
 
         if dump_dir is not None:
