@@ -1,0 +1,166 @@
+"""CLIP conversion fidelity: a small OpenAI-CLIP-architecture model built with
+torch primitives is exported as a state dict in OpenAI naming, converted with
+models/convert.py, and our JAX towers must reproduce its outputs end-to-end —
+validating the converter mapping, the visual tower (ln_pre, QuickGELU, CLS
+ln_post + projection), the causal text tower with EOT-argmax pooling, and the
+[B, n_prompts] logit-scaled cosine head (SURVEY.md hard part 1)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from vit_project_tpu.models import clip as vclip
+from vit_project_tpu.models import convert as vconvert
+
+# heads must equal width // 64 — the converter infers head count with the
+# OpenAI convention (ViT-L/14: 1024/64=16 visual, 768/64=12 text)
+W, L, HEADS, PATCH, IMG, EMB = 128, 2, 2, 8, 32, 32
+VOCAB, CTX = 100, 12
+
+
+class TorchResBlock(tnn.Module):
+    def __init__(self, width, heads):
+        super().__init__()
+        self.attn = tnn.MultiheadAttention(width, heads)
+        self.ln_1 = tnn.LayerNorm(width)
+        self.mlp = tnn.Sequential()
+        self.mlp.add_module("c_fc", tnn.Linear(width, width * 4))
+        self.mlp.add_module("c_proj", tnn.Linear(width * 4, width))
+        self.ln_2 = tnn.LayerNorm(width)
+
+    def forward(self, x, attn_mask=None):  # x: [S, B, W] (torch MHA default)
+        h = self.ln_1(x)
+        a, _ = self.attn(h, h, h, need_weights=False, attn_mask=attn_mask)
+        x = x + a
+        h = self.ln_2(x)
+        h = self.mlp.c_fc(h)
+        h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+        return x + self.mlp.c_proj(h)
+
+
+class TorchCLIP(tnn.Module):
+    """Minimal OpenAI-CLIP-architecture model with matching parameter names."""
+
+    def __init__(self):
+        super().__init__()
+        grid = IMG // PATCH
+        self.visual = tnn.Module()
+        self.visual.conv1 = tnn.Conv2d(3, W, PATCH, PATCH, bias=False)
+        self.visual.class_embedding = tnn.Parameter(torch.randn(W) * 0.02)
+        self.visual.positional_embedding = tnn.Parameter(
+            torch.randn(grid * grid + 1, W) * 0.02)
+        self.visual.ln_pre = tnn.LayerNorm(W)
+        self.visual.transformer = tnn.Module()
+        self.visual.transformer.resblocks = tnn.ModuleList(
+            [TorchResBlock(W, HEADS) for _ in range(L)])
+        self.visual.ln_post = tnn.LayerNorm(W)
+        self.visual.proj = tnn.Parameter(torch.randn(W, EMB) * 0.05)
+
+        self.transformer = tnn.Module()
+        self.transformer.resblocks = tnn.ModuleList(
+            [TorchResBlock(W, HEADS) for _ in range(L)])
+        self.token_embedding = tnn.Embedding(VOCAB, W)
+        self.positional_embedding = tnn.Parameter(torch.randn(CTX, W) * 0.01)
+        self.ln_final = tnn.LayerNorm(W)
+        self.text_projection = tnn.Parameter(torch.randn(W, EMB) * 0.05)
+        self.logit_scale = tnn.Parameter(torch.tensor(np.log(1 / 0.07),
+                                                      dtype=torch.float32))
+
+    def encode_image(self, images):  # [B, 3, H, W]
+        x = self.visual.conv1(images)                      # [B, W, g, g]
+        x = x.flatten(2).permute(0, 2, 1)                  # [B, g*g, W]
+        cls = self.visual.class_embedding.expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.visual.positional_embedding
+        x = self.visual.ln_pre(x).permute(1, 0, 2)         # [S, B, W]
+        for blk in self.visual.transformer.resblocks:
+            x = blk(x)
+        x = x.permute(1, 0, 2)
+        return self.visual.ln_post(x[:, 0]) @ self.visual.proj
+
+    def encode_text(self, tokens):  # [N, CTX] int
+        x = self.token_embedding(tokens) + self.positional_embedding
+        x = x.permute(1, 0, 2)
+        mask = torch.triu(torch.full((CTX, CTX), float("-inf")), diagonal=1)
+        for blk in self.transformer.resblocks:
+            x = blk(x, attn_mask=mask)
+        x = self.ln_final(x.permute(1, 0, 2))
+        eot = tokens.argmax(dim=-1)
+        return x[torch.arange(x.shape[0]), eot] @ self.text_projection
+
+    def forward(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / img.norm(dim=-1, keepdim=True)
+        txt = txt / txt.norm(dim=-1, keepdim=True)
+        return self.logit_scale.exp() * img @ txt.t()
+
+
+def _state_dict_with_openai_names(model: TorchCLIP) -> dict:
+    """Torch names here already match OpenAI CLIP's (attn.in_proj_weight etc.)"""
+    return {k: np.asarray(v.detach().numpy())
+            for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def converted():
+    torch.manual_seed(0)
+    model = TorchCLIP().eval()
+    sd = _state_dict_with_openai_names(model)
+    params, cfg = vconvert.clip_params_from_state_dict(sd)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model, params, cfg
+
+
+class TestClipConversion:
+    def test_config_inferred_from_shapes(self, converted):
+        _, _, cfg = converted
+        assert cfg.visual.width == W and cfg.visual.layers == L
+        assert cfg.visual.patch == PATCH and cfg.visual.image_size == IMG
+        assert cfg.embed_dim == EMB
+        assert cfg.text.vocab_size == VOCAB
+        assert cfg.text.context_length == CTX
+
+    def test_image_tower_matches_torch(self, converted):
+        model, params, cfg = converted
+        rs = np.random.RandomState(0)
+        imgs = rs.randn(3, IMG, IMG, 3).astype(np.float32)
+        with torch.no_grad():
+            want = model.encode_image(
+                torch.tensor(imgs.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(vclip.encode_image(params, jnp.asarray(imgs), cfg,
+                                            use_pallas=False))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_text_tower_matches_torch(self, converted):
+        model, params, cfg = converted
+        rs = np.random.RandomState(1)
+        # EOT = max token id per row, placed mid-sequence to test argmax pooling
+        tokens = rs.randint(1, VOCAB - 2, (5, CTX))
+        tokens[:, 0] = VOCAB - 2  # SOT-like
+        for i in range(5):
+            tokens[i, rs.randint(2, CTX)] = VOCAB - 1  # EOT (largest id)
+        with torch.no_grad():
+            want = model.encode_text(torch.tensor(tokens)).numpy()
+        got = np.asarray(vclip.encode_text(params, jnp.asarray(tokens), cfg,
+                                           use_pallas=False))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_full_prompt_similarity_head(self, converted):
+        """model(images, prompts) -> [B, n_prompts] logit-scaled cosine —
+        the CLIPHBA forward contract."""
+        model, params, cfg = converted
+        rs = np.random.RandomState(2)
+        imgs = rs.randn(2, IMG, IMG, 3).astype(np.float32)
+        tokens = rs.randint(1, VOCAB - 2, (7, CTX))
+        tokens[:, -1] = VOCAB - 1
+        with torch.no_grad():
+            want = model(torch.tensor(imgs.transpose(0, 3, 1, 2)),
+                         torch.tensor(tokens)).numpy()
+        got = np.asarray(vclip.clip_hba_forward(
+            params, jnp.asarray(imgs), jnp.asarray(tokens), cfg,
+            use_pallas=False))
+        assert got.shape == (2, 7)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
