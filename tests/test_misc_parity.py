@@ -1,0 +1,103 @@
+"""Parity odds-and-ends: NOD second inference set dumps, full-finetune tree
+splits, baseline CLI end-to-end."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vit_project_tpu.adapters import finetune
+from vit_project_tpu.models import clip as vclip
+
+
+class TestFinetuneSplits:
+    def test_visual_tower_split_and_merge(self):
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        trainable, frozen = finetune.split_visual_tower(params)
+        assert "visual" in trainable and "visual" not in frozen
+        back = finetune.merge(frozen, trainable)
+        assert finetune.count_params(back) == finetune.count_params(params)
+
+    def test_last_blocks_split(self):
+        cfg = vclip.tiny_clip_config(layers=3)
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        trainable, frozen = finetune.split_last_blocks(params, "visual", 1)
+        assert list(trainable["visual"]["blocks"].keys()) == [2]
+        # mutate the trainable block; merge reflects it
+        tb = jax.tree_util.tree_map(lambda x: x + 1.0,
+                                    trainable["visual"]["blocks"][2])
+        merged = finetune.merge(frozen, {"visual": {"blocks": {2: tb}}})
+        np.testing.assert_allclose(
+            np.asarray(merged["visual"]["blocks"][2]["qkv_b"]),
+            np.asarray(params["visual"]["blocks"][2]["qkv_b"]) + 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(merged["visual"]["blocks"][0]["qkv_b"]),
+            np.asarray(params["visual"]["blocks"][0]["qkv_b"]))
+
+
+@pytest.fixture(scope="module")
+def things_small(tmp_path_factory):
+    from PIL import Image
+    import pandas as pd
+    import scipy.io
+    root = tmp_path_factory.mktemp("things_cli")
+    img_dir = root / "images"
+    os.makedirs(img_dir)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(56):
+        n = f"t{i:03d}.png"
+        Image.fromarray(rs.randint(0, 255, (48, 48, 3),
+                                   dtype=np.uint8)).save(img_dir / n)
+        names.append(n)
+    df = pd.DataFrame({"image_name": names})
+    for j in range(66):
+        df[f"d{j}"] = rs.rand(56).astype(np.float32)
+    df.to_csv(root / "train.csv")
+    inf = pd.DataFrame({"image_name": names[:48]})
+    for j in range(66):
+        inf[f"d{j}"] = rs.rand(48).astype(np.float32)
+    inf.to_csv(root / "val.csv")
+    nod = pd.DataFrame({"image_name": names[48:56]})
+    nod.to_csv(root / "nod.csv", index=False)
+    rdm = rs.rand(48, 48)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+    scipy.io.savemat(root / "rdm.mat", {"RDM48_triplet": rdm})
+    return root
+
+
+class TestBaselineCLIWithNod:
+    def test_baseline_cli_end_to_end(self, things_small, tmp_path):
+        from vit_project_tpu.cli import baseline
+        out = str(tmp_path / "out")
+        baseline.main([
+            "--csv_file", str(things_small / "train.csv"),
+            "--img_dir", str(things_small / "images"),
+            "--inference_csv_file", str(things_small / "val.csv"),
+            "--RDM48_triplet_dir", str(things_small / "rdm.mat"),
+            "--backbone", "test-tiny", "--epochs", "2", "--batch_size", "16",
+            "--rank", "4", "--vision_layers", "1", "--transformer_layers", "1",
+            "--output_dir", out, "--compute_dtype", "float32",
+            "--dump_inference_embeddings",
+            "--nod_csv_file", str(things_small / "nod.csv"),
+            "--nod_img_dir", str(things_small / "images")])
+        import glob
+        res = glob.glob(os.path.join(out, "training_res_*.csv"))
+        assert len(res) == 1
+        with open(res[0]) as f:
+            assert len(f.readlines()) == 3  # header + 2 epochs
+        # per-epoch dumps for BOTH inference sets
+        for e in (1, 2):
+            t = os.path.join(out, "things_48_inference_results",
+                             f"things_48_embeddings_epoch{e}.csv")
+            n = os.path.join(out, "nod_inference_results",
+                             f"nod_embeddings_epoch{e}.csv")
+            assert os.path.exists(t), t
+            assert os.path.exists(n), n
+        import pandas as pd
+        dump = pd.read_csv(os.path.join(
+            out, "nod_inference_results", "nod_embeddings_epoch1.csv"))
+        assert dump.shape == (8, 67)  # image_name + 66 dims
+        assert dump.columns[0] == "image_name"

@@ -1,1 +1,1 @@
-from . import dora, lora  # noqa: F401
+from . import dora, lora, finetune  # noqa: F401

@@ -1,0 +1,58 @@
+"""Full / partial tower fine-tuning as trainable-tree selection.
+
+The reference's RN50-path unfreezers (unfreeze_image_layers /
+unfreeze_image_layers_all, new_cvpr_train_behavior_things_pipeline.py:552-581)
+flip requires_grad on whole submodules. Functionally, "what is trainable" is just
+which subtree you hand the optimizer and differentiate; these helpers carve those
+subtrees out of a CLIP param pytree and merge updates back.
+
+Usage:
+    trainable, frozen = split_visual_tower(params)          # train whole tower
+    trainable, frozen = split_last_blocks(params, "visual", n=2)
+    ...
+    params = merge(frozen, trainable)
+"""
+from __future__ import annotations
+
+import jax
+
+
+def split_visual_tower(clip_params: dict) -> tuple[dict, dict]:
+    """Equivalent of unfreeze_image_layers_all: the whole visual tower trains."""
+    trainable = {"visual": clip_params["visual"]}
+    frozen = {k: v for k, v in clip_params.items() if k != "visual"}
+    return trainable, frozen
+
+
+def split_last_blocks(clip_params: dict, tower: str, n: int) -> tuple[dict, dict]:
+    """Equivalent of unfreeze_image_layers (last-n blocks of one tower train)."""
+    blocks = clip_params[tower]["blocks"]
+    cut = len(blocks) - n
+    trainable = {tower: {"blocks": {i: blocks[i]
+                                    for i in range(cut, len(blocks))}}}
+    frozen = dict(clip_params)
+    return trainable, frozen
+
+
+def merge(frozen: dict, trainable: dict) -> dict:
+    """Overlay a trainable subtree back onto the full param tree."""
+    out = dict(frozen)
+    for tower, sub in trainable.items():
+        if tower not in out:
+            out[tower] = sub
+            continue
+        tower_params = dict(out[tower])
+        if isinstance(sub, dict) and "blocks" in sub and \
+                isinstance(sub["blocks"], dict):
+            blocks = list(tower_params["blocks"])
+            for i, bp in sub["blocks"].items():
+                blocks[i] = bp
+            tower_params["blocks"] = blocks
+            out[tower] = tower_params
+        else:
+            out[tower] = sub
+    return out
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--dump_inference_embeddings", action="store_true")
+    p.add_argument("--nod_csv_file", default=None,
+                   help="optional second inference set (per-epoch "
+                        "nod_embeddings_epochN.csv dumps)")
+    p.add_argument("--nod_img_dir", default=None)
     return p
 
 
@@ -75,6 +79,9 @@ def main(argv=None):
         "compute_dtype": args.compute_dtype,
         "dump_inference_embeddings": args.dump_inference_embeddings,
         "inference_dump_dir": f"{out}/things_48_inference_results",
+        "nod_csv_file": args.nod_csv_file,
+        "nod_img_dir": args.nod_img_dir,
+        "nod_dump_dir": f"{out}/nod_inference_results",
     }
     run_behavioral_training(config)
 

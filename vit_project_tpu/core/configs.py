@@ -69,6 +69,10 @@ class ClipRunConfig:
     # things_48_embeddings_epochN.csv files; see SURVEY.md section 0)
     dump_inference_embeddings: bool = False
     inference_dump_dir: Optional[str] = None
+    # optional second per-epoch inference set (nod_embeddings_epochN.csv dumps)
+    nod_csv_file: Optional[str] = None
+    nod_img_dir: Optional[str] = None
+    nod_dump_dir: Optional[str] = None
 
     # misc knobs kept for dict-compat with the reference config surface
     logger: Any = None

@@ -334,7 +334,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 dropout_seed: int = 0, data_seed: int = 0,
                 resume_from_epoch: int = 0,
                 previous_training_res_path: str | None = None,
-                dump_dir: str | None = None, inference_names=None):
+                dump_dir: str | None = None, inference_names=None,
+                nod_images=None, nod_names=None, nod_dump_dir=None):
     """The per-epoch loop (reference train_model :782-1063). Returns the final
     (trainable, opt_state, last_epoch0)."""
     log = logger.info if logger else print
@@ -356,6 +357,9 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     test_imgs_dev, test_tgts_dev = trainer.upload_dataset(test_images,
                                                           test_targets)
     inf_imgs_dev, _ = trainer.upload_dataset(inference_images)
+    nod_imgs_dev = None
+    if nod_images is not None:
+        nod_imgs_dev, _ = trainer.upload_dataset(nod_images)
 
     for epoch in range(resume_from_epoch, epochs):
         flags = windows.epoch_flags(epoch, training_run, perturb_length,
@@ -402,7 +406,17 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
 
         if dump_dir is not None:
-            _dump_embeddings(dump_dir, epoch + 1, emb, inference_names)
+            _dump_embeddings(dump_dir, epoch + 1, emb, inference_names,
+                             prefix="things_48")
+        if nod_imgs_dev is not None and nod_dump_dir is not None:
+            # second per-epoch inference set (the reference runs produced
+            # nod_embeddings_epochN.csv dumps; SURVEY.md section 0)
+            n_nod = len(nod_images)
+            nod_emb = np.asarray(trainer._infer_step(
+                trainable, trainer.params, trainer.static,
+                nod_imgs_dev))[:n_nod]
+            _dump_embeddings(nod_dump_dir, epoch + 1, nod_emb, nod_names,
+                             prefix="nod")
 
         csvio.append_clip_row(training_res_path, epoch + 1, avg_train_loss,
                               avg_test_loss, rho, p_value, **flags)
@@ -431,15 +445,17 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     return trainable, opt_state, last_epoch0
 
 
-def _dump_embeddings(dump_dir: str, epoch1: int, emb: np.ndarray, names):
+def _dump_embeddings(dump_dir: str, epoch1: int, emb: np.ndarray, names,
+                     prefix: str = "things_48"):
     """Optional per-epoch inference-embedding dumps
-    (things_48_embeddings_epochN.csv artifacts; SURVEY.md section 0)."""
+    ({prefix}_embeddings_epochN.csv artifacts; SURVEY.md section 0)."""
     import pandas as pd
     os.makedirs(dump_dir, exist_ok=True)
     df = pd.DataFrame(emb)
     if names is not None:
         df.insert(0, "image_name", list(names))
-    df.to_csv(os.path.join(dump_dir, f"things_48_embeddings_epoch{epoch1}.csv"),
+    df.to_csv(os.path.join(dump_dir,
+                           f"{prefix}_embeddings_epoch{epoch1}.csv"),
               index=False)
 
 
@@ -585,6 +601,17 @@ def run_behavioral_training(config) -> dict:
 
     dump_dir = cfg.inference_dump_dir if cfg.dump_inference_embeddings else None
 
+    nod_images = nod_names = None
+    if cfg.nod_csv_file and os.path.exists(cfg.nod_csv_file):
+        import pandas as pd
+        nod_ann = pd.read_csv(cfg.nod_csv_file)
+        col = "image_name" if "image_name" in nod_ann.columns else \
+            nod_ann.columns[0]
+        nod_names = nod_ann[col].tolist()
+        nod_images = dthings.decode_images(
+            cfg.nod_img_dir or cfg.img_dir, nod_names)
+        logger.info(f"Loaded NOD inference set: {len(nod_names)} images")
+
     trainable, opt_state, last_epoch0 = train_model(
         trainer, trainable, opt_state,
         train_images=train_images, train_targets=train_targets,
@@ -600,7 +627,9 @@ def run_behavioral_training(config) -> dict:
         dropout_seed=cfg.random_seed, data_seed=data_seed,
         resume_from_epoch=cfg.resume_from_epoch,
         previous_training_res_path=cfg.previous_training_res_path,
-        dump_dir=dump_dir, inference_names=inference.names)
+        dump_dir=dump_dir, inference_names=inference.names,
+        nod_images=nod_images, nod_names=nod_names,
+        nod_dump_dir=cfg.nod_dump_dir)
 
     return {"last_epoch0": last_epoch0,
             "training_res_path": cfg.training_res_path,
