@@ -23,7 +23,7 @@ from ..data import imagenet as dimg
 from ..models import vit as vvit
 from ..perturb import injectors
 from ..train.schedules import CosineAnnealingLRWithWarmup
-from ..train.vit_loop import ViTTrainer, sgd_init
+from ..train.vit_loop import ViTTrainer
 
 
 def load_things_for_vit(things_csv: str, things_img_dir: str, size: int = 224):

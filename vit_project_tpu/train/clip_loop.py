@@ -32,7 +32,7 @@ import optax
 from ..adapters import dora as adora
 from ..ckpt import clip_ckpt, serialization as ser
 from ..core import csvio
-from ..core.configs import ClipRunConfig, THINGS_MEAN, THINGS_STD
+from ..core.configs import ClipRunConfig
 from ..core.logs import setup_logger
 from ..core.prng import batch_perturb_key
 from ..data import things as dthings
@@ -143,45 +143,57 @@ class ClipHBATrainer:
             idx_p, valid = vmesh.shard_batch(self.mesh, (idx_p, valid))
         return jnp.asarray(idx_p), jnp.asarray(valid)
 
+    def _step_core(self, perturb_type: str):
+        """Shared body of both train-step variants: perturb -> masked-MSE
+        forward -> grads -> AdamW update with the NaN batch-skip guard
+        (reference train_model 'continue' on non-finite batches, ref :929-998)."""
+        optimizer = self.optimizer
+        cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
+        cdt = self.compute_dtype
+        dist_kind = self.perturb_distribution
+        dmean, dstd = self.dist_mean, self.dist_std
+
+        def loss_fn(trainable, params, static, images, targets, valid,
+                    dropout_key):
+            ad = adora.assemble(trainable, static)
+            preds = vclip.clip_hba_forward(
+                params, images, prompts, cfg, adapters=ad,
+                adapter_cfg=acfg, dropout_key=dropout_key,
+                deterministic=False, compute_dtype=cdt)
+            row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
+            loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
+            return loss, preds
+
+        def core(trainable, opt_state, params, static, images, targets,
+                 valid, perturb_key, dropout_key):
+            images, targets = injectors.apply_clip_perturbation(
+                perturb_type, perturb_key, images, targets,
+                distribution=dist_kind, mean=dmean, std=dstd, valid=valid)
+            (loss, preds), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, params, static, images,
+                                       targets, valid, dropout_key)
+            ok = (jnp.isfinite(loss)
+                  & jnp.all(jnp.isfinite(targets))
+                  & jnp.all(jnp.isfinite(preds)))
+            updates, new_opt = optimizer.update(grads, opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            return (keep(new_trainable, trainable), keep(new_opt, opt_state),
+                    loss, ok)
+
+        return core
+
     def _train_step_resident(self, perturb_type: str):
         key = ("resident", perturb_type)
         if key not in self._steps:
-            optimizer = self.optimizer
-            cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
-            cdt = self.compute_dtype
-            dist_kind = self.perturb_distribution
-            dmean, dstd = self.dist_mean, self.dist_std
-
-            def loss_fn(trainable, params, static, images, targets, valid,
-                        dropout_key):
-                ad = adora.assemble(trainable, static)
-                preds = vclip.clip_hba_forward(
-                    params, images, prompts, cfg, adapters=ad,
-                    adapter_cfg=acfg, dropout_key=dropout_key,
-                    deterministic=False, compute_dtype=cdt)
-                row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
-                loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
-                return loss, preds
+            core = self._step_core(perturb_type)
 
             def step(trainable, opt_state, params, static, all_images_u8,
                      all_targets, idx, valid, perturb_key, dropout_key):
                 images = dthings.normalize_uint8(all_images_u8[idx])
-                targets = all_targets[idx]
-                images, targets = injectors.apply_clip_perturbation(
-                    perturb_type, perturb_key, images, targets,
-                    distribution=dist_kind, mean=dmean, std=dstd, valid=valid)
-                (loss, preds), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(trainable, params, static, images,
-                                           targets, valid, dropout_key)
-                ok = (jnp.isfinite(loss)
-                      & jnp.all(jnp.isfinite(targets))
-                      & jnp.all(jnp.isfinite(preds)))
-                updates, new_opt = optimizer.update(grads, opt_state, trainable)
-                new_trainable = optax.apply_updates(trainable, updates)
-                keep = lambda new, old: jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(ok, a, b), new, old)
-                return (keep(new_trainable, trainable),
-                        keep(new_opt, opt_state), loss, ok)
+                return core(trainable, opt_state, params, static, images,
+                            all_targets[idx], valid, perturb_key, dropout_key)
 
             self._steps[key] = jax.jit(step, donate_argnums=(0, 1))
         return self._steps[key]
@@ -219,43 +231,16 @@ class ClipHBATrainer:
     # -- jitted steps -------------------------------------------------------
 
     def _train_step(self, perturb_type: str):
+        """Streaming variant (host batch shipped per step) — used when the
+        dataset does not fit in HBM; the resident variant above is the default."""
         if perturb_type not in self._steps:
-            optimizer = self.optimizer
-            cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
-            cdt = self.compute_dtype
-            dist_kind = self.perturb_distribution
-            dmean, dstd = self.dist_mean, self.dist_std
-
-            def loss_fn(trainable, params, static, images, targets, valid,
-                        dropout_key):
-                ad = adora.assemble(trainable, static)
-                preds = vclip.clip_hba_forward(
-                    params, images, prompts, cfg, adapters=ad,
-                    adapter_cfg=acfg, dropout_key=dropout_key,
-                    deterministic=False, compute_dtype=cdt)
-                row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
-                loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
-                return loss, preds
+            core = self._step_core(perturb_type)
 
             def step(trainable, opt_state, params, static, images_u8,
                      targets, valid, perturb_key, dropout_key):
                 images = dthings.normalize_uint8(images_u8)
-                images, targets = injectors.apply_clip_perturbation(
-                    perturb_type, perturb_key, images, targets,
-                    distribution=dist_kind, mean=dmean, std=dstd)
-                (loss, preds), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(trainable, params, static, images,
-                                           targets, valid, dropout_key)
-                # NaN guard (reference skips the batch, ref :929-998)
-                ok = (jnp.isfinite(loss)
-                      & jnp.all(jnp.isfinite(targets))
-                      & jnp.all(jnp.isfinite(preds)))
-                updates, new_opt = optimizer.update(grads, opt_state, trainable)
-                new_trainable = optax.apply_updates(trainable, updates)
-                keep = lambda new, old: jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(ok, a, b), new, old)
-                return (keep(new_trainable, trainable), keep(new_opt, opt_state),
-                        loss, ok)
+                return core(trainable, opt_state, params, static, images,
+                            targets, valid, perturb_key, dropout_key)
 
             self._steps[perturb_type] = jax.jit(step, donate_argnums=(0, 1))
         return self._steps[perturb_type]
