@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_weights", default=None)
     p.add_argument("--bpe_vocab", default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
+    # reference hardcodes these (clip_train_behavior_lengths.py:110-112);
+    # exposed as flags so forks can match any baseline's adapter config
+    p.add_argument("--vision_layers", type=int, default=2)
+    p.add_argument("--transformer_layers", type=int, default=1)
+    p.add_argument("--rank", type=int, default=32)
     return p
 
 
@@ -109,9 +114,9 @@ def main(argv=None):
         "logger": None,
         "early_stopping_patience": args.early_stopping_patience,
         "random_seed": args.random_seed,
-        "vision_layers": 2,
-        "transformer_layers": 1,
-        "rank": 32,
+        "vision_layers": args.vision_layers,
+        "transformer_layers": args.transformer_layers,
+        "rank": args.rank,
         "criterion": "mse",
         "cuda": args.cuda,
         "compute_dtype": args.compute_dtype,

@@ -559,8 +559,17 @@ def run_behavioral_training(config) -> dict:
             state = clip_ckpt.load_random_states(prior, cfg.resume_from_epoch,
                                                  logger)
             if state is not None:
-                opt_state = trainer.prepare_state(jax.tree_util.tree_map(
-                    jnp.asarray, state["optimizer_state"]))
+                restored = jax.tree_util.tree_map(jnp.asarray,
+                                                  state["optimizer_state"])
+                fresh_struct = jax.tree_util.tree_structure(opt_state)
+                if jax.tree_util.tree_structure(restored) == fresh_struct:
+                    opt_state = trainer.prepare_state(restored)
+                else:
+                    logger.warning(
+                        "Restored optimizer state does not match this run's "
+                        "adapter config (vision_layers/transformer_layers/"
+                        "rank differ from the checkpoint's) - keeping a fresh "
+                        "optimizer state")
                 data_seed = state["data_seed"]
                 logger.info(f"Successfully restored all random states from "
                             f"epoch {cfg.resume_from_epoch}")
