@@ -346,6 +346,16 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     if nod_images is not None:
         nod_imgs_dev, _ = trainer.upload_dataset(nod_images)
 
+    if resume_from_epoch == 0:
+        # initial (pre-training) eval + RSA, logged but not written to the CSV
+        # (reference baseline pipeline cvpr...baseline.py:623-624)
+        init_loss = trainer.evaluate_resident(trainable, test_imgs_dev,
+                                              test_tgts_dev, n_test, batch_size)
+        init_rho, init_p, _, _ = trainer.behavioral_rsa(trainable, inf_imgs_dev,
+                                                        reference_rdm)
+        log(f"Initial (epoch 0) Validation Loss: {init_loss:.4f}, "
+            f"Behavioral RSA: {init_rho:.4f} (p={init_p:.4f})")
+
     for epoch in range(resume_from_epoch, epochs):
         flags = windows.epoch_flags(epoch, training_run, perturb_length,
                                     perturb_type)
