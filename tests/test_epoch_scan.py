@@ -70,3 +70,33 @@ def test_epoch_scan_matches_per_step(kind):
     for a, b in zip(jax.tree_util.tree_leaves(tr_a),
                     jax.tree_util.tree_leaves(tr_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard_skips_batch_without_update():
+    """A batch with non-finite targets must leave trainable/opt state untouched
+    (reference NaN 'continue', new_cvpr...pipeline.py:929-998)."""
+    cfg = vclip.tiny_clip_config()
+    params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+    spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+    trainable, static, acfg = adora.apply_dora(params, spec, r=4,
+                                               key=jax.random.PRNGKey(1))
+    prompts = np.random.RandomState(0).randint(
+        1, 400, (8, cfg.text.context_length)).astype(np.int32)
+    trainer = ClipHBATrainer(cfg, params, acfg, static, prompts, lr=3e-4,
+                             compute_dtype=jnp.float32, mesh=None)
+    rs = np.random.RandomState(3)
+    tgts = rs.rand(8, 8).astype(np.float32)
+    tgts[3, 2] = np.nan
+    imgs, tgts_dev = trainer.upload_dataset(
+        rs.randint(0, 255, (8, 32, 32, 3), np.uint8), tgts)
+    tr0 = jax.tree_util.tree_map(jnp.array, trainable)
+    opt0 = trainer.init_opt_state(tr0)
+    step = trainer._train_step_resident("none")
+    idx, valid = trainer._prep_idx(np.arange(8), 8)
+    tr1, opt1, loss, ok = step(tr0, opt0, trainer.params, trainer.static,
+                               imgs, tgts_dev, idx, valid,
+                               jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+    assert not bool(ok)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1),
+                    jax.tree_util.tree_leaves(trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
