@@ -9,8 +9,6 @@ collapse to a small dict of named keys that is trivially serializable and replay
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def key_from_seed(seed: int) -> jax.Array:
@@ -37,33 +35,3 @@ def batch_perturb_key(perturb_seed: int, training_run: int, batch_idx) -> jax.Ar
     """
     base = key_from_seed(int(perturb_seed) + int(training_run) * 1000)
     return jax.random.fold_in(base, batch_idx)
-
-
-class RngState:
-    """Named, serializable collection of PRNG keys.
-
-    Streams used by the training loops:
-      - ``data``:     epoch shuffling of the train set
-      - ``dropout``:  DoRA delta-D dropout / model dropout
-      - ``init``:     parameter initialization
-    """
-
-    def __init__(self, seed: int | None = None, keys: dict | None = None):
-        if keys is not None:
-            self.keys = dict(keys)
-        else:
-            root = key_from_seed(0 if seed is None else seed)
-            data, dropout, init = jax.random.split(root, 3)
-            self.keys = {"data": data, "dropout": dropout, "init": init}
-
-    def split(self, name: str) -> jax.Array:
-        """Advance stream `name`, returning a fresh subkey (stateful convenience)."""
-        self.keys[name], sub = jax.random.split(self.keys[name])
-        return sub
-
-    def to_numpy(self) -> dict:
-        return {k: np.asarray(v) for k, v in self.keys.items()}
-
-    @classmethod
-    def from_numpy(cls, d: dict) -> "RngState":
-        return cls(keys={k: jnp.asarray(v) for k, v in d.items()})
