@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model config name (see models.vit.VIT_CONFIGS)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the first epoch here")
+    p.add_argument("--use_native_loader", action="store_true",
+                   help="decode/augment through the C++ core "
+                        "(build with: make -C native)")
     return p
 
 
@@ -52,7 +55,8 @@ def main(argv=None):
         random_seed=args.random_seed, compute_dtype=args.compute_dtype,
         image_size=vit_cfg.image_size,
         num_classes=vit_cfg.num_classes or 1000,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir,
+        use_native_loader=args.use_native_loader)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -117,6 +117,7 @@ class ViTTrainConfig:
     compute_dtype: str = "bfloat16"  # AMP-equivalent; bf16 needs no GradScaler
     image_size: int = 224
     profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
+    use_native_loader: bool = False    # C++ decode core (native/fastimage.cpp)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

@@ -221,10 +221,11 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     train_loader = dimg.ImageFolderLoader(
         f"{cfg.data_path}/train", cfg.batch_size, train=True,
         seed=cfg.random_seed, size=cfg.image_size, workers=cfg.num_workers,
-        drop_last=True)
+        drop_last=True, use_native=cfg.use_native_loader)
     val_loader = dimg.ImageFolderLoader(
         f"{cfg.data_path}/val", cfg.batch_size, train=False,
-        size=cfg.image_size, workers=cfg.num_workers)
+        size=cfg.image_size, workers=cfg.num_workers,
+        use_native=cfg.use_native_loader)
     log(f"Data loaded. Train batches: {len(train_loader)}, "
         f"Val batches: {len(val_loader)}")
 
