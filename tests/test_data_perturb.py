@@ -286,3 +286,25 @@ class TestMesh:
         assert a.shape[0] == 16 and real == 13
         batch2, real2 = vmesh.pad_to_multiple((np.ones((16, 2)),), 8)
         assert real2 == 16 and batch2[0].shape[0] == 16
+
+    def test_tensor_parallel_vit_sharding_matches_replicated(self):
+        """ViT forward under (data, model) TP sharding == replicated forward."""
+        import jax.numpy as jnp
+        from vit_project_tpu.models import vit as vvit
+        cfg = vvit.ViTConfig(patch=8, width=32, layers=2, heads=2,
+                             image_size=32, num_classes=10)
+        params = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+        mesh2 = vmesh.make_mesh(n_data=4, n_model=2)
+        assert mesh2.axis_names == ("data", "model")
+        p_tp = vmesh.shard_vit_params_tp(mesh2, params)
+        # fc1 sharded over model axis, LN replicated
+        assert p_tp["blocks"][0]["fc1_w"].sharding.spec == \
+            vmesh.P(None, "model")
+        img = jnp.asarray(np.random.RandomState(0)
+                          .randn(8, 32, 32, 3).astype(np.float32))
+        want = vvit.vit_classify(params, img, cfg, use_pallas=False)
+        got = jax.jit(lambda p, x: vvit.vit_classify(p, x, cfg,
+                                                     use_pallas=False))(
+            p_tp, vmesh.shard_batch(mesh2, img))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)

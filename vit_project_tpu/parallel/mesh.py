@@ -49,6 +49,49 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def shard_vit_params_tp(mesh: Mesh, params: dict) -> dict:
+    """Megatron-style tensor-parallel placement of ViT block weights over the
+    'model' axis of a ('data', 'model') mesh.
+
+    fc1 / qkv are column-sharded (out dim), fc2 / out_proj row-sharded (in dim):
+    the contraction pattern XLA resolves with one all-reduce per block, riding
+    ICI. Everything else (LN, embeddings, head) is replicated. The reference has
+    no TP (SURVEY.md section 2.2) — this is forward-looking capability for
+    models whose activations outgrow one chip's HBM.
+    """
+    if "model" not in mesh.axis_names:
+        return replicate(mesh, params)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    col = P(None, "model")   # [in, out] sharded on out
+    row = P("model", None)   # [in, out] sharded on in
+    rep = P()
+
+    def shard_block(bp: dict) -> dict:
+        out = {}
+        for k, v in bp.items():
+            if k in ("qkv_w", "fc1_w"):
+                out[k] = put(v, col)
+            elif k in ("qkv_b", "fc1_b"):
+                out[k] = put(v, P("model"))
+            elif k in ("out_w", "fc2_w"):
+                out[k] = put(v, row)
+            else:
+                out[k] = jax.tree_util.tree_map(lambda a: put(a, rep), v)
+        return out
+
+    out = {}
+    for k, v in params.items():
+        if k == "blocks":
+            out[k] = [shard_block(bp) for bp in v]
+        else:
+            out[k] = jax.tree_util.tree_map(
+                lambda a: put(a, rep) if a is not None else None, v)
+    return out
+
+
 def pad_to_multiple(batch_tree, multiple: int):
     """Pad the leading axis to a multiple (for even data sharding); returns
     (padded_tree, real_count). Loss/metric code weights by real_count."""
