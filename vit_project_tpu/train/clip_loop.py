@@ -406,6 +406,24 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 f"{epoch + 1} (window: epochs {ws + 1}-{we + 1}) ***")
             log(f"Perturbation seed: {perturb_seed}")
             log("=" * 80)
+            # first-batch injector evidence (the reference's debug-print
+            # verification, ref :886-982: stats proving the injector acted)
+            first_idx = next(iter(shuffler.batches(epoch)))
+            bidx0, valid0 = trainer._prep_idx(first_idx, batch_size)
+            img0 = dthings.normalize_uint8(train_imgs_dev[bidx0])
+            tgt0 = train_tgts_dev[bidx0]
+            pk0 = batch_perturb_key(perturb_seed, training_run, 0)
+            pi, pt = injectors.apply_clip_perturbation(
+                perturb_type, pk0, img0, tgt0,
+                distribution=trainer.perturb_distribution,
+                mean=trainer.dist_mean, std=trainer.dist_std, valid=valid0)
+            log(f"Batch 0 after injection - images: min={float(pi.min()):.3f} "
+                f"max={float(pi.max()):.3f} mean={float(pi.mean()):.3f}; "
+                f"targets: min={float(pt.min()):.3f} "
+                f"max={float(pt.max()):.3f} mean={float(pt.mean()):.3f}; "
+                f"targets changed: "
+                f"{not bool(jnp.array_equal(pt, tgt0))}, "
+                f"images changed: {not bool(jnp.array_equal(pi, img0))}")
 
         from ..core.profiling import EpochTimer
         timer = EpochTimer()
