@@ -227,3 +227,25 @@ class TestRSA:
         want_rho, want_p = spearmanr(ref_rdm[iu], want_rdm[iu])
         np.testing.assert_allclose(float(rho), want_rho, atol=1e-5)
         np.testing.assert_allclose(float(p), want_p, rtol=1e-3, atol=1e-12)
+
+
+class TestFusedXlaAttention:
+    """The DEFAULT attention path (mha_fused_xla) against the reference."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, causal):
+        rs = np.random.RandomState(5)
+        q = jnp.asarray(rs.randn(2, 3, 9, 16).astype(np.float32))
+        k = jnp.asarray(rs.randn(2, 3, 9, 16).astype(np.float32))
+        v = jnp.asarray(rs.randn(2, 3, 9, 16).astype(np.float32))
+        got = attn.mha_fused_xla(q, k, v, causal=causal)
+        want = attn.mha_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_default_dispatch_is_fused_xla(self):
+        rs = np.random.RandomState(6)
+        q = jnp.asarray(rs.randn(1, 2, 5, 8).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(attn.attention_core(q, q, q)),
+            np.asarray(attn.mha_fused_xla(q, q, q)))
