@@ -126,7 +126,12 @@ class ViTTrainer:
                         log_every: int = 100, logger=None) -> tuple:
         log = logger.info if logger else print
         step = self._make_train_step(perturbation_type)
-        total_loss, num_batches = 0.0, 0
+        # Loss accumulates ON DEVICE; the host only syncs every `log_every`
+        # steps (matching the reference's per-100-batch print cadence,
+        # train_vit_sgd.py:146-150). A per-step float(loss) would force a
+        # device round-trip per batch (~4-5 ms each on this backend).
+        total_loss = jnp.zeros((), jnp.float32)
+        num_batches = 0
         t0 = time.time()
         n_batches = len(loader)
         for batch_idx, (images_u8, labels) in enumerate(loader.epoch(epoch)):
@@ -134,12 +139,12 @@ class ViTTrainer:
             pkey = injectors.batch_perturb_key(perturb_seed, epoch, batch_idx)
             params, momentum_buf, loss = step(params, momentum_buf, images_u8,
                                               labels, lr, pkey, epsilon)
+            total_loss = total_loss + loss
+            num_batches += 1
             if batch_idx % log_every == 0:
                 log(f"  Epoch {epoch} [{batch_idx:4d}/{n_batches}] "
                     f"Loss: {float(loss):.4f} LR: {lr:.6f}")
-            total_loss += float(loss)
-            num_batches += 1
-        avg_loss = total_loss / max(num_batches, 1)
+        avg_loss = float(total_loss) / max(num_batches, 1)
         n_images = num_batches * loader.batch_size
         dt = time.time() - t0
         log(f"Epoch {epoch} training completed in {dt / 60:.2f} minutes. "
