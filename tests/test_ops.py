@@ -249,3 +249,52 @@ class TestFusedXlaAttention:
         np.testing.assert_array_equal(
             np.asarray(attn.attention_core(q, q, q)),
             np.asarray(attn.mha_fused_xla(q, q, q)))
+
+
+class TestFlashMhaPacked:
+    """The layout-native packed flash kernel (ops/attention.py
+    flash_mha_packed): q/k/v in [B,S,D] with heads as lane slices, in-kernel
+    tail masks instead of padded copies, flash-style recompute backward.
+    Runs in interpret mode on CPU — the same kernel code that runs compiled
+    on the TPU (where it measured 280 -> 231 ms/step at ViT-B/16 b256)."""
+
+    def _ref(self, q, k, v, B, S, H, dh, causal):
+        q4, k4, v4 = (t.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+                      for t in (q, k, v))
+        o = attn.mha_reference(q4, k4, v4, causal=causal)
+        return o.transpose(0, 2, 1, 3).reshape(B, S, D_PACK)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fwd_and_bwd_match_reference(self, causal):
+        B, S, H, dh = 2, 13, 2, 16           # odd S exercises the tail masks
+        global D_PACK
+        D_PACK = H * dh
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q, k, v, do = [jax.random.normal(kk, (B, S, D_PACK)) for kk in ks]
+        scale = 1.0 / dh ** 0.5
+
+        def packed(q, k, v):
+            return attn.flash_mha_packed(q * scale, k, v, num_heads=H,
+                                         causal=causal)
+
+        got = packed(q, k, v)
+        want = self._ref(q, k, v, B, S, H, dh, causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        g1 = jax.grad(lambda *a: (packed(*a) * do).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: (self._ref(*a, B, S, H, dh, causal)
+                                  * do).sum(), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_block_forward_pallas_matches_xla(self):
+        from vit_project_tpu.models import vit as vvit
+        cfg = vvit.ViTConfig(patch=8, width=64, layers=2, heads=2,
+                             image_size=32, num_classes=10)
+        p = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3))
+        la = vvit.vit_classify(p, imgs, cfg, use_pallas=False)
+        lb = vvit.vit_classify(p, imgs, cfg, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)

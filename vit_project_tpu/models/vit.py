@@ -131,11 +131,36 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
 
     B, S, D = h.shape
     dh = D // heads
-    qkv = vnn.dense(h, p["qkv_w"], p["qkv_b"])
-    qkv = qkv.reshape(B, S, 3, heads, dh).transpose(2, 0, 3, 1, 4)
-    o = vattn.attention_core(qkv[0], qkv[1], qkv[2], causal=causal,
-                             use_pallas=use_pallas)
-    o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+    # Three separate projections from the packed qkv weight (runtime reshape
+    # only — the stored/checkpointed param stays [D, 3D]). q/k/v stay in the
+    # packed [B, S, D] layout the dense matmul emits; the attention core
+    # treats heads as dh-lane slices, so NO head transpose is ever
+    # materialized in HBM (the relayouts cost more than the kernel saves at
+    # these shapes — BENCHLOG.md round 2).
+    w3 = p["qkv_w"].reshape(D, 3, D)
+    b3 = p["qkv_b"].reshape(3, D)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fold the 1/sqrt(dh) score scale into the q projection
+        scale = 1.0 / (dh ** 0.5)
+        qs = vnn.dense(h, w3[:, 0] * scale, b3[0] * scale)
+        k = vnn.dense(h, w3[:, 1], b3[1])
+        v = vnn.dense(h, w3[:, 2], b3[2])
+        o = vattn.flash_mha_packed(qs, k, v, num_heads=heads, causal=causal)
+    else:
+        q = (jnp.einsum("bsd,dhe->bshe", h,
+                        w3[:, 0].reshape(D, heads, dh).astype(h.dtype))
+             + b3[0].reshape(heads, dh).astype(h.dtype))
+        k = (jnp.einsum("bsd,dhe->bshe", h,
+                        w3[:, 1].reshape(D, heads, dh).astype(h.dtype))
+             + b3[1].reshape(heads, dh).astype(h.dtype))
+        v = (jnp.einsum("bsd,dhe->bshe", h,
+                        w3[:, 2].reshape(D, heads, dh).astype(h.dtype))
+             + b3[2].reshape(heads, dh).astype(h.dtype))
+        o = vattn.attention_core_bshd(q, k, v, causal=causal,
+                                      use_pallas=False)
+    o = o.reshape(B, S, D)
     if adapter is not None:
         o = vdora.dora_linear(
             o, adapter["trainable"], adapter["buffers"],
@@ -155,15 +180,28 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                adapters: dict | None = None, adapter_cfg: dict | None = None,
                dropout_key: jax.Array | None = None, deterministic: bool = True,
                use_pallas: bool | None = None,
+               input_norm: tuple | None = None,
                compute_dtype=jnp.float32) -> jax.Array:
     """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
 
     `adapters` maps block index -> {trainable, buffers} DoRA entries.
     This is the timm `forward_features` contract for the classifier config and
     the pre-ln_post token stream for the CLIP config.
+
+    `input_norm=(mean, std)` marks `images` as RAW uint8-scale: the
+    per-channel (x/255 - mean)/std normalization is folded into the patch
+    matrix (ops/nn.py patch_embed_affine), removing a full image-tensor pass
+    from the hot path. Without it, `images` must already be normalized.
     """
-    x = images.astype(compute_dtype)
-    x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
+    if input_norm is not None:
+        mean, std = input_norm
+        x = vnn.patch_embed_affine(images, params["patch_w"],
+                                   params["patch_b"], cfg.patch,
+                                   mean=mean, std=std,
+                                   compute_dtype=compute_dtype)
+    else:
+        x = images.astype(compute_dtype)
+        x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
     B = x.shape[0]
     cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
     x = jnp.concatenate([cls, x], axis=1)
@@ -185,10 +223,11 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
 
 def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
                  use_pallas: bool | None = None,
+                 input_norm: tuple | None = None,
                  compute_dtype=jnp.float32) -> jax.Array:
     """ViT classifier logits [B, num_classes] from the CLS token."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
-                        compute_dtype=compute_dtype)
+                        input_norm=input_norm, compute_dtype=compute_dtype)
     cls = tokens[:, 0]
     logits = vnn.dense(cls, params["head_w"], params["head_b"])
     return logits.astype(jnp.float32)
@@ -196,12 +235,13 @@ def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
 
 def forward_features(params: dict, images: jax.Array, cfg: ViTConfig, *,
                      pool: str = "token", use_pallas: bool | None = None,
+                     input_norm: tuple | None = None,
                      compute_dtype=jnp.float32) -> jax.Array:
     """timm forward_features + pooling, used for ViT RSA embeddings
     (reference compute_rsa_score, measure...effect.py:309-322):
     pool='token' -> CLS token; pool='avg' -> mean of patch tokens."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
-                        compute_dtype=compute_dtype)
+                        input_norm=input_norm, compute_dtype=compute_dtype)
     if pool == "avg":
         return tokens[:, 1:].mean(axis=1)
     return tokens[:, 0]

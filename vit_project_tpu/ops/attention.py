@@ -259,6 +259,204 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return mha_fused_xla(q, k, v, causal=causal)
 
 
+# ---------------------------------------------------------------------------
+# Layout-native packed flash attention (the production TPU path).
+#
+# Takes q/k/v in the PACKED [B, S, D] layout the projections naturally emit
+# (heads are dh-lane slices of D), so no [B,S,H,dh] -> [B,H,S,dh] relayout is
+# ever materialized in HBM — on v5e those boundary transposes cost more than
+# the kernel saves (measured: a [G,S,dh]-layout kernel LOST 30 ms/step to
+# them, BENCHLOG.md round 2). One grid program per batch element computes all
+# H heads: bf16 MXU dots with f32 accumulation, f32 online softmax, and
+# out-of-range rows/cols handled by in-kernel masks instead of padded copies.
+# The backward recomputes p in-kernel (flash-style: no [S,S] residual is ever
+# written to HBM, killing the ~240 MB/layer probability tensor XLA's lowering
+# stores). Measured on v5e at ViT-B/16 batch 256: 280 -> 231 ms/step vs the
+# fused-XLA path (874 -> 1107 img/s).
+#
+# q must be PRESCALED by 1/sqrt(dh) (the caller folds the scale into the
+# q-projection weights, saving an [B,S,D] elementwise pass).
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, S: int,
+                      Sq: int, causal: bool):
+    dh = q_ref.shape[-1] // heads
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
+        kmask = jnp.logical_and(kmask, col <= row)
+    vmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = jnp.where(vmask, v_ref[0, :, sl], 0)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kmask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e * (1.0 / r)).astype(v.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                      heads: int, S: int, Sq: int, causal: bool):
+    dh = q_ref.shape[-1] // heads
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
+        kmask = jnp.logical_and(kmask, col <= row)
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        # out-of-range block rows read unspecified bits: zero them so they
+        # cannot poison the dk/dv accumulations (0-masked do rows already
+        # zero every padded row's contribution algebraically).
+        q = jnp.where(rmask, q_ref[0, :, sl], 0)
+        k = jnp.where(rmask, k_ref[0, :, sl], 0)
+        v = jnp.where(rmask, v_ref[0, :, sl], 0)
+        do = jnp.where(rmask, do_ref[0, :, sl], 0)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kmask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        p = e * (1.0 / r)                                  # f32 [Sq, Sq]
+        pb = p.astype(do.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        c = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - c)).astype(do.dtype)
+        # s = qs @ k^T with qs already prescaled, so the cotangents are
+        # exactly dqs = ds @ k and dk = ds^T @ qs — no extra scale anywhere.
+        dq_ref[0, :, sl] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                            ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_calls(B: int, S: int, D: int, heads: int, causal: bool,
+                 dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    Sq = _round_up(S, sub)
+    dh = D // heads
+    spec = pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((B, S, D), dtype)
+
+    fwd = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, heads=heads, S=S, Sq=Sq,
+                          causal=causal),
+        grid=(B,),
+        in_specs=[spec] * 3, out_specs=spec, out_shape=shp,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * Sq * Sq * dh,
+            bytes_accessed=8 * B * S * D * dtype.itemsize,
+            transcendentals=B * heads * Sq * Sq),
+    )
+    bwd = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, heads=heads, S=S, Sq=Sq,
+                          causal=causal),
+        grid=(B,),
+        in_specs=[spec] * 4, out_specs=(spec,) * 3,
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * heads * Sq * Sq * dh,
+            bytes_accessed=14 * B * S * D * dtype.itemsize,
+            transcendentals=B * heads * Sq * Sq),
+    )
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_mha_packed_fn(heads: int, causal: bool, interpret: bool):
+    @jax.custom_vjp
+    def f(qs, k, v):
+        fwd, _ = _flash_calls(qs.shape[0], qs.shape[1], qs.shape[2], heads,
+                              causal, qs.dtype.name, interpret)
+        return fwd(qs, k, v)
+
+    def f_fwd(qs, k, v):
+        return f(qs, k, v), (qs, k, v)
+
+    def f_bwd(res, do):
+        qs, k, v = res
+        _, bwd = _flash_calls(qs.shape[0], qs.shape[1], qs.shape[2], heads,
+                              causal, qs.dtype.name, interpret)
+        dq, dk, dv = bwd(qs, k, v, do.astype(qs.dtype))
+        return dq, dk, dv
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def flash_mha_packed(q_scaled: jax.Array, k: jax.Array, v: jax.Array, *,
+                     num_heads: int, causal: bool = False,
+                     interpret: bool | None = None) -> jax.Array:
+    """Fused MHSA core on packed [B, S, D] tensors (heads = lane slices).
+
+    q_scaled MUST already include the 1/sqrt(dh) score scale (fold it into
+    the q-projection weight+bias). Returns [B, S, D]. Differentiable via a
+    flash-style recompute backward (no [S,S] residual)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_mha_packed_fn(num_heads, causal, interpret)(q_scaled, k, v)
+
+
+def mha_fused_xla_bshd(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                       causal: bool = False) -> jax.Array:
+    """Head-batched attention directly on [B, S, H, Dh] tensors.
+
+    Same math as mha_fused_xla, but the head dimension is contracted in place
+    by the batched einsums so no explicit [B,S,H,Dh] -> [B,H,S,Dh] transpose
+    is ever materialized (XLA folds the layout into the matmul operand reads).
+    """
+    dh = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (1.0 / dh ** 0.5)
+    sf = s.astype(jnp.float32)
+    if causal:
+        S = q.shape[1]
+        sf = jnp.where(jnp.tril(jnp.ones((S, S), dtype=bool)), sf, _NEG_INF)
+    m = jnp.max(sf, axis=-1, keepdims=True)
+    e = jnp.exp(sf - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def attention_core_bshd(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                        causal: bool = False,
+                        use_pallas: bool | None = None) -> jax.Array:
+    """Attention over [B, S, H, Dh] tensors (head-minor layout).
+
+    This is the hot-path entry used by the ViT/CLIP blocks: the projections
+    emit q/k/v head-minor and the output feeds the out-projection after a free
+    reshape, so no head transposes appear in the compiled step. The Pallas
+    opt-in transposes at the boundary (the kernel wants [B, H, S, Dh])."""
+    if use_pallas:
+        o = _mha_pallas(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                        v.transpose(0, 2, 1, 3), causal)
+        return o.transpose(0, 2, 1, 3)
+    return mha_fused_xla_bshd(q, k, v, causal=causal)
+
+
 def multi_head_attention(x: jax.Array, p: dict, num_heads: int, *,
                          causal: bool = False,
                          use_pallas: bool | None = None) -> jax.Array:

@@ -82,6 +82,34 @@ def patch_embed(images: jax.Array, w: jax.Array, b: jax.Array | None,
     return dense(x, w, b)
 
 
+def patch_embed_affine(images_raw: jax.Array, w: jax.Array,
+                       b: jax.Array | None, patch: int, *,
+                       mean, std, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Patchify + embed with per-channel input normalization FOLDED INTO the
+    patch matrix: ((x/255 - mean)/std) @ W + b  ==  x @ (a*W) + (b + pix_b@W)
+    with a_c = 1/(255*std_c), pix_b_c = -mean_c/std_c.
+
+    images_raw: [B, H, W, 3] in raw uint8 scale (uint8 or float 0..255).
+    Saves the separate normalize pass over the image tensor AND expresses the
+    patchify transpose as einsum labels so XLA folds it into the matmul's
+    operand reads instead of materializing a relayout (measured on v5e,
+    BENCHLOG.md). Replaces normalize_imagenet + patch_embed on the hot path.
+    """
+    B, H, W, C = images_raw.shape
+    gh, gw = H // patch, W // patch
+    D = w.shape[-1]
+    a = 1.0 / (255.0 * jnp.asarray(std, jnp.float32))          # [C]
+    pix_b = -jnp.asarray(mean, jnp.float32) / jnp.asarray(std, jnp.float32)
+    w4 = w.reshape(patch * patch, C, D)
+    wf = (w4 * a[None, :, None]).reshape(patch, patch, C, D)
+    bias = jnp.einsum("c,pcd->d", pix_b, w4)
+    if b is not None:
+        bias = bias + b
+    x = images_raw.reshape(B, gh, patch, gw, patch, C).astype(compute_dtype)
+    t = jnp.einsum("bhpwqc,pqcd->bhwd", x, wf.astype(compute_dtype))
+    return (t + bias.astype(compute_dtype)).reshape(B, gh * gw, D)
+
+
 def conv_kernel_to_patch_matrix(kernel: np.ndarray) -> np.ndarray:
     """Convert a torch conv kernel [D, C, p, p] to our [p*p*C, D] patch matrix.
 

@@ -59,8 +59,11 @@ class ViTTrainer:
             wd = self.cfg.weight_decay
             epsilon_default = 0.1
 
-            def loss_fn(params, images, labels):
+            image_perturb = perturbation_type in ("gaussian", "uniform_gray")
+
+            def loss_fn(params, images, labels, *, input_norm):
                 logits = vvit.vit_classify(params, images, vit_cfg,
+                                           input_norm=input_norm,
                                            compute_dtype=cdt)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32))
                 ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
@@ -68,13 +71,22 @@ class ViTTrainer:
 
             def step(params, momentum_buf, images_u8, labels, lr, pkey,
                      epsilon=epsilon_default):
-                images = dimg.normalize_imagenet(images_u8)
-                images, labels = injectors.apply_vit_perturbation(
-                    perturbation_type if perturbation_type in
-                    ("gaussian", "uniform_gray") else None,
-                    pkey, images, labels, epsilon=epsilon)
-                loss, grads = jax.value_and_grad(loss_fn)(params, images,
-                                                          labels)
+                if image_perturb:
+                    # image injectors are defined in NORMALIZED space
+                    # (reference GaussianNoiseTransform / UniformGrayTransform,
+                    # measure...effect.py:36-60) — keep the explicit
+                    # normalize pass so their semantics are byte-identical.
+                    images = dimg.normalize_imagenet(images_u8)
+                    images, labels2 = injectors.apply_vit_perturbation(
+                        perturbation_type, pkey, images, labels,
+                        epsilon=epsilon)
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, images, labels2, input_norm=None)
+                else:
+                    # hot path: normalization folded into the patch matrix
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        params, images_u8, labels,
+                        input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD))
                 # torch SGD: g += wd*p ; buf = m*buf + g ; p -= lr*buf
                 new_buf = jax.tree_util.tree_map(
                     lambda p, g, b: momentum * b + (g + wd * p),
@@ -91,9 +103,10 @@ class ViTTrainer:
         vit_cfg, cdt = self.vit_cfg, self.compute_dtype
 
         def step(params, images_u8, labels, valid):
-            images = dimg.normalize_imagenet(images_u8)
-            logits = vvit.vit_classify(params, images, vit_cfg,
-                                       compute_dtype=cdt)
+            logits = vvit.vit_classify(
+                params, images_u8, vit_cfg,
+                input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD),
+                compute_dtype=cdt)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             pred = jnp.argmax(logits, axis=-1)
@@ -107,9 +120,10 @@ class ViTTrainer:
         vit_cfg, cdt = self.vit_cfg, self.compute_dtype
 
         def step(params, images_u8):
-            images = dimg.normalize_imagenet(images_u8)
-            return vvit.forward_features(params, images, vit_cfg,
-                                         pool="token", compute_dtype=cdt)
+            return vvit.forward_features(
+                params, images_u8, vit_cfg, pool="token",
+                input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD),
+                compute_dtype=cdt)
 
         return jax.jit(step)
 
