@@ -1,0 +1,121 @@
+"""Multi-host data path: loader sharding (DistributedSampler semantics) and
+the dataset-order RSA gather.
+
+The sharding logic itself is pure Python/numpy, so it is tested directly for
+N processes without spawning them; the true 2-process jax.distributed CPU
+drive (examples/multihost_cpu_demo.py) is exercised end-to-end as a
+subprocess in TestTwoProcessDistributed.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from vit_project_tpu.data.imagenet import ImageFolderLoader
+from vit_project_tpu.parallel import dist
+
+
+@pytest.fixture(scope="module")
+def folder(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("shardfolder")
+    rs = np.random.RandomState(0)
+    for ci, cls in enumerate(("a", "b", "c")):
+        d = root / cls
+        os.makedirs(d)
+        for i in range(7):  # 21 images, deliberately not divisible by shards
+            Image.fromarray(rs.randint(0, 255, (16, 16, 3),
+                                       dtype=np.uint8)).save(d / f"{i}.png")
+    return str(root)
+
+
+class TestLoaderSharding:
+    def _collect(self, loader, epoch):
+        labels = []
+        for _, lb in loader.epoch(epoch):
+            labels.append(lb)
+        return np.concatenate(labels) if labels else np.zeros(0, np.int32)
+
+    def _indices(self, root, num_shards, shard_id, epoch, train=True):
+        ld = ImageFolderLoader(root, 4, train=train, seed=3,
+                               num_shards=num_shards, shard_id=shard_id)
+        n = len(ld.paths)
+        if train:
+            rng = np.random.Generator(np.random.PCG64([3, epoch]))
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        total = ld._shard_len() * num_shards
+        if total > n:
+            order = np.concatenate([order, order[:total - n]])
+        return order[shard_id::num_shards]
+
+    def test_shards_cover_dataset_with_wrap_padding(self, folder):
+        # reference DistributedSampler: shards are equal-size, disjoint up to
+        # the wrapped tail, and their union covers every sample
+        all_idx = [self._indices(folder, 4, s, epoch=1) for s in range(4)]
+        sizes = {len(ix) for ix in all_idx}
+        assert len(sizes) == 1                      # equal per-shard counts
+        union = np.concatenate(all_idx)
+        assert len(union) == 24                     # 21 wrapped up to 24
+        assert set(union.tolist()) == set(range(21))  # full coverage
+
+    def test_shard_batches_match_index_contract(self, folder):
+        ld = ImageFolderLoader(folder, 4, train=True, seed=3,
+                               num_shards=2, shard_id=1)
+        got = self._collect(ld, epoch=2)
+        want_idx = self._indices(folder, 2, 1, epoch=2)
+        assert np.array_equal(got, ld.labels[want_idx])
+
+    def test_single_shard_unchanged(self, folder):
+        a = ImageFolderLoader(folder, 4, train=True, seed=3)
+        b = ImageFolderLoader(folder, 4, train=True, seed=3,
+                              num_shards=1, shard_id=0)
+        np.testing.assert_array_equal(self._collect(a, 0), self._collect(b, 0))
+
+    def test_val_shards_are_strided_dataset_order(self, folder):
+        idx0 = self._indices(folder, 3, 0, epoch=0, train=False)
+        assert np.array_equal(idx0, np.arange(0, 21, 3))
+        idx1 = self._indices(folder, 3, 1, epoch=0, train=False)
+        assert np.array_equal(idx1, np.arange(1, 21, 3))
+
+
+class TestOrderedGather:
+    def test_single_process_passthrough(self):
+        x = np.arange(12).reshape(6, 2)
+        out = dist.ordered_allgather_strided(x, 5)
+        np.testing.assert_array_equal(out, x[:5])
+
+    def test_interleave_reconstruction_math(self):
+        # simulate what process_allgather returns for 3 strided shards and
+        # check the reorder restores dataset order (the reference's rank-
+        # order concatenation does NOT — SURVEY.md section 0 defect)
+        n, P = 10, 3
+        data = np.arange(n * 4).reshape(n, 4)
+        per = (n + P - 1) // P
+        shards = []
+        for p in range(P):
+            idx = np.arange(p, P * per, P) % n
+            shards.append(data[idx])
+        stacked = np.stack(shards)                   # [P, per, 4]
+        out = np.swapaxes(stacked, 0, 1).reshape(-1, 4)[:n]
+        np.testing.assert_array_equal(out, data)
+
+
+class TestTwoProcessDistributed:
+    def test_multihost_cpu_demo_end_to_end(self):
+        """Spawns 2 coordinated jax.distributed CPU processes: disjoint
+        loader shards -> global dp train step (XLA grad all-reduce) ->
+        dataset-order RSA gather equal to the single-process oracle."""
+        import pathlib
+        import subprocess
+        import sys
+        demo = pathlib.Path(__file__).resolve().parents[1] / "examples" / \
+            "multihost_cpu_demo.py"
+        env = dict(os.environ, MH_DEMO_PORT="49745")
+        env.pop("XLA_FLAGS", None)  # workers set their own device count
+        env.pop("JAX_PLATFORMS", None)
+        out = subprocess.run([sys.executable, str(demo)], env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "multihost_cpu_demo: OK" in out.stdout

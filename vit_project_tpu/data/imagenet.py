@@ -114,9 +114,19 @@ class ImageFolderLoader:
                  seed: int = 0, size: int = 224, workers: int = 16,
                  prefetch: int = 4, drop_last: bool = False,
                  label_table: np.ndarray | None = None,
-                 use_native: bool = False):
+                 use_native: bool = False,
+                 num_shards: int = 1, shard_id: int = 0):
         self.paths, self.labels, self.classes = scan_image_folder(root)
         self.batch_size = batch_size
+        # Multi-host sharding with reference DistributedSampler semantics
+        # (train_vit_sgd.py:58-66): every shard sees the same seeded global
+        # permutation, takes indices shard_id::num_shards after wrap-padding
+        # the order to a multiple of num_shards, so shards are disjoint (up
+        # to the <num_shards wrapped samples) and equally sized.
+        # batch_size is the PER-SHARD (per-host) batch.
+        assert 0 <= shard_id < num_shards
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.train = train
         self.seed = seed
         self.size = size
@@ -136,8 +146,14 @@ class ImageFolderLoader:
                                    "built (make -C native)")
         self.use_native = use_native
 
-    def __len__(self):
+    def _shard_len(self):
         n = len(self.paths)
+        if self.num_shards == 1:
+            return n
+        return (n + self.num_shards - 1) // self.num_shards
+
+    def __len__(self):
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -156,6 +172,12 @@ class ImageFolderLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
+        if self.num_shards > 1:
+            total = self._shard_len() * self.num_shards
+            if total > n:  # wrap-pad like torch DistributedSampler
+                order = np.concatenate([order, order[:total - n]])
+            order = order[self.shard_id::self.num_shards]
+            n = len(order)
         end = n - n % self.batch_size if self.drop_last else n
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

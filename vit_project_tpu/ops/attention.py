@@ -282,20 +282,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, S: int,
-                      Sq: int, causal: bool):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int,
+                      S: int, Sq: int, causal: bool):
     dh = q_ref.shape[-1] // heads
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
         kmask = jnp.logical_and(kmask, col <= row)
-    vmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]
+        # out-of-range block rows read unspecified bits; zero q so the stored
+        # log-sum-exp stats stay finite (the backward replays them).
+        q = jnp.where(rmask, q_ref[0, :, sl], 0)
         k = k_ref[0, :, sl]
-        v = jnp.where(vmask, v_ref[0, :, sl], 0)
+        v = jnp.where(rmask, v_ref[0, :, sl], 0)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(kmask, s, _NEG_INF)
@@ -305,10 +307,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, S: int,
         p = (e * (1.0 / r)).astype(v.dtype)
         o_ref[0, :, sl] = jnp.dot(
             p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        lse_ref[0, :, h] = (m + jnp.log(r))[:, 0]
 
 
-def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                      heads: int, S: int, Sq: int, causal: bool):
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dq_ref, dk_ref,
+                      dv_ref, *, heads: int, S: int, Sq: int, causal: bool):
     dh = q_ref.shape[-1] // heads
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
     if causal:
@@ -328,10 +331,11 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(kmask, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = jnp.sum(e, axis=-1, keepdims=True)
-        p = e * (1.0 / r)                                  # f32 [Sq, Sq]
+        # replay the forward's log-sum-exp stats: p = exp(s - lse) without
+        # recomputing the max/sum reductions (measured ~7 ms/step at
+        # ViT-B/16 b256, BENCHLOG.md)
+        lse = lse_ref[0, :, h][:, None]
+        p = jnp.exp(s - lse)                               # f32 [Sq, Sq]
         pb = p.astype(do.dtype)
         dv_ref[0, :, sl] = jax.lax.dot_general(
             pb, do, (((0,), (0,)), ((), ())),
@@ -358,13 +362,16 @@ def _flash_calls(B: int, S: int, D: int, heads: int, causal: bool,
     dh = D // heads
     spec = pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, Sq, heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((B, S, D), dtype)
+    lshp = jax.ShapeDtypeStruct((B, Sq, heads), jnp.float32)
 
     fwd = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, heads=heads, S=S, Sq=Sq,
                           causal=causal),
         grid=(B,),
-        in_specs=[spec] * 3, out_specs=spec, out_shape=shp,
+        in_specs=[spec] * 3, out_specs=(spec, lspec), out_shape=(shp, lshp),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * heads * Sq * Sq * dh,
@@ -375,7 +382,7 @@ def _flash_calls(B: int, S: int, D: int, heads: int, causal: bool,
         functools.partial(_flash_bwd_kernel, heads=heads, S=S, Sq=Sq,
                           causal=causal),
         grid=(B,),
-        in_specs=[spec] * 4, out_specs=(spec,) * 3,
+        in_specs=[spec] * 4 + [lspec], out_specs=(spec,) * 3,
         out_shape=(shp, shp, shp),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -392,16 +399,19 @@ def _flash_mha_packed_fn(heads: int, causal: bool, interpret: bool):
     def f(qs, k, v):
         fwd, _ = _flash_calls(qs.shape[0], qs.shape[1], qs.shape[2], heads,
                               causal, qs.dtype.name, interpret)
-        return fwd(qs, k, v)
+        return fwd(qs, k, v)[0]
 
     def f_fwd(qs, k, v):
-        return f(qs, k, v), (qs, k, v)
+        fwd, _ = _flash_calls(qs.shape[0], qs.shape[1], qs.shape[2], heads,
+                              causal, qs.dtype.name, interpret)
+        o, lse = fwd(qs, k, v)
+        return o, (qs, k, v, lse)
 
     def f_bwd(res, do):
-        qs, k, v = res
+        qs, k, v, lse = res
         _, bwd = _flash_calls(qs.shape[0], qs.shape[1], qs.shape[2], heads,
                               causal, qs.dtype.name, interpret)
-        dq, dk, dv = bwd(qs, k, v, do.astype(qs.dtype))
+        dq, dk, dv = bwd(qs, k, v, do.astype(qs.dtype), lse)
         return dq, dk, dv
 
     f.defvjp(f_fwd, f_bwd)

@@ -49,3 +49,28 @@ def barrier(name: str = "barrier"):
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices(name)
+
+
+def ordered_allgather_strided(local, n_total: int):
+    """Gather per-process rows back into DATASET order.
+
+    Each process holds the rows of a strided shard: process p computed
+    dataset indices p, p+P, p+2P, ... (the ImageFolderLoader num_shards
+    contract, wrap-padded so every process holds the same count). Gathers all
+    shards and interleaves them so row i of the result is dataset item i,
+    then trims the wrap padding to n_total rows.
+
+    This FIXES the reference's RSA gather defect (SURVEY.md section 0): its
+    all_gather concatenates rank shards in rank order and takes [:48], so the
+    rows do not match the reference-RDM image order under an interleaving
+    DistributedSampler (measure_single_epoch_perturbation_effect.py:327-334).
+    """
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(local)[:n_total]
+    from jax.experimental import multihost_utils
+    stacked = multihost_utils.process_allgather(np.asarray(local))
+    # stacked: [P, per_shard, ...] -> interleave: dataset idx = p + P*j
+    out = np.swapaxes(np.asarray(stacked), 0, 1).reshape(
+        (-1,) + stacked.shape[2:])
+    return out[:n_total]

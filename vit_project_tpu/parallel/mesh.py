@@ -39,8 +39,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch onto the mesh, leading axis split over 'data'."""
+    """Place a host batch onto the mesh, leading axis split over 'data'.
+
+    Single-process: plain device_put with a data-sharded layout. Multi-host
+    (TPU pod, one process per host): the argument is this PROCESS'S shard of
+    the global batch (see ImageFolderLoader num_shards/shard_id) and is
+    assembled into the global array across hosts — the jax equivalent of the
+    reference feeding each DDP rank its DistributedSampler shard
+    (train_vit_sgd.py:58-66)."""
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 

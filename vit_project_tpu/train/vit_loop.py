@@ -172,14 +172,16 @@ class ViTTrainer:
         nb = 0
         n_dev = self.mesh.devices.size
         for images_u8, labels in loader.epoch(0):
-            b = len(labels)
             (images_u8, labels), real = vmesh.pad_to_multiple(
                 (images_u8, labels), n_dev)
             valid = (np.arange(len(labels)) < real).astype(np.float32)
+            valid_arr = vmesh.shard_batch(self.mesh, valid)
             images_u8, labels = self.shard(images_u8, labels)
-            ls, c, n = self._eval_step(params, images_u8, labels,
-                                       jnp.asarray(valid))
-            tot_loss += float(ls) / b
+            ls, c, n = self._eval_step(params, images_u8, labels, valid_arr)
+            # per-batch average over the GLOBAL valid count (the reference's
+            # per-rank average + unnormalized SUM all_reduce defect is fixed
+            # here: one global sum / one global count, train_vit_sgd.py:193-196)
+            tot_loss += float(ls) / max(float(n), 1.0)
             nb += 1
             tot_correct += float(c)
             tot_n += float(n)
@@ -192,12 +194,26 @@ class ViTTrainer:
                           reference_rdm: np.ndarray,
                           batch_size: int = 8) -> tuple[float, float]:
         """forward_features CLS embeddings in dataset order -> RDM -> Spearman
-        (reference compute_rsa_score, measure...effect.py:298-355)."""
+        (reference compute_rsa_score, measure...effect.py:298-355).
+
+        Multi-host: each process embeds its strided shard (indices p::P,
+        wrap-padded to equal counts) and the shards are gathered back into
+        dataset order — fixing the reference's rank-order concatenation
+        defect (measure...effect.py:327-334, SURVEY.md section 0)."""
+        from ..parallel import dist
+        n = len(things_images_u8)
+        P_ = jax.process_count()
+        if P_ > 1:
+            per = (n + P_ - 1) // P_
+            idx = np.arange(jax.process_index(), P_ * per, P_) % n
+            my_images = things_images_u8[idx]
+        else:
+            my_images = things_images_u8
         embs = []
-        for s in range(0, len(things_images_u8), batch_size):
+        for s in range(0, len(my_images), batch_size):
             embs.append(np.asarray(self._feature_step(
-                params, jnp.asarray(things_images_u8[s:s + batch_size]))))
-        emb = np.concatenate(embs)[:48]
+                params, jnp.asarray(my_images[s:s + batch_size]))))
+        emb = dist.ordered_allgather_strided(np.concatenate(embs), n)[:48]
         rho, p, _ = vrsa.behavioral_rsa(jnp.asarray(emb),
                                         jnp.asarray(reference_rdm))
         return float(rho), float(p)
@@ -216,12 +232,13 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         patch=16, width=768, layers=12, heads=12,
         image_size=cfg.image_size, num_classes=cfg.num_classes)
 
+    proc_id, proc_count = dist.setup_distributed()
     mesh = vmesh.make_mesh()
     n_dev = mesh.devices.size
     log("=" * 60)
     log("ViT-Base ImageNet Training (SGD)")
     log("=" * 60)
-    log(f"Devices (data mesh): {n_dev}")
+    log(f"Devices (data mesh): {n_dev}  processes: {proc_count}")
     log(f"Global batch size: {cfg.batch_size}")
     log(f"Total epochs: {cfg.epochs}")
     log(f"Optimizer: SGD lr={cfg.lr} momentum={cfg.momentum} "
@@ -237,14 +254,22 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     scheduler = CosineAnnealingLRWithWarmup(cfg.lr, cfg.warmup_epochs,
                                             cfg.epochs)
 
+    # Each process loads only its strided shard and feeds its local batch
+    # (cfg.batch_size is GLOBAL); shard_batch assembles the global array
+    # (reference DistributedSampler + per-rank loaders, train_vit_sgd.py:58-66)
+    assert cfg.batch_size % proc_count == 0, (
+        f"global batch {cfg.batch_size} must divide by {proc_count} processes")
+    local_bs = cfg.batch_size // proc_count
     train_loader = dimg.ImageFolderLoader(
-        f"{cfg.data_path}/train", cfg.batch_size, train=True,
+        f"{cfg.data_path}/train", local_bs, train=True,
         seed=cfg.random_seed, size=cfg.image_size, workers=cfg.num_workers,
-        drop_last=True, use_native=cfg.use_native_loader)
+        drop_last=True, use_native=cfg.use_native_loader,
+        num_shards=proc_count, shard_id=proc_id)
     val_loader = dimg.ImageFolderLoader(
-        f"{cfg.data_path}/val", cfg.batch_size, train=False,
+        f"{cfg.data_path}/val", local_bs, train=False,
         size=cfg.image_size, workers=cfg.num_workers,
-        use_native=cfg.use_native_loader)
+        use_native=cfg.use_native_loader,
+        num_shards=proc_count, shard_id=proc_id)
     log(f"Data loaded. Train batches: {len(train_loader)}, "
         f"Val batches: {len(val_loader)}")
 
