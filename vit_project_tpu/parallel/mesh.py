@@ -60,18 +60,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def shard_vit_params_tp(mesh: Mesh, params: dict) -> dict:
+def shard_vit_params_tp(mesh: Mesh, params: dict,
+                        heads: int | None = None) -> dict:
     """Megatron-style tensor-parallel placement of ViT block weights over the
     'model' axis of a ('data', 'model') mesh.
 
-    fc1 / qkv are column-sharded (out dim), fc2 / out_proj row-sharded (in dim):
-    the contraction pattern XLA resolves with one all-reduce per block, riding
-    ICI. Everything else (LN, embeddings, head) is replicated. The reference has
-    no TP (SURVEY.md section 2.2) — this is forward-looking capability for
-    models whose activations outgrow one chip's HBM.
+    fc1 is column-sharded (out dim), fc2 / out_proj row-sharded (in dim): the
+    contraction pattern XLA resolves with one all-reduce per block, riding
+    ICI. The packed qkv weight [D, 3D] is stored **head-aligned** as [D, 3, D]
+    with the trailing D (= heads*dh, head-major) sharded over 'model', so each
+    model-shard holds WHOLE heads of q, k, AND v — sharding a flat [D, 3D]
+    column axis instead puts all of q on shard 0 and forces GSPMD to
+    re-gather it (block_forward slices w3[:, 0]). The forward's
+    `qkv_w.reshape(D, 3, D)` is a no-op on this layout, and the reshape
+    [D, D] -> [D, heads, dh] propagates the shard cleanly because the chunk
+    boundary falls on a head boundary (requires n_model | heads — pass
+    `heads` to assert it). Everything else (LN, embeddings, head) is
+    replicated. The reference has no TP (SURVEY.md section 2.2) — this is
+    forward-looking capability for models whose activations outgrow one
+    chip's HBM. Compiled-HLO check: tests/test_data_perturb.py
+    test_tp_forward_hlo_has_no_gather.
     """
     if "model" not in mesh.axis_names:
         return replicate(mesh, params)
+    n_model = mesh.shape["model"]
+    if heads is not None and heads % n_model != 0:
+        raise ValueError(f"model axis ({n_model}) must divide heads ({heads}) "
+                         "for head-aligned qkv sharding")
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -83,9 +98,14 @@ def shard_vit_params_tp(mesh: Mesh, params: dict) -> dict:
     def shard_block(bp: dict) -> dict:
         out = {}
         for k, v in bp.items():
-            if k in ("qkv_w", "fc1_w"):
+            if k == "qkv_w":
+                D = v.shape[0]
+                out[k] = put(v.reshape(D, 3, D), P(None, None, "model"))
+            elif k == "qkv_b":
+                out[k] = put(v.reshape(3, -1), P(None, "model"))
+            elif k == "fc1_w":
                 out[k] = put(v, col)
-            elif k in ("qkv_b", "fc1_b"):
+            elif k == "fc1_b":
                 out[k] = put(v, P("model"))
             elif k in ("out_w", "fc2_w"):
                 out[k] = put(v, row)

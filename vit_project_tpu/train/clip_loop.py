@@ -198,6 +198,27 @@ class ClipHBATrainer:
             self._steps[key] = jax.jit(step, donate_argnums=(0, 1))
         return self._steps[key]
 
+    def _prep_idx_mat(self, batch_list, batch_size: int):
+        """[n_batches, padded_width] index + valid matrices for the epoch
+        scan. Data-parallel: the width is padded to a multiple of the device
+        count and the trailing axis is sharded over 'data', so each scan step
+        gathers/computes only its shard (GSPMD propagates the placement
+        through the whole scanned program — grad/metric reductions become
+        psums over ICI)."""
+        width = batch_size
+        if self.mesh is not None:
+            width = -(-batch_size // self.n_dev) * self.n_dev
+        idx_mat = np.zeros((len(batch_list), width), np.int32)
+        valid_mat = np.zeros((len(batch_list), width), np.float32)
+        for i, b in enumerate(batch_list):
+            idx_mat[i, :len(b)] = b
+            valid_mat[i, :len(b)] = 1.0
+        if self.mesh is None:
+            return jnp.asarray(idx_mat), jnp.asarray(valid_mat)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = NamedSharding(self.mesh, P(None, "data"))
+        return jax.device_put(idx_mat, s), jax.device_put(valid_mat, s)
+
     def _epoch_scan(self, perturb_type: str):
         """One compiled program for a WHOLE training epoch.
 
@@ -207,7 +228,10 @@ class ClipHBATrainer:
         Per-batch perturbation keys fold the traced batch index into the
         (perturb_seed + training_run*1000) base, so the stream is identical to
         the per-step path and to the reference's seed arithmetic.
-        Not mesh-ready yet: the dp path keeps per-step dispatches.
+        Mesh-ready: with a data mesh, feed idx/valid matrices sharded
+        P(None, 'data') (see _prep_idx_mat) — the batch axis of every step in
+        the scan is then partitioned over devices and XLA inserts the gradient
+        all-reduces, same as the per-step dp path.
         """
         key = ("epoch", perturb_type)
         if key not in self._steps:
@@ -430,20 +454,19 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         batch_list = list(shuffler.batches(epoch))
         sizes = np.array([len(b) for b in batch_list])
         dropout_epoch_key = jax.random.fold_in(dropout_root, epoch)
-        if trainer.mesh is None:
-            # whole epoch as ONE compiled scan (see _epoch_scan)
-            idx_mat = np.zeros((len(batch_list), batch_size), np.int32)
-            valid_mat = np.zeros((len(batch_list), batch_size), np.float32)
-            for i, b in enumerate(batch_list):
-                idx_mat[i, :len(b)] = b
-                valid_mat[i, :len(b)] = 1.0
+        if jax.process_count() == 1:
+            # whole epoch as ONE compiled scan (see _epoch_scan); with a data
+            # mesh the idx/valid matrices arrive sharded P(None, 'data') so
+            # the scanned program is itself data-parallel. Multi-host keeps
+            # the per-step path (per-process batch assembly).
+            idx_mat, valid_mat = trainer._prep_idx_mat(batch_list, batch_size)
             epoch_fn = trainer._epoch_scan(kind)
             base_pkey = jax.random.PRNGKey(
                 int(perturb_seed) + int(training_run) * 1000)
             trainable, opt_state, losses, oks = epoch_fn(
                 trainable, opt_state, trainer.params, trainer.static,
-                train_imgs_dev, train_tgts_dev, jnp.asarray(idx_mat),
-                jnp.asarray(valid_mat), dropout_epoch_key, base_pkey)
+                train_imgs_dev, train_tgts_dev, idx_mat,
+                valid_mat, dropout_epoch_key, base_pkey)
             losses = np.asarray(losses)
             oks = np.asarray(oks)
             for bi in np.nonzero(~oks)[0]:
@@ -576,7 +599,9 @@ def run_behavioral_training(config) -> dict:
     reference_rdm = inference.load_reference_rdm()
 
     # model
-    if cfg.clip_weights and os.path.exists(cfg.clip_weights):
+    loaded_pretrained = bool(cfg.clip_weights and
+                             os.path.exists(cfg.clip_weights))
+    if loaded_pretrained:
         from ..models import convert
         sd = convert.load_torch_state_dict(cfg.clip_weights)
         params, clip_cfg = convert.clip_params_from_state_dict(sd)
@@ -593,6 +618,17 @@ def run_behavioral_training(config) -> dict:
     logger.info(f"pos_embedding is {pos_embedding}")
 
     tok = vtok.default_tokenizer(cfg.bpe_vocab)
+    if loaded_pretrained and isinstance(tok, vtok.HashTokenizer):
+        # Guardrail: hash-tokenized prompts are meaningless to a pretrained
+        # text tower and would silently destroy behavioral RSA (the [B,66]
+        # scores come from prompt/image cosine similarity, ref
+        # new_cvpr…pipeline.py:287-304). Point to the fix loudly.
+        logger.warning(
+            "PRETRAINED CLIP WEIGHTS LOADED BUT NO BPE VOCAB FOUND — falling "
+            "back to HashTokenizer. The 66 SPoSE prompts will NOT match the "
+            "pretrained text tower's token space and behavioral RSA will be "
+            "near zero. Pass bpe_vocab=<path to bpe_simple_vocab_16e6.txt.gz> "
+            "or set CLIP_BPE_PATH. See examples/validate_pretrained.py.")
     prompts = vtok.tokenize(classnames66, tokenizer=tok,
                             context_length=clip_cfg.text.context_length)
     prompts = np.minimum(prompts, clip_cfg.text.vocab_size - 1)
