@@ -101,3 +101,51 @@ class TestBaselineCLIWithNod:
             out, "nod_inference_results", "nod_embeddings_epoch1.csv"))
         assert dump.shape == (8, 67)  # image_name + 66 dims
         assert dump.columns[0] == "image_name"
+        # category-RDM archive built from the dumps at run end
+        # (hba_nod_category_rdms_dict.npz parity; SURVEY.md section 0)
+        import numpy as np
+        arc_path = os.path.join(out, "hba_nod_category_rdms_dict.npz")
+        assert os.path.exists(arc_path), arc_path
+        arc = np.load(arc_path, allow_pickle=False)
+        assert "categories" in arc.files
+        C = len(arc["categories"])
+        for e in (1, 2):
+            rdm = arc[f"epoch{e}"]
+            assert rdm.shape == (C, C)
+            np.testing.assert_allclose(np.diag(rdm), 0.0)
+            np.testing.assert_allclose(rdm, rdm.T, atol=1e-6)
+
+
+class TestCategoryRdms:
+    def test_category_rules_and_rdm_math(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        from vit_project_tpu.analysis import category_rdms as cr
+        assert cr.category_of("lemon_01b.jpg") == "lemon"
+        assert cr.category_of("animals/dog/img3.png") == "dog"
+        assert cr.category_of("zebra.jpg") == "zebra"
+
+        rs = np.random.RandomState(0)
+        emb = rs.randn(6, 5).astype(np.float32)
+        cats = ["a", "b", "a", "c", "b", "c"]
+        order, rdm = cr.category_rdm(emb, cats)
+        assert order == ["a", "b", "c"]
+        means = np.stack([emb[[0, 2]].mean(0), emb[[1, 4]].mean(0),
+                          emb[[3, 5]].mean(0)])
+        want = 1 - np.corrcoef(means)
+        np.fill_diagonal(want, 0)
+        np.testing.assert_allclose(rdm, want.astype(np.float32), atol=1e-6)
+
+        # round-trip through dump files + CLI entry
+        d = tmp_path / "dumps"
+        d.mkdir()
+        for e in (1, 3):
+            df = pd.DataFrame(rs.randn(6, 5).astype(np.float32))
+            df.insert(0, "image_name", [f"{c}_{i:02d}.jpg"
+                                        for i, c in enumerate(cats)])
+            df.to_csv(d / f"nod_embeddings_epoch{e}.csv", index=False)
+        out = tmp_path / "arc.npz"
+        assert cr.main([str(d), "-o", str(out)]) == 0
+        arc = np.load(out)
+        assert set(arc.files) == {"categories", "epoch1", "epoch3"}
+        assert arc["epoch3"].shape == (3, 3)

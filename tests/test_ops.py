@@ -298,3 +298,42 @@ class TestFlashMhaPacked:
         la = vvit.vit_classify(p, imgs, cfg, use_pallas=False)
         lb = vvit.vit_classify(p, imgs, cfg, use_pallas=True)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-5)
+
+
+class TestFusedLayerNorm:
+    """layer_norm_fused (Pallas one-pass VJP) vs the XLA layer_norm oracle."""
+
+    @pytest.mark.parametrize("shape,dtype", [
+        ((3, 9, 64), jnp.float32),       # padded tail rows (27 % 256 != 0)
+        ((2, 300, 128), jnp.float32),    # 600 rows -> 3 blocks, padded
+        ((4, 16, 256), jnp.bfloat16),
+    ])
+    def test_matches_reference_fwd_and_grads(self, shape, dtype):
+        from vit_project_tpu.ops import layernorm as vln
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(*shape), dtype)
+        scale = jnp.asarray(1.0 + 0.1 * rs.randn(shape[-1]), jnp.float32)
+        bias = jnp.asarray(0.1 * rs.randn(shape[-1]), jnp.float32)
+        do = jnp.asarray(rs.randn(*shape), jnp.float32)
+
+        y = vln.layer_norm_fused(x, scale, bias)
+        want = vnn.layer_norm(x, scale, bias)
+        tol = 2e-6 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(np.asarray(y, np.float32),
+                                   np.asarray(want, np.float32), atol=tol)
+
+        def loss_fused(x, s, b):
+            return jnp.sum(vln.layer_norm_fused(x, s, b).astype(jnp.float32)
+                           * do)
+
+        def loss_ref(x, s, b):
+            return jnp.sum(vnn.layer_norm(x, s, b).astype(jnp.float32) * do)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+        # dscale/dbias are 100s-of-rows reductions: allow summation-order noise
+        gtol = 1e-4 if dtype == jnp.float32 else 5e-2
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-5, atol=gtol)

@@ -147,3 +147,41 @@ class TestViTTraining:
             99, "gaussian", None, None, out,
             pd.read_csv(baseline_csv), None, None, None, None, {}, 0.1)
         assert r is None
+
+
+class TestShardedCheckpoint:
+    def test_orbax_roundtrip_with_sharding_template(self, tmp_path):
+        """Pod-scale checkpoint path: orbax sharded write + restore against a
+        sharding template must reproduce the tree with placements intact."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from vit_project_tpu.ckpt import serialization as ser
+        from vit_project_tpu.ckpt import vit_ckpt
+        from vit_project_tpu.parallel import mesh as vmesh
+
+        mesh = vmesh.make_mesh()
+        tree = {
+            "params": {"w": vmesh.replicate(mesh, jnp.arange(16.0)
+                                            .reshape(4, 4)),
+                       "b": vmesh.replicate(mesh, jnp.ones(3))},
+            "step": 7,
+        }
+        p = str(tmp_path / "ck.orbax")
+        ser.save_sharded(p, tree)
+        got = ser.load_sharded(p, template=tree)
+        assert int(got["step"]) == 7
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(tree)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert got["params"]["w"].sharding == tree["params"]["w"].sharding
+
+        # save_checkpoint sharded variant + latest_checkpoint preference
+        path = vit_ckpt.save_checkpoint(
+            3, tree["params"], {"mom": tree["params"]}, {"last_epoch": 3},
+            1.0, 2.0, 0.5, str(tmp_path / "out"), sharded=True)
+        assert path.endswith("checkpoint_epoch_003.orbax")
+        latest = vit_ckpt.latest_checkpoint(str(tmp_path / "out"))
+        assert latest.endswith("checkpoint_latest.orbax")
+        ck = vit_ckpt.load_checkpoint(latest)
+        assert int(ck["epoch"]) == 3

@@ -45,6 +45,48 @@ def load(path: str):
         return pickle.load(f)
 
 
+# -- pod-scale (multi-host) checkpointing -------------------------------------
+# The pickle container above is single-host: np.asarray on a multi-host global
+# array is not addressable from one process. On a TPU pod, use the orbax-backed
+# sharded writer: every host writes only its own array shards (OCDBT/tensorstore
+# under the hood), and restore re-assembles global arrays against a sharding
+# template. Replaces the reference's rank-0-only torch.save
+# (train_vit_sgd.py:92-123), which on a pod would have to all-gather first.
+
+def save_sharded(path: str, tree) -> None:
+    """Write `tree` as an orbax sharded checkpoint DIRECTORY at `path`.
+
+    Works single-host too (useful for very large trees); multi-host requires
+    jax.distributed to be initialized (parallel/dist.py)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_sharded(path: str, template=None):
+    """Restore an orbax checkpoint. `template` (a pytree of arrays or
+    jax.ShapeDtypeStruct with .sharding) controls the on-device placement of
+    the restored arrays — pass the current state tree to restore shard-for-
+    shard on a pod; None restores host numpy arrays."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is None:
+        return ckptr.restore(path)
+    import jax
+
+    def _abstract(x):
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=getattr(x, "sharding", None))
+        return x  # scalars / strings restore as-is
+
+    abstract = jax.tree_util.tree_map(_abstract, template)
+    return ckptr.restore(path, abstract)
+
+
 def tree_equal(a, b) -> bool:
     import jax
     la = jax.tree_util.tree_leaves(a)

@@ -5,6 +5,12 @@ Reference contract (save_checkpoint, train_vit_sgd.py:92-123): every epoch write
 optimizer, scheduler (and GradScaler — not needed in bf16) state plus metrics, and
 append one row to `training_metrics.csv`. Auto-resume scans for
 `checkpoint_latest.pth` (ref :320-335).
+
+Pod scale: with `sharded=True` (default when jax.process_count() > 1) the
+array state goes through the orbax sharded writer (every host writes its own
+shards — serialization.save_sharded) into `checkpoint_epoch_{N:03d}.orbax/`
++ `checkpoint_latest.orbax/`, replacing the reference's rank-0-only
+torch.save which would have to all-gather a pod-sharded state first.
 """
 from __future__ import annotations
 
@@ -14,10 +20,18 @@ from . import serialization as ser
 from ..core import csvio
 
 
+def _is_multiprocess() -> bool:
+    import jax
+    return jax.process_count() > 1
+
+
 def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
                     train_loss: float, val_loss: float, val_acc: float,
-                    output_dir: str, logger=None) -> str:
+                    output_dir: str, logger=None,
+                    sharded: bool | None = None) -> str:
     os.makedirs(output_dir, exist_ok=True)
+    if sharded is None:
+        sharded = _is_multiprocess()
     ckpt = {
         "epoch": epoch,
         "params": params,
@@ -27,20 +41,40 @@ def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
         "val_loss": val_loss,
         "val_acc": val_acc,
     }
-    path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.pth")
-    ser.save(path, ckpt)
-    ser.save(os.path.join(output_dir, "checkpoint_latest.pth"), ckpt)
+    if sharded:
+        path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.orbax")
+        ser.save_sharded(path, ckpt)
+        ser.save_sharded(os.path.join(output_dir, "checkpoint_latest.orbax"),
+                         ckpt)
+    else:
+        path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.pth")
+        ser.save(path, ckpt)
+        ser.save(os.path.join(output_dir, "checkpoint_latest.pth"), ckpt)
     if logger:
-        logger.info(f"Saved checkpoint: epoch_{epoch:03d}.pth")
-    csvio.append_vit_row(os.path.join(output_dir, "training_metrics.csv"),
-                         epoch, train_loss, val_loss, val_acc)
+        logger.info(f"Saved checkpoint: {os.path.basename(path)}")
+    # metrics CSV is tiny host data: process 0 only (ref rank-0 gate :92)
+    if not _is_multiprocess() or _process_index() == 0:
+        csvio.append_vit_row(os.path.join(output_dir, "training_metrics.csv"),
+                             epoch, train_loss, val_loss, val_acc)
     return path
 
 
-def load_checkpoint(path: str):
+def _process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def load_checkpoint(path: str, template=None):
+    if path.endswith(".orbax"):
+        return ser.load_sharded(path, template)
     return ser.load(path)
 
 
 def latest_checkpoint(output_dir: str) -> str | None:
-    p = os.path.join(output_dir, "checkpoint_latest.pth")
-    return p if os.path.exists(p) else None
+    """Prefer the sharded checkpoint when both exist (it is the newer format
+    and the only valid one on a pod)."""
+    for name in ("checkpoint_latest.orbax", "checkpoint_latest.pth"):
+        p = os.path.join(output_dir, name)
+        if os.path.exists(p):
+            return p
+    return None

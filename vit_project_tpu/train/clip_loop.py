@@ -89,20 +89,31 @@ class ClipHBATrainer:
         from ..parallel import mesh as vmesh
         return vmesh.replicate(self.mesh, tree)
 
-    def _prep_batch(self, images_u8, targets=None):
+    def _prep_batch(self, images_u8, targets=None, pad_to: int | None = None):
         """Host batch -> device batch (+ valid mask), padded to the device
-        count when data-parallel."""
+        count when data-parallel.
+
+        `pad_to` pads the leading axis to a FIXED size (the configured batch
+        size): streaming callers that see a trailing partial batch then keep
+        one compiled step shape instead of recompiling per distinct size."""
         from ..parallel import mesh as vmesh
         n = len(images_u8)
+        if pad_to is not None and n < pad_to:
+            pad = pad_to - n
+            images_u8 = np.pad(np.asarray(images_u8),
+                               [(0, pad)] + [(0, 0)] * (images_u8.ndim - 1))
+            if targets is not None:
+                targets = np.pad(np.asarray(targets),
+                                 [(0, pad)] + [(0, 0)] * (targets.ndim - 1))
         if self.mesh is None:
-            valid = jnp.ones(n, jnp.float32)
+            valid = (jnp.arange(len(images_u8)) < n).astype(jnp.float32)
             if targets is None:
                 return jnp.asarray(images_u8), None, valid
             return jnp.asarray(images_u8), jnp.asarray(targets), valid
         tree = (np.asarray(images_u8),) if targets is None else (
             np.asarray(images_u8), np.asarray(targets))
-        tree, real = vmesh.pad_to_multiple(tree, self.n_dev)
-        valid = (np.arange(len(tree[0])) < real).astype(np.float32)
+        tree, _ = vmesh.pad_to_multiple(tree, self.n_dev)
+        valid = (np.arange(len(tree[0])) < n).astype(np.float32)
         sharded = vmesh.shard_batch(self.mesh, tree + (valid,))
         if targets is None:
             return sharded[0], None, sharded[1]
@@ -348,7 +359,8 @@ class ClipHBATrainer:
         total, n = 0.0, len(images_u8)
         for s in range(0, n, batch_size):
             bi, bt, valid = self._prep_batch(images_u8[s:s + batch_size],
-                                             targets[s:s + batch_size])
+                                             targets[s:s + batch_size],
+                                             pad_to=batch_size)
             total += float(self._eval_step(trainable, self.params, self.static,
                                            bi, bt, valid))
         return total / n
@@ -748,6 +760,18 @@ def run_behavioral_training(config) -> dict:
         dump_dir=dump_dir, inference_names=inference.names,
         nod_images=nod_images, nod_names=nod_names,
         nod_dump_dir=cfg.nod_dump_dir)
+
+    if cfg.nod_dump_dir and nod_names is not None:
+        # per-epoch category-RDM archive (the reference runs shipped
+        # hba_nod_category_rdms_dict.npz with no producing script —
+        # SURVEY.md section 0; schema defined in analysis/category_rdms.py)
+        from ..analysis import category_rdms
+        arc = category_rdms.save_category_rdms(
+            cfg.nod_dump_dir,
+            os.path.join(os.path.dirname(cfg.nod_dump_dir.rstrip("/")) or ".",
+                         "hba_nod_category_rdms_dict.npz"))
+        if arc:
+            logger.info(f"Wrote NOD category-RDM archive: {arc}")
 
     return {"last_epoch0": last_epoch0,
             "training_res_path": cfg.training_res_path,
