@@ -337,3 +337,49 @@ class TestFusedLayerNorm:
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        rtol=1e-5, atol=gtol)
+
+
+class TestFlashMhaPackedQkv:
+    """Single-tensor packed qkv flash kernel (flash_mha_packed_qkv): one
+    [B,S,3D] input from ONE fused projection, one [B,S,3D] cotangent out."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fwd_and_bwd_match_reference(self, causal):
+        B, S, H, dh = 2, 13, 2, 16           # odd S exercises the tail masks
+        D = H * dh
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        q, k, v, do = [jax.random.normal(kk, (B, S, D)) for kk in ks]
+        scale = 1.0 / dh ** 0.5
+
+        def packed3(q, k, v):
+            qkv = jnp.concatenate([q * scale, k, v], axis=-1)
+            return attn.flash_mha_packed_qkv(qkv, num_heads=H, causal=causal)
+
+        def ref(q, k, v):
+            q4, k4, v4 = (t.reshape(B, S, H, dh).transpose(0, 2, 1, 3)
+                          for t in (q, k, v))
+            o = attn.mha_reference(q4, k4, v4, causal=causal)
+            return o.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+        got = packed3(q, k, v)
+        want = ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        g1 = jax.grad(lambda *a: (packed3(*a) * do).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: (ref(*a) * do).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_matches_three_tensor_kernel(self):
+        B, S, H, dh = 3, 16, 4, 8
+        D = H * dh
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q, k, v = [jax.random.normal(kk, (B, S, D)) for kk in ks]
+        scale = 1.0 / dh ** 0.5
+        a = attn.flash_mha_packed(q * scale, k, v, num_heads=H)
+        b = attn.flash_mha_packed_qkv(
+            jnp.concatenate([q * scale, k, v], axis=-1), num_heads=H)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

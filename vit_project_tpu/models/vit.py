@@ -142,12 +142,15 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        # fold the 1/sqrt(dh) score scale into the q projection
+        # ONE packed projection [D, 3D] (better MXU shape than 3 separate
+        # [D, D] dots; one dW matmul in the backward) with the 1/sqrt(dh)
+        # score scale folded into the q columns
         scale = 1.0 / (dh ** 0.5)
-        qs = vnn.dense(h, w3[:, 0] * scale, b3[0] * scale)
-        k = vnn.dense(h, w3[:, 1], b3[1])
-        v = vnn.dense(h, w3[:, 2], b3[2])
-        o = vattn.flash_mha_packed(qs, k, v, num_heads=heads, causal=causal)
+        colscale = jnp.concatenate([jnp.full((D,), scale, jnp.float32),
+                                    jnp.ones(2 * D, jnp.float32)])
+        qkv = vnn.dense(h, w3.reshape(D, 3 * D) * colscale,
+                        b3.reshape(3 * D) * colscale)
+        o = vattn.flash_mha_packed_qkv(qkv, num_heads=heads, causal=causal)
     else:
         q = (jnp.einsum("bsd,dhe->bshe", h,
                         w3[:, 0].reshape(D, heads, dh).astype(h.dtype))

@@ -431,6 +431,162 @@ def flash_mha_packed(q_scaled: jax.Array, k: jax.Array, v: jax.Array, *,
     return _flash_mha_packed_fn(num_heads, causal, interpret)(q_scaled, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Single-tensor packed qkv flash attention: takes the [B, S, 3D] output of ONE
+# fused qkv projection (q lanes [0:D] PRESCALED by 1/sqrt(dh), k at [D:2D],
+# v at [2D:3D]) and emits [B, S, D]. vs flash_mha_packed this removes two of
+# the three projection matmuls per layer in the forward ([.,768]x[768,768]x3
+# -> [.,768]x[768,2304], a better MXU shape) and collapses the three dq/dk/dv
+# weight-grad paths into one packed [B,S,3D] cotangent -> one dW matmul.
+# ---------------------------------------------------------------------------
+
+def _flash3_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads: int, S: int,
+                       Sq: int, D: int, causal: bool):
+    dh = D // heads
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
+        kmask = jnp.logical_and(kmask, col <= row)
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = jnp.where(rmask, qkv_ref[0, :, sl], 0)
+        k = qkv_ref[0, :, D + h * dh:D + (h + 1) * dh]
+        v = jnp.where(rmask, qkv_ref[0, :, 2 * D + h * dh:
+                                     2 * D + (h + 1) * dh], 0)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kmask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = jnp.sum(e, axis=-1, keepdims=True)
+        p = (e * (1.0 / r)).astype(v.dtype)
+        o_ref[0, :, sl] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        lse_ref[0, :, h] = (m + jnp.log(r))[:, 0]
+
+
+def _flash3_bwd_kernel(qkv_ref, do_ref, lse_ref, dqkv_ref, *, heads: int,
+                       S: int, Sq: int, D: int, causal: bool):
+    dh = D // heads
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
+        kmask = jnp.logical_and(kmask, col <= row)
+    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = jnp.where(rmask, qkv_ref[0, :, sl], 0)
+        k = jnp.where(rmask, qkv_ref[0, :, D + h * dh:D + (h + 1) * dh], 0)
+        v = jnp.where(rmask, qkv_ref[0, :, 2 * D + h * dh:
+                                     2 * D + (h + 1) * dh], 0)
+        do = jnp.where(rmask, do_ref[0, :, sl], 0)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(kmask, s, _NEG_INF)
+        lse = lse_ref[0, :, h][:, None]
+        p = jnp.exp(s - lse)
+        pb = p.astype(do.dtype)
+        dqkv_ref[0, :, 2 * D + h * dh:2 * D + (h + 1) * dh] = \
+            jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(dqkv_ref.dtype)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        c = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - c)).astype(do.dtype)
+        dqkv_ref[0, :, sl] = jnp.dot(
+            ds, k, preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, D + h * dh:D + (h + 1) * dh] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash3_calls(B: int, S: int, D3: int, heads: int, causal: bool,
+                  dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    D = D3 // 3
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    Sq = _round_up(S, sub)
+    qkv_spec = pl.BlockSpec((1, Sq, D3), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, Sq, heads), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    oshp = jax.ShapeDtypeStruct((B, S, D), dtype)
+    qkvshp = jax.ShapeDtypeStruct((B, S, D3), dtype)
+    lshp = jax.ShapeDtypeStruct((B, Sq, heads), jnp.float32)
+    dh = D // heads
+
+    fwd = pl.pallas_call(
+        functools.partial(_flash3_fwd_kernel, heads=heads, S=S, Sq=Sq, D=D,
+                          causal=causal),
+        grid=(B,),
+        in_specs=[qkv_spec], out_specs=(ospec, lspec), out_shape=(oshp, lshp),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * heads * Sq * Sq * dh,
+            bytes_accessed=5 * B * S * D * dtype.itemsize,
+            transcendentals=B * heads * Sq * Sq),
+    )
+    bwd = pl.pallas_call(
+        functools.partial(_flash3_bwd_kernel, heads=heads, S=S, Sq=Sq, D=D,
+                          causal=causal),
+        grid=(B,),
+        in_specs=[qkv_spec, ospec, lspec], out_specs=qkv_spec,
+        out_shape=qkvshp,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * heads * Sq * Sq * dh,
+            bytes_accessed=8 * B * S * D * dtype.itemsize,
+            transcendentals=B * heads * Sq * Sq),
+    )
+    return fwd, bwd
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_mha_packed_qkv_fn(heads: int, causal: bool, interpret: bool):
+    @jax.custom_vjp
+    def f(qkv):
+        fwd, _ = _flash3_calls(qkv.shape[0], qkv.shape[1], qkv.shape[2],
+                               heads, causal, qkv.dtype.name, interpret)
+        return fwd(qkv)[0]
+
+    def f_fwd(qkv):
+        fwd, _ = _flash3_calls(qkv.shape[0], qkv.shape[1], qkv.shape[2],
+                               heads, causal, qkv.dtype.name, interpret)
+        o, lse = fwd(qkv)
+        return o, (qkv, lse)
+
+    def f_bwd(res, do):
+        qkv, lse = res
+        _, bwd = _flash3_calls(qkv.shape[0], qkv.shape[1], qkv.shape[2],
+                               heads, causal, qkv.dtype.name, interpret)
+        return (bwd(qkv, do.astype(qkv.dtype), lse),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def flash_mha_packed_qkv(qkv_scaled: jax.Array, *, num_heads: int,
+                         causal: bool = False,
+                         interpret: bool | None = None) -> jax.Array:
+    """Fused MHSA core on a single packed [B, S, 3D] qkv tensor.
+
+    Lanes [0:D] are q PRESCALED by 1/sqrt(dh), [D:2D] k, [2D:3D] v (heads =
+    dh-lane slices within each third — exactly the layout one
+    [D, 3D]-weight projection emits). Returns [B, S, D]. The backward emits
+    one packed [B, S, 3D] cotangent, so the projection's weight gradient is
+    a single matmul."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_mha_packed_qkv_fn(num_heads, causal, interpret)(qkv_scaled)
+
+
 def mha_fused_xla_bshd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                        causal: bool = False) -> jax.Array:
     """Head-batched attention directly on [B, S, H, Dh] tensors.
