@@ -149,3 +149,22 @@ class TestCategoryRdms:
         arc = np.load(out)
         assert set(arc.files) == {"categories", "epoch1", "epoch3"}
         assert arc["epoch3"].shape == (3, 3)
+
+    def test_mismatched_category_sets_refused(self, tmp_path):
+        """Epoch dumps with differing category sets must raise: the archive
+        stores ONE 'categories' axis, so rows from a foreign/partial dump
+        would be silently mislabeled under the first file's labels."""
+        import numpy as np
+        import pandas as pd
+        import pytest
+        from vit_project_tpu.analysis import category_rdms as cr
+        d = tmp_path / "dumps"
+        d.mkdir()
+        rs = np.random.RandomState(0)
+        for e, cats in ((1, ["a", "a", "b", "b"]), (2, ["a", "a", "c", "c"])):
+            df = pd.DataFrame(rs.randn(4, 5).astype(np.float32))
+            df.insert(0, "image_name", [f"{c}_{i:02d}.jpg"
+                                        for i, c in enumerate(cats)])
+            df.to_csv(d / f"nod_embeddings_epoch{e}.csv", index=False)
+        with pytest.raises(ValueError, match="differs"):
+            cr.build_category_rdms(str(d))

@@ -98,6 +98,25 @@ class TestBlockVsTorch:
             want = xt + a + m
         np.testing.assert_allclose(_np(got), want.numpy(), rtol=1e-4, atol=1e-4)
 
+    def test_tp_layout_auto_routes_to_xla_path(self):
+        """TP params store qkv_w head-aligned as [D, 3, D]
+        (shard_vit_params_tp); block_forward must route that layout to the
+        XLA attention path even when the caller asks for pallas (the flash
+        kernel would flatten the model-sharded minor axis) and produce the
+        same output as the canonical [D, 3D] layout."""
+        W, H, S = 16, 2, 7
+        rs = np.random.RandomState(2)
+        p = vvit.init_block(jax.random.PRNGKey(2), W, 4)
+        x = jnp.asarray(rs.randn(2, S, W).astype(np.float32))
+        want = vvit.block_forward(p, x, H, quick_gelu=False, use_pallas=False)
+        p3 = dict(p, qkv_w=p["qkv_w"].reshape(W, 3, W),
+                  qkv_b=p["qkv_b"].reshape(3, W))
+        for up in (True, None):
+            got = vvit.block_forward(p3, x, H, quick_gelu=False,
+                                     use_pallas=up)
+            np.testing.assert_allclose(_np(got), _np(want), rtol=1e-6,
+                                       atol=1e-6)
+
 
 class TestViTClassifier:
     def test_logits_and_features(self):

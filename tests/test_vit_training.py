@@ -185,3 +185,22 @@ class TestShardedCheckpoint:
         assert latest.endswith("checkpoint_latest.orbax")
         ck = vit_ckpt.load_checkpoint(latest)
         assert int(ck["epoch"]) == 3
+
+    def test_latest_checkpoint_picks_newer_format_by_mtime(self, tmp_path):
+        """A pod run (orbax) followed by a single-host continuation (pickle)
+        of the same output_dir must resume from the NEWER file — a fixed
+        format preference would silently roll training back."""
+        import os
+        from vit_project_tpu.ckpt import vit_ckpt
+        out = str(tmp_path / "out")
+        vit_ckpt.save_checkpoint(3, {"w": 1.0}, {"w": 0.0}, {"last_epoch": 3},
+                                 1.0, 2.0, 0.5, out, sharded=True)
+        vit_ckpt.save_checkpoint(9, {"w": 2.0}, {"w": 0.0}, {"last_epoch": 9},
+                                 1.0, 2.0, 0.5, out, sharded=False)
+        orbax = os.path.join(out, "checkpoint_latest.orbax")
+        pth = os.path.join(out, "checkpoint_latest.pth")
+        os.utime(orbax, (1_000_000, 1_000_000))
+        os.utime(pth, (2_000_000, 2_000_000))
+        assert vit_ckpt.latest_checkpoint(out) == pth
+        os.utime(orbax, (3_000_000, 3_000_000))
+        assert vit_ckpt.latest_checkpoint(out) == orbax

@@ -79,6 +79,13 @@ def build_category_rdms(dump_dir: str, categories: list[str] | None = None,
         order, rdm = category_rdm(emb, cats)
         if cat_order is None:
             cat_order = order
+        elif order != cat_order:
+            # a partial dump or foreign file matching the glob would silently
+            # mislabel rows under the first file's 'categories' axis
+            raise ValueError(
+                f"{f}: category set {order} differs from the other epoch "
+                f"dumps' {cat_order} — refusing to build a mislabeled "
+                "archive")
         out[f"epoch{int(m.group(1))}"] = rdm
     if cat_order is not None:
         out["categories"] = np.asarray(cat_order)

@@ -42,14 +42,17 @@ def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
         "val_acc": val_acc,
     }
     if sharded:
+        # collective: EVERY process must reach these calls (each host writes
+        # its own shards; orbax barriers internally) — do not gate on rank
         path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.orbax")
         ser.save_sharded(path, ckpt)
         ser.save_sharded(os.path.join(output_dir, "checkpoint_latest.orbax"),
                          ckpt)
     else:
         path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.pth")
-        ser.save(path, ckpt)
-        ser.save(os.path.join(output_dir, "checkpoint_latest.pth"), ckpt)
+        if not _is_multiprocess() or _process_index() == 0:
+            ser.save(path, ckpt)
+            ser.save(os.path.join(output_dir, "checkpoint_latest.pth"), ckpt)
     if logger:
         logger.info(f"Saved checkpoint: {os.path.basename(path)}")
     # metrics CSV is tiny host data: process 0 only (ref rank-0 gate :92)
@@ -71,10 +74,13 @@ def load_checkpoint(path: str, template=None):
 
 
 def latest_checkpoint(output_dir: str) -> str | None:
-    """Prefer the sharded checkpoint when both exist (it is the newer format
-    and the only valid one on a pod)."""
+    """When both formats exist (e.g. a pod run followed by a single-host
+    continuation of the same output_dir), pick the most recently written one
+    by mtime — a fixed format preference would silently resume from stale
+    state."""
+    cands = []
     for name in ("checkpoint_latest.orbax", "checkpoint_latest.pth"):
         p = os.path.join(output_dir, name)
         if os.path.exists(p):
-            return p
-    return None
+            cands.append((os.path.getmtime(p), p))
+    return max(cands)[1] if cands else None

@@ -141,6 +141,13 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     b3 = p["qkv_b"].reshape(3, D)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    # Tensor-parallel params store qkv_w head-aligned as [D, 3, D] with the
+    # trailing axis model-sharded (shard_vit_params_tp). The pallas branch
+    # would flatten it back to [D, 3D] (merging the sharded minor axis) and
+    # feed a pallas_call with no GSPMD partitioning rule — both force
+    # re-gathers. The layout is statically visible here, so route TP to the
+    # XLA path regardless of what the caller asked for.
+    use_pallas = use_pallas and p["qkv_w"].ndim != 3
     if use_pallas:
         # ONE packed projection [D, 3D] (better MXU shape than 3 separate
         # [D, D] dots; one dW matmul in the backward) with the 1/sqrt(dh)

@@ -282,75 +282,93 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int,
-                      S: int, Sq: int, causal: bool):
-    dh = q_ref.shape[-1] // heads
+def _attn_masks(Sq: int, S: int, dh: int, causal: bool):
+    """In-kernel masks shared by every flash kernel below.
+
+    kmask [Sq, Sq] hides out-of-range (and, when causal, future) key columns
+    of the score tile; rmask [Sq, dh] zeroes out-of-range block rows of the
+    operand slices — those rows read unspecified bits, and zeroing keeps the
+    stored log-sum-exp stats finite (the backward replays them) and stops
+    garbage rows from poisoning the dk/dv accumulations (0-masked do rows
+    already zero every padded row's contribution algebraically)."""
     kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
         kmask = jnp.logical_and(kmask, col <= row)
     rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    return kmask, rmask
+
+
+def _attn_fwd_head(q, k, v, kmask):
+    """Masked online-softmax attention for one head tile (q PRESCALED).
+
+    Returns (o [Sq, dh] f32, lse [Sq] f32) — the caller writes them to its
+    own output slices."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(kmask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    r = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e * (1.0 / r)).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    return o, (m + jnp.log(r))[:, 0]
+
+
+def _attn_bwd_head(q, k, v, do, lse, kmask):
+    """One head tile of the flash backward. Replays the forward's
+    log-sum-exp stats: p = exp(s - lse) without recomputing the max/sum
+    reductions (measured ~7 ms/step at ViT-B/16 b256, BENCHLOG.md). With qs
+    already prescaled, s = qs @ k^T means the cotangents are exactly
+    dqs = ds @ k and dk = ds^T @ qs — no extra scale anywhere.
+
+    Returns (dq, dk, dv) as [Sq, dh] f32 tiles."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(kmask, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])                          # f32 [Sq, Sq]
+    pb = p.astype(do.dtype)
+    dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    c = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - c)).astype(do.dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int,
+                      S: int, Sq: int, causal: bool):
+    dh = q_ref.shape[-1] // heads
+    kmask, rmask = _attn_masks(Sq, S, dh, causal)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        # out-of-range block rows read unspecified bits; zero q so the stored
-        # log-sum-exp stats stay finite (the backward replays them).
         q = jnp.where(rmask, q_ref[0, :, sl], 0)
         k = k_ref[0, :, sl]
         v = jnp.where(rmask, v_ref[0, :, sl], 0)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(kmask, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = jnp.sum(e, axis=-1, keepdims=True)
-        p = (e * (1.0 / r)).astype(v.dtype)
-        o_ref[0, :, sl] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        lse_ref[0, :, h] = (m + jnp.log(r))[:, 0]
+        o, lse = _attn_fwd_head(q, k, v, kmask)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[0, :, h] = lse
 
 
 def _flash_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dq_ref, dk_ref,
                       dv_ref, *, heads: int, S: int, Sq: int, causal: bool):
     dh = q_ref.shape[-1] // heads
-    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
-        kmask = jnp.logical_and(kmask, col <= row)
-    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    kmask, rmask = _attn_masks(Sq, S, dh, causal)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        # out-of-range block rows read unspecified bits: zero them so they
-        # cannot poison the dk/dv accumulations (0-masked do rows already
-        # zero every padded row's contribution algebraically).
         q = jnp.where(rmask, q_ref[0, :, sl], 0)
         k = jnp.where(rmask, k_ref[0, :, sl], 0)
         v = jnp.where(rmask, v_ref[0, :, sl], 0)
         do = jnp.where(rmask, do_ref[0, :, sl], 0)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(kmask, s, _NEG_INF)
-        # replay the forward's log-sum-exp stats: p = exp(s - lse) without
-        # recomputing the max/sum reductions (measured ~7 ms/step at
-        # ViT-B/16 b256, BENCHLOG.md)
-        lse = lse_ref[0, :, h][:, None]
-        p = jnp.exp(s - lse)                               # f32 [Sq, Sq]
-        pb = p.astype(do.dtype)
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        c = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - c)).astype(do.dtype)
-        # s = qs @ k^T with qs already prescaled, so the cotangents are
-        # exactly dqs = ds @ k and dk = ds^T @ qs — no extra scale anywhere.
-        dq_ref[0, :, sl] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                            ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = (jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)).astype(dk_ref.dtype)
+        dq, dk, dv = _attn_bwd_head(q, k, v, do, lse_ref[0, :, h], kmask)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -443,39 +461,22 @@ def flash_mha_packed(q_scaled: jax.Array, k: jax.Array, v: jax.Array, *,
 def _flash3_fwd_kernel(qkv_ref, o_ref, lse_ref, *, heads: int, S: int,
                        Sq: int, D: int, causal: bool):
     dh = D // heads
-    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
-        kmask = jnp.logical_and(kmask, col <= row)
-    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    kmask, rmask = _attn_masks(Sq, S, dh, causal)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = jnp.where(rmask, qkv_ref[0, :, sl], 0)
         k = qkv_ref[0, :, D + h * dh:D + (h + 1) * dh]
         v = jnp.where(rmask, qkv_ref[0, :, 2 * D + h * dh:
                                      2 * D + (h + 1) * dh], 0)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(kmask, s, _NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = jnp.sum(e, axis=-1, keepdims=True)
-        p = (e * (1.0 / r)).astype(v.dtype)
-        o_ref[0, :, sl] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        lse_ref[0, :, h] = (m + jnp.log(r))[:, 0]
+        o, lse = _attn_fwd_head(q, k, v, kmask)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[0, :, h] = lse
 
 
 def _flash3_bwd_kernel(qkv_ref, do_ref, lse_ref, dqkv_ref, *, heads: int,
                        S: int, Sq: int, D: int, causal: bool):
     dh = D // heads
-    kmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1) < S
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sq), 1)
-        kmask = jnp.logical_and(kmask, col <= row)
-    rmask = jax.lax.broadcasted_iota(jnp.int32, (Sq, dh), 0) < S
+    kmask, rmask = _attn_masks(Sq, S, dh, causal)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = jnp.where(rmask, qkv_ref[0, :, sl], 0)
@@ -483,25 +484,11 @@ def _flash3_bwd_kernel(qkv_ref, do_ref, lse_ref, dqkv_ref, *, heads: int,
         v = jnp.where(rmask, qkv_ref[0, :, 2 * D + h * dh:
                                      2 * D + (h + 1) * dh], 0)
         do = jnp.where(rmask, do_ref[0, :, sl], 0)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(kmask, s, _NEG_INF)
-        lse = lse_ref[0, :, h][:, None]
-        p = jnp.exp(s - lse)
-        pb = p.astype(do.dtype)
+        dq, dk, dv = _attn_bwd_head(q, k, v, do, lse_ref[0, :, h], kmask)
+        dqkv_ref[0, :, sl] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, D + h * dh:D + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[0, :, 2 * D + h * dh:2 * D + (h + 1) * dh] = \
-            jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32
-                                ).astype(dqkv_ref.dtype)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        c = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - c)).astype(do.dtype)
-        dqkv_ref[0, :, sl] = jnp.dot(
-            ds, k, preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, D + h * dh:D + (h + 1) * dh] = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+            dv.astype(dqkv_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)

@@ -80,6 +80,12 @@ def shard_vit_params_tp(mesh: Mesh, params: dict,
     forward-looking capability for models whose activations outgrow one
     chip's HBM. Compiled-HLO check: tests/test_data_perturb.py
     test_tp_forward_hlo_has_no_gather.
+
+    TP-sharded params MUST run the forward with use_pallas=False: the flash
+    attention pallas_call has no GSPMD partitioning rule for a model-sharded
+    qkv, and block_forward's pallas branch flattens qkv_w back to [D, 3D]
+    (merging a sharded minor axis), both of which would force re-gathers.
+    The XLA attention path propagates the head-aligned sharding cleanly.
     """
     if "model" not in mesh.axis_names:
         return replicate(mesh, params)

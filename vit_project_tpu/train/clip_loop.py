@@ -114,10 +114,26 @@ class ClipHBATrainer:
             np.asarray(images_u8), np.asarray(targets))
         tree, _ = vmesh.pad_to_multiple(tree, self.n_dev)
         valid = (np.arange(len(tree[0])) < n).astype(np.float32)
-        sharded = vmesh.shard_batch(self.mesh, tree + (valid,))
+        # Multi-host: every CLIP process builds the SAME global batch (the
+        # THINGS dataset is replicated, unlike the sharded ImageFolder path),
+        # but shard_batch's multihost branch expects each process's LOCAL
+        # shard — slice this process's contiguous block or the global batch
+        # would contain P duplicate copies (inflating eval sums P-fold).
+        tree = jax.tree_util.tree_map(self._local_rows, tree + (valid,))
+        sharded = vmesh.shard_batch(self.mesh, tree)
         if targets is None:
             return sharded[0], None, sharded[1]
         return sharded[0], sharded[1], sharded[2]
+
+    def _local_rows(self, x):
+        """This process's contiguous block of a globally-replicated batch
+        (P('data') row ownership order of a multihost mesh)."""
+        P = jax.process_count()
+        if P == 1:
+            return x
+        per = len(x) // P
+        k = jax.process_index()
+        return x[k * per:(k + 1) * per]
 
     # -- device-resident dataset path ----------------------------------------
     # The decode-once uint8 cache (data/things.py) is small enough to live in
@@ -151,7 +167,9 @@ class ClipHBATrainer:
         valid = (np.arange(batch_size) < n).astype(np.float32)
         if self.mesh is not None:
             from ..parallel import mesh as vmesh
-            idx_p, valid = vmesh.shard_batch(self.mesh, (idx_p, valid))
+            # multihost: pass only this process's block (see _prep_batch)
+            idx_p, valid = vmesh.shard_batch(
+                self.mesh, (self._local_rows(idx_p), self._local_rows(valid)))
         return jnp.asarray(idx_p), jnp.asarray(valid)
 
     def _step_core(self, perturb_type: str):

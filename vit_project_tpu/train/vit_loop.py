@@ -159,7 +159,8 @@ class ViTTrainer:
                 log(f"  Epoch {epoch} [{batch_idx:4d}/{n_batches}] "
                     f"Loss: {float(loss):.4f} LR: {lr:.6f}")
         avg_loss = float(total_loss) / max(num_batches, 1)
-        n_images = num_batches * loader.batch_size
+        # loader.batch_size is the per-process shard; report GLOBAL throughput
+        n_images = num_batches * loader.batch_size * jax.process_count()
         dt = time.time() - t0
         log(f"Epoch {epoch} training completed in {dt / 60:.2f} minutes. "
             f"Avg Train Loss: {avg_loss:.4f} "
@@ -170,7 +171,11 @@ class ViTTrainer:
         log = logger.info if logger else print
         tot_loss = tot_correct = tot_n = 0.0
         nb = 0
-        n_dev = self.mesh.devices.size
+        # each process pads its LOCAL shard to its local device count; the
+        # assembled global batch is then exactly a multiple of the global
+        # device count (padding to the global count here would multiply the
+        # all-padding rows by the process count)
+        n_dev = max(self.mesh.devices.size // jax.process_count(), 1)
         for images_u8, labels in loader.epoch(0):
             (images_u8, labels), real = vmesh.pad_to_multiple(
                 (images_u8, labels), n_dev)
@@ -295,11 +300,14 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                 params, momentum_buf, train_loader, epoch, lr, logger=logger)
         scheduler.step()
         val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
-        if dist.is_primary():
-            vit_ckpt.save_checkpoint(epoch, params, momentum_buf,
-                                     scheduler.state_dict(), train_loss,
-                                     val_loss, val_acc, cfg.output_dir,
-                                     logger=logger)
+        # EVERY process calls save_checkpoint: the pod-sharded orbax writer is
+        # a collective (each host writes its own shards + global barrier) and
+        # would deadlock behind a primary-only gate; the single-host pickle
+        # path gates non-primary writes internally.
+        vit_ckpt.save_checkpoint(epoch, params, momentum_buf,
+                                 scheduler.state_dict(), train_loss,
+                                 val_loss, val_acc, cfg.output_dir,
+                                 logger=logger if dist.is_primary() else None)
     log("Training Complete!")
     return {"params": params, "momentum_buf": momentum_buf,
             "scheduler": scheduler}
