@@ -14,7 +14,12 @@ the reference gets from torchrun + DistributedSampler + NCCL
 3. per-process THINGS embeddings are gathered back into DATASET order
    (parallel/dist.py ordered_allgather_strided) and both processes compute
    the identical RSA score — fixing the reference's rank-order concatenation
-   defect (SURVEY.md section 0).
+   defect (SURVEY.md section 0);
+4. the CLIP-HBA trainer evaluates a REPLICATED dataset (every process holds
+   the same THINGS batches, unlike the sharded ImageFolder path) and the
+   multi-host loss must equal a local single-process oracle — regression
+   guard for the duplicate-batch defect where each process fed the full
+   batch into the global assembly, inflating eval sums P-fold.
 
 Run:  python examples/multihost_cpu_demo.py
 (or with an existing folder/port: see _main/_worker below)
@@ -94,9 +99,44 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
                                       jnp.asarray(rdm))
     assert abs(rho - float(rho1)) < 1e-5, (rho, float(rho1))
 
+    # --- 4. CLIP-HBA eval on a replicated dataset vs local oracle
+    from vit_project_tpu.adapters import dora as adora
+    from vit_project_tpu.models import clip as vclip
+    from vit_project_tpu.train.clip_loop import ClipHBATrainer
+
+    ccfg = vclip.tiny_clip_config()
+    cparams = vclip.init_clip_params(jax.random.PRNGKey(3), ccfg)
+    spec = adora.dora_spec(ccfg.visual.layers, ccfg.text.layers, 1, 1)
+    ctrain, cstatic, acfg = adora.apply_dora(cparams, spec, r=4,
+                                             key=jax.random.PRNGKey(4))
+    prompts = np.random.RandomState(1).randint(
+        1, 400, (66, ccfg.text.context_length)).astype(np.int32)
+    rs2 = np.random.RandomState(13)
+    # 20 images with batch 8 -> a partial final batch exercises the
+    # pad_to + device-count padding + local-rows slicing together
+    ev_imgs = rs2.randint(0, 255, (20, 32, 32, 3), np.uint8)
+    ev_tgts = rs2.rand(20, 66).astype(np.float32)
+
+    mh = ClipHBATrainer(ccfg, cparams, acfg, cstatic, prompts, lr=3e-4,
+                        compute_dtype=jnp.float32, mesh=mesh)
+    tr_mh = mh.prepare_state(jax.tree_util.tree_map(jnp.array, ctrain))
+    loss_mh = mh.evaluate(tr_mh, ev_imgs, ev_tgts, batch_size=8)
+    imgs_dev, tgts_dev = mh.upload_dataset(ev_imgs, ev_tgts)
+    loss_mhr = mh.evaluate_resident(tr_mh, imgs_dev, tgts_dev, len(ev_imgs),
+                                    batch_size=8)
+
+    lo = ClipHBATrainer(ccfg, cparams, acfg, cstatic, prompts, lr=3e-4,
+                        compute_dtype=jnp.float32, mesh=None)
+    tr_lo = jax.tree_util.tree_map(jnp.array, ctrain)
+    loss_lo = lo.evaluate(tr_lo, ev_imgs, ev_tgts, batch_size=8)
+    # a duplicate-batch regression would inflate these by exactly P
+    assert abs(loss_mh - loss_lo) < 1e-4, (loss_mh, loss_lo)
+    assert abs(loss_mhr - loss_lo) < 1e-4, (loss_mhr, loss_lo)
+
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
-          f"(oracle {float(rho1):.4f}) shard_batches {len(batches)} OK",
-          flush=True)
+          f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
+          f"{loss_mhr:.4f} (oracle {loss_lo:.4f}) "
+          f"shard_batches {len(batches)} OK", flush=True)
 
 
 def _main():
