@@ -246,6 +246,16 @@ class ClipHBATrainer:
             return jnp.asarray(idx_mat), jnp.asarray(valid_mat)
         from jax.sharding import NamedSharding, PartitionSpec as P
         s = NamedSharding(self.mesh, P(None, "data"))
+        nproc = jax.process_count()
+        if nproc > 1:
+            # every process builds the same global matrices (THINGS is
+            # replicated); hand the assembly only this process's contiguous
+            # column block (same ownership order as _local_rows)
+            w_loc = width // nproc
+            k = jax.process_index()
+            return tuple(jax.make_array_from_process_local_data(
+                s, m[:, k * w_loc:(k + 1) * w_loc])
+                for m in (idx_mat, valid_mat))
         return jax.device_put(idx_mat, s), jax.device_put(valid_mat, s)
 
     def _epoch_scan(self, perturb_type: str):
@@ -290,33 +300,42 @@ class ClipHBATrainer:
         return self._steps[key]
 
     @functools.cached_property
-    def _eval_step_resident(self):
+    def _eval_scan(self):
+        """Whole-eval-set program: lax.scan over the batch index matrix
+        accumulating the dataset-weighted MSE sum on device — ONE dispatch
+        and ONE host sync per eval instead of one of each per batch (the
+        per-batch float() round trips cost more than the forwards at ~6
+        batches/epoch over this round's tunnel; see BENCHLOG.md)."""
         cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
             self.compute_dtype
 
-        def step(trainable, params, static, all_images_u8, all_targets, idx,
-                 valid):
-            images = dthings.normalize_uint8(all_images_u8[idx])
-            targets = all_targets[idx]
+        def eval_fn(trainable, params, static, all_images_u8, all_targets,
+                    idx_mat, valid_mat):
             ad = adora.assemble(trainable, static)
-            preds = vclip.clip_hba_forward(params, images, prompts, cfg,
-                                           adapters=ad, adapter_cfg=acfg,
-                                           deterministic=True,
-                                           compute_dtype=cdt)
-            row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
-            return jnp.sum(row_mse * valid)
 
-        return jax.jit(step)
+            def body(total, xs):
+                idx, valid = xs
+                images = dthings.normalize_uint8(all_images_u8[idx])
+                preds = vclip.clip_hba_forward(params, images, prompts, cfg,
+                                               adapters=ad, adapter_cfg=acfg,
+                                               deterministic=True,
+                                               compute_dtype=cdt)
+                row_mse = jnp.mean((preds - all_targets[idx]) ** 2, axis=-1)
+                return total + jnp.sum(row_mse * valid), None
+
+            total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    (idx_mat, valid_mat))
+            return total
+
+        return jax.jit(eval_fn)
 
     def evaluate_resident(self, trainable, imgs_dev, tgts_dev, n: int,
                           batch_size: int) -> float:
-        total = 0.0
-        for s in range(0, n, batch_size):
-            idx, valid = self._prep_idx(np.arange(s, min(s + batch_size, n)),
-                                        batch_size)
-            total += float(self._eval_step_resident(
-                trainable, self.params, self.static, imgs_dev, tgts_dev,
-                idx, valid))
+        batch_list = [np.arange(s, min(s + batch_size, n))
+                      for s in range(0, n, batch_size)]
+        idx_mat, valid_mat = self._prep_idx_mat(batch_list, batch_size)
+        total = float(self._eval_scan(trainable, self.params, self.static,
+                                      imgs_dev, tgts_dev, idx_mat, valid_mat))
         return total / n
 
     # -- jitted steps -------------------------------------------------------
@@ -374,14 +393,16 @@ class ClipHBATrainer:
 
     def evaluate(self, trainable, images_u8: np.ndarray, targets: np.ndarray,
                  batch_size: int) -> float:
-        total, n = 0.0, len(images_u8)
+        # accumulate the per-batch sums ON DEVICE: one host sync for the
+        # whole eval set instead of one float() round trip per batch
+        total, n = jnp.zeros((), jnp.float32), len(images_u8)
         for s in range(0, n, batch_size):
             bi, bt, valid = self._prep_batch(images_u8[s:s + batch_size],
                                              targets[s:s + batch_size],
                                              pad_to=batch_size)
-            total += float(self._eval_step(trainable, self.params, self.static,
-                                           bi, bt, valid))
-        return total / n
+            total = total + self._eval_step(trainable, self.params,
+                                            self.static, bi, bt, valid)
+        return float(total) / n
 
     def behavioral_rsa(self, trainable, inference_images_u8,
                        reference_rdm):

@@ -169,7 +169,11 @@ class ViTTrainer:
 
     def validate(self, params, loader, logger=None) -> tuple[float, float]:
         log = logger.info if logger else print
-        tot_loss = tot_correct = tot_n = 0.0
+        # device-side accumulators: one host sync for the whole validation
+        # pass instead of three float() round trips per batch
+        tot_loss = jnp.zeros((), jnp.float32)
+        tot_correct = jnp.zeros((), jnp.float32)
+        tot_n = jnp.zeros((), jnp.float32)
         nb = 0
         # each process pads its LOCAL shard to its local device count; the
         # assembled global batch is then exactly a multiple of the global
@@ -186,12 +190,12 @@ class ViTTrainer:
             # per-batch average over the GLOBAL valid count (the reference's
             # per-rank average + unnormalized SUM all_reduce defect is fixed
             # here: one global sum / one global count, train_vit_sgd.py:193-196)
-            tot_loss += float(ls) / max(float(n), 1.0)
+            tot_loss = tot_loss + ls / jnp.maximum(n, 1.0)
             nb += 1
-            tot_correct += float(c)
-            tot_n += float(n)
-        val_loss = tot_loss / max(nb, 1)
-        val_acc = 100.0 * tot_correct / max(tot_n, 1)
+            tot_correct = tot_correct + c
+            tot_n = tot_n + n
+        val_loss = float(tot_loss) / max(nb, 1)
+        val_acc = 100.0 * float(tot_correct) / max(float(tot_n), 1.0)
         log(f"Validation - Loss: {val_loss:.4f}, Accuracy: {val_acc:.2f}%")
         return val_loss, val_acc
 
