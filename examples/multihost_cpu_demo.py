@@ -133,9 +133,33 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     assert abs(loss_mh - loss_lo) < 1e-4, (loss_mh, loss_lo)
     assert abs(loss_mhr - loss_lo) < 1e-4, (loss_mhr, loss_lo)
 
+    # --- 5. whole-epoch train scan on the multi-host mesh vs local oracle
+    # (drives _prep_idx_mat's per-process column-block assembly + the scanned
+    # optimizer updates under jax.distributed — the pod path of train_model)
+    order2 = np.random.RandomState(5).permutation(len(ev_imgs))
+    blist = [order2[:8], order2[8:16], order2[16:]]
+    dkey, pkey = jax.random.PRNGKey(30), jax.random.PRNGKey(31)
+
+    def run_epoch(trainer, tr0):
+        im, tg = trainer.upload_dataset(ev_imgs, ev_tgts)
+        idx_mat, valid_mat = trainer._prep_idx_mat(blist, 8)
+        opt = trainer.prepare_state(trainer.init_opt_state(tr0))
+        tr1, _, losses, oks = trainer._epoch_scan("none")(
+            tr0, opt, trainer.params, trainer.static, im, tg, idx_mat,
+            valid_mat, dkey, pkey)
+        return tr1, np.asarray(losses), np.asarray(oks)
+
+    _, losses_mh, oks_mh = run_epoch(
+        mh, mh.prepare_state(jax.tree_util.tree_map(jnp.array, ctrain)))
+    _, losses_lo, oks_lo = run_epoch(
+        lo, jax.tree_util.tree_map(jnp.array, ctrain))
+    assert oks_mh.all() and oks_lo.all()
+    np.testing.assert_allclose(losses_mh, losses_lo, rtol=0, atol=1e-5)
+
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
           f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
           f"{loss_mhr:.4f} (oracle {loss_lo:.4f}) "
+          f"train-scan losses {np.round(losses_mh, 4).tolist()} "
           f"shard_batches {len(batches)} OK", flush=True)
 
 
