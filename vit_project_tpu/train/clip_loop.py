@@ -331,6 +331,17 @@ class ClipHBATrainer:
 
     def evaluate_resident(self, trainable, imgs_dev, tgts_dev, n: int,
                           batch_size: int) -> float:
+        # Eval has no cross-batch dependence (unlike training, whose batch
+        # size is fixed by reference optimizer-update parity), so run the
+        # whole set as ONE batch when it fits (<=512 images ~= 1 GB of ViT-L
+        # activations): zero tail padding, one scan step instead of six, and
+        # the [B*S, D] matmuls run at ~150 TF/s vs ~94 at b64 rows
+        # (BENCHLOG.md dense-rate table). Wall-time-neutral over this
+        # round's sync-bound tunnel (0.50 s either way); strictly fewer
+        # dispatches on a directly-attached TPU. The loss is sum/n either
+        # way.
+        if n <= 512:
+            batch_size = n
         batch_list = [np.arange(s, min(s + batch_size, n))
                       for s in range(0, n, batch_size)]
         idx_mat, valid_mat = self._prep_idx_mat(batch_list, batch_size)
