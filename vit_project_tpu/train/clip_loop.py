@@ -670,6 +670,15 @@ def run_behavioral_training(config) -> dict:
         params = jax.tree_util.tree_map(jnp.asarray, params)
         logger.info(f"Loaded CLIP weights from {cfg.clip_weights}")
     else:
+        if cfg.backbone not in vclip.CLIP_CONFIGS:
+            # 'RN50' is a dead-code default in the reference (CLIPHBA's
+            # backbone_name kwarg; every entry script passes ViT-L/14,
+            # clip_train_behavior_baseline.py:16) — fail with the supported
+            # set instead of a bare KeyError.
+            raise ValueError(
+                f"unsupported backbone {cfg.backbone!r}; ViT towers only "
+                f"(reference runs use ViT-L/14): "
+                f"{sorted(vclip.CLIP_CONFIGS)}")
         clip_cfg = vclip.CLIP_CONFIGS[cfg.backbone]
         params = vclip.init_clip_params(
             jax.random.PRNGKey(cfg.random_seed), clip_cfg)
