@@ -19,7 +19,12 @@ the reference gets from torchrun + DistributedSampler + NCCL
    the same THINGS batches, unlike the sharded ImageFolder path) and the
    multi-host loss must equal a local single-process oracle — regression
    guard for the duplicate-batch defect where each process fed the full
-   batch into the global assembly, inflating eval sums P-fold.
+   batch into the global assembly, inflating eval sums P-fold;
+5. train_model's whole-epoch lax.scan runs on the multi-host mesh
+   (per-process column-block index assembly + in-scan optimizer updates)
+   with per-batch losses matching the local oracle;
+6. every process calls the collective orbax pod-checkpoint writer (a
+   primary-only gate would deadlock) and the restored tree round-trips.
 
 Run:  python examples/multihost_cpu_demo.py
 (or with an existing folder/port: see _main/_worker below)
@@ -156,11 +161,26 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     assert oks_mh.all() and oks_lo.all()
     np.testing.assert_allclose(losses_mh, losses_lo, rtol=0, atol=1e-5)
 
+    # --- 6. collective pod checkpoint: EVERY process calls the sharded
+    # writer (a primary-only gate deadlocks in orbax's global barrier — the
+    # exact regression this drive guards), then restores host-side and
+    # checks round-trip fidelity + the auto-resume scan.
+    from vit_project_tpu.ckpt import vit_ckpt
+    ck_dir = os.path.join(root, "ckpt_out")
+    path = vit_ckpt.save_checkpoint(0, params, buf, {"last_epoch": 0},
+                                    1.0, 2.0, 0.5, ck_dir)
+    assert path.endswith("checkpoint_epoch_000.orbax"), path
+    latest = vit_ckpt.latest_checkpoint(ck_dir)
+    ck = vit_ckpt.load_checkpoint(latest)
+    assert int(ck["epoch"]) == 0
+    np.testing.assert_array_equal(np.asarray(ck["params"]["cls"]),
+                                  np.asarray(params["cls"]))
+
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
           f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
           f"{loss_mhr:.4f} (oracle {loss_lo:.4f}) "
           f"train-scan losses {np.round(losses_mh, 4).tolist()} "
-          f"shard_batches {len(batches)} OK", flush=True)
+          f"pod-ckpt {os.path.basename(latest)} OK", flush=True)
 
 
 def _main():
