@@ -98,6 +98,29 @@ class TestBlockVsTorch:
             want = xt + a + m
         np.testing.assert_allclose(_np(got), want.numpy(), rtol=1e-4, atol=1e-4)
 
+    def test_remat_grads_match(self):
+        """remat=True must be a pure memory/FLOPs tradeoff: loss and grads
+        bit-identical to the plain forward (jax.checkpoint replays the same
+        math with the same keys)."""
+        cfg = vvit.ViTConfig(patch=8, width=32, layers=3, heads=2,
+                             image_size=32, num_classes=5)
+        p = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3)
+                        .astype(np.float32))
+        y = jnp.asarray([1, 3])
+
+        def loss(p, remat):
+            lo = vvit.vit_classify(p, x, cfg, use_pallas=False, remat=remat)
+            lp = jax.nn.log_softmax(lo)
+            return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(p)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(p)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(_np(a), _np(b))
+
     def test_tp_layout_auto_routes_to_xla_path(self):
         """TP params store qkv_w head-aligned as [D, 3, D]
         (shard_vit_params_tp); block_forward must route that layout to the

@@ -118,6 +118,8 @@ class ViTTrainConfig:
     image_size: int = 224
     profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
     use_native_loader: bool = False    # C++ decode core (native/fastimage.cpp)
+    remat: bool = False  # jax.checkpoint each block: O(1)-block activation
+                         # memory for ~1/3 extra FLOPs (big-batch/model lever)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

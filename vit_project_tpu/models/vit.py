@@ -191,7 +191,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                dropout_key: jax.Array | None = None, deterministic: bool = True,
                use_pallas: bool | None = None,
                input_norm: tuple | None = None,
-               compute_dtype=jnp.float32) -> jax.Array:
+               compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
     """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
 
     `adapters` maps block index -> {trainable, buffers} DoRA entries.
@@ -202,6 +202,12 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     per-channel (x/255 - mean)/std normalization is folded into the patch
     matrix (ops/nn.py patch_embed_affine), removing a full image-tensor pass
     from the hot path. Without it, `images` must already be normalized.
+
+    `remat=True` wraps each block in jax.checkpoint: the backward replays
+    each block's forward instead of holding its activations, cutting peak
+    HBM from O(layers) to O(1) block activations at ~1/3 extra FLOPs — the
+    lever for batch sizes / model widths whose activations outgrow one
+    chip's HBM. Gradients are bit-identical (same math, same key threading).
     """
     if input_norm is not None:
         mean, std = input_norm
@@ -219,25 +225,32 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if cfg.pre_norm:
         x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
     adapters = adapters or {}
+
+    def _block(bp, x, ad, dk):
+        return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                             adapter=ad, adapter_cfg=adapter_cfg,
+                             dropout_key=dk, deterministic=deterministic,
+                             use_pallas=use_pallas,
+                             gelu_approx=cfg.gelu_approx)
+
+    blk = jax.checkpoint(_block) if remat else _block
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None
         if ad is not None and dropout_key is not None:
             dk = jax.random.fold_in(dropout_key, i)
-        x = block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
-                          adapter=ad, adapter_cfg=adapter_cfg, dropout_key=dk,
-                          deterministic=deterministic, use_pallas=use_pallas,
-                          gelu_approx=cfg.gelu_approx)
+        x = blk(bp, x, ad, dk)
     return vnn.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
 
 
 def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
                  use_pallas: bool | None = None,
                  input_norm: tuple | None = None,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
     """ViT classifier logits [B, num_classes] from the CLS token."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
-                        input_norm=input_norm, compute_dtype=compute_dtype)
+                        input_norm=input_norm, compute_dtype=compute_dtype,
+                        remat=remat)
     cls = tokens[:, 0]
     logits = vnn.dense(cls, params["head_w"], params["head_b"])
     return logits.astype(jnp.float32)

@@ -57,6 +57,7 @@ class ViTTrainer:
             cdt = self.compute_dtype
             momentum = self.cfg.momentum
             wd = self.cfg.weight_decay
+            remat = self.cfg.remat
             epsilon_default = 0.1
 
             image_perturb = perturbation_type in ("gaussian", "uniform_gray")
@@ -64,7 +65,7 @@ class ViTTrainer:
             def loss_fn(params, images, labels, *, input_norm):
                 logits = vvit.vit_classify(params, images, vit_cfg,
                                            input_norm=input_norm,
-                                           compute_dtype=cdt)
+                                           compute_dtype=cdt, remat=remat)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32))
                 ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
                 return jnp.mean(ce)
