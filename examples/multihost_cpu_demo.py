@@ -197,7 +197,14 @@ def _main():
         for i in range(8):
             Image.fromarray(rs.randint(0, 255, (32, 32, 3),
                                        dtype=np.uint8)).save(f"{d}/{i}.png")
-    port = int(os.environ.get("MH_DEMO_PORT", "49741"))
+    port = int(os.environ.get("MH_DEMO_PORT", "0"))
+    if not port:
+        # bind-to-0 picks a free port: a fixed default can collide with a
+        # stale coordinator or a concurrently running demo
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "worker", str(i), "2",
          str(port), root],

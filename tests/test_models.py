@@ -121,6 +121,28 @@ class TestBlockVsTorch:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_array_equal(_np(a), _np(b))
 
+    def test_clip_remat_grads_match(self):
+        """Same remat invariance for the CLIP tower path."""
+        from vit_project_tpu.models import clip as vclip
+        cfg = vclip.tiny_clip_config()
+        p = vclip.init_clip_params(jax.random.PRNGKey(1), cfg)
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32))
+        prompts = jnp.asarray(rs.randint(1, 400, (5, cfg.text.context_length))
+                              .astype(np.int32))
+
+        def loss(p, remat):
+            s = vclip.clip_hba_forward(p, x, prompts, cfg, use_pallas=False,
+                                       remat=remat)
+            return jnp.mean(s ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(p)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(p)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(_np(a), _np(b))
+
     def test_tp_layout_auto_routes_to_xla_path(self):
         """TP params store qkv_w head-aligned as [D, 3, D]
         (shard_vit_params_tp); block_forward must route that layout to the

@@ -112,7 +112,8 @@ class TestTwoProcessDistributed:
         import sys
         demo = pathlib.Path(__file__).resolve().parents[1] / "examples" / \
             "multihost_cpu_demo.py"
-        env = dict(os.environ, MH_DEMO_PORT="49745")
+        env = dict(os.environ)
+        env.pop("MH_DEMO_PORT", None)  # demo picks a free port itself
         env.pop("XLA_FLAGS", None)  # workers set their own device count
         env.pop("JAX_PLATFORMS", None)
         out = subprocess.run([sys.executable, str(demo)], env=env,

@@ -134,12 +134,13 @@ def encode_image(params: dict, images: jax.Array, cfg: CLIPConfig, *,
                  dropout_key: jax.Array | None = None,
                  deterministic: bool = True, use_pallas: bool | None = None,
                  use_pos_embedding: bool = True,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
     return vvit.clip_visual_encode(
         params["visual"], images, cfg.visual, adapters=adapters,
         adapter_cfg=adapter_cfg, dropout_key=dropout_key,
         deterministic=deterministic, use_pallas=use_pallas,
-        use_pos_embedding=use_pos_embedding, compute_dtype=compute_dtype)
+        use_pos_embedding=use_pos_embedding, compute_dtype=compute_dtype,
+        remat=remat)
 
 
 def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
@@ -149,7 +150,7 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
                      deterministic: bool = True,
                      use_pallas: bool | None = None,
                      use_pos_embedding: bool = True,
-                     compute_dtype=jnp.float32) -> jax.Array:
+                     compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
     """model(images) -> [B, n_prompts] prediction scores (CLIPHBA contract).
 
     adapters = {"visual": {idx: dora}, "text": {idx: dora}} — the DoRA surgery of
@@ -163,7 +164,7 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
                        adapter_cfg=adapter_cfg, dropout_key=kv,
                        deterministic=deterministic, use_pallas=use_pallas,
                        use_pos_embedding=use_pos_embedding,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, remat=remat)
     txt = encode_text(params, prompt_tokens, cfg, adapters=adapters.get("text"),
                       adapter_cfg=adapter_cfg, dropout_key=kt,
                       deterministic=deterministic, use_pallas=use_pallas,

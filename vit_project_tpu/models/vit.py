@@ -277,13 +277,14 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                        deterministic: bool = True,
                        use_pallas: bool | None = None,
                        use_pos_embedding: bool = True,
-                       compute_dtype=jnp.float32) -> jax.Array:
+                       compute_dtype=jnp.float32,
+                       remat: bool = False) -> jax.Array:
     """CLIP visual tower: trunk -> ln_post(CLS) -> projection -> [B, out_dim].
 
     `use_pos_embedding` mirrors the reference CLIPHBA pos_embedding flag
     (cvpr_train_behavior_things_pipeline_baseline.py:184: forward passes it to the
     clip_hba CLIP; True for ViT backbones, False for RN50). When False the visual
-    positional embedding is skipped.
+    positional embedding is skipped. `remat` as in vit_encode.
     """
     x = images.astype(compute_dtype)
     x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
@@ -294,15 +295,21 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
         x = x + params["pos"].astype(x.dtype)
     x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
     adapters = adapters or {}
+
+    def _block(bp, x, ad, dk):
+        return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                             adapter=ad, adapter_cfg=adapter_cfg,
+                             dropout_key=dk, deterministic=deterministic,
+                             use_pallas=use_pallas,
+                             gelu_approx=cfg.gelu_approx)
+
+    blk = jax.checkpoint(_block) if remat else _block
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None
         if ad is not None and dropout_key is not None:
             dk = jax.random.fold_in(dropout_key, i)
-        x = block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
-                          adapter=ad, adapter_cfg=adapter_cfg, dropout_key=dk,
-                          deterministic=deterministic, use_pallas=use_pallas,
-                          gelu_approx=cfg.gelu_approx)
+        x = blk(bp, x, ad, dk)
     cls_tok = vnn.layer_norm(x[:, 0], params["norm"]["scale"],
                              params["norm"]["bias"])
     out = jnp.dot(cls_tok, params["proj"].astype(cls_tok.dtype),
