@@ -197,24 +197,36 @@ def _main():
         for i in range(8):
             Image.fromarray(rs.randint(0, 255, (32, 32, 3),
                                        dtype=np.uint8)).save(f"{d}/{i}.png")
-    port = int(os.environ.get("MH_DEMO_PORT", "0"))
-    if not port:
+    def _free_port() -> int:
         # bind-to-0 picks a free port: a fixed default can collide with a
         # stale coordinator or a concurrently running demo
         import socket
         with socket.socket() as s:
             s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "worker", str(i), "2",
-         str(port), root],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)]
-    ok = True
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        sys.stdout.write(out)
-        ok = ok and (p.returncode == 0)
+            return s.getsockname()[1]
+
+    fixed_port = int(os.environ.get("MH_DEMO_PORT", "0"))
+    # the free port is released before the coordinator rebinds it, so another
+    # process can still race into the window — retry once with a fresh port
+    for attempt in range(2):
+        port = fixed_port or _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker", str(i), "2",
+             str(port), root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        ok = True
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            ok = ok and (p.returncode == 0)
+        if ok or fixed_port or attempt == 1:
+            for out in outs:
+                sys.stdout.write(out)
+            break
+        print(f"attempt on port {port} failed; retrying on a fresh port",
+              flush=True)
     if not ok:
         raise SystemExit("multihost demo FAILED")
     print("multihost_cpu_demo: OK")

@@ -186,6 +186,19 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     return x + h
 
 
+def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
+              remat):
+    """Per-block callable shared by the encoder trunks; with remat=True each
+    call is wrapped in jax.checkpoint (see vit_encode docstring)."""
+    def _block(bp, x, ad, dk):
+        return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                             adapter=ad, adapter_cfg=adapter_cfg,
+                             dropout_key=dk, deterministic=deterministic,
+                             use_pallas=use_pallas,
+                             gelu_approx=cfg.gelu_approx)
+    return jax.checkpoint(_block) if remat else _block
+
+
 def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                adapters: dict | None = None, adapter_cfg: dict | None = None,
                dropout_key: jax.Array | None = None, deterministic: bool = True,
@@ -225,15 +238,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if cfg.pre_norm:
         x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
     adapters = adapters or {}
-
-    def _block(bp, x, ad, dk):
-        return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
-                             adapter=ad, adapter_cfg=adapter_cfg,
-                             dropout_key=dk, deterministic=deterministic,
-                             use_pallas=use_pallas,
-                             gelu_approx=cfg.gelu_approx)
-
-    blk = jax.checkpoint(_block) if remat else _block
+    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None
@@ -295,15 +300,7 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
         x = x + params["pos"].astype(x.dtype)
     x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
     adapters = adapters or {}
-
-    def _block(bp, x, ad, dk):
-        return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
-                             adapter=ad, adapter_cfg=adapter_cfg,
-                             dropout_key=dk, deterministic=deterministic,
-                             use_pallas=use_pallas,
-                             gelu_approx=cfg.gelu_approx)
-
-    blk = jax.checkpoint(_block) if remat else _block
+    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None

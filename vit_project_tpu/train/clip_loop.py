@@ -333,14 +333,16 @@ class ClipHBATrainer:
                           batch_size: int) -> float:
         # Eval has no cross-batch dependence (unlike training, whose batch
         # size is fixed by reference optimizer-update parity), so run the
-        # whole set as ONE batch when it fits (<=512 images ~= 1 GB of ViT-L
-        # activations): zero tail padding, one scan step instead of six, and
-        # the [B*S, D] matmuls run at ~150 TF/s vs ~94 at b64 rows
-        # (BENCHLOG.md dense-rate table). Wall-time-neutral over this
-        # round's sync-bound tunnel (0.50 s either way); strictly fewer
-        # dispatches on a directly-attached TPU. The loss is sum/n either
-        # way.
-        if n <= 512:
+        # whole set as ONE batch when it fits: zero tail padding, one scan
+        # step instead of six, and the [B*S, D] matmuls run at ~150 TF/s vs
+        # ~94 at b64 rows (BENCHLOG.md dense-rate table). Wall-time-neutral
+        # over this round's sync-bound tunnel (0.50 s either way); strictly
+        # fewer dispatches on a directly-attached TPU. The loss is sum/n
+        # either way. The cap is in TOKENS so it adapts to image_size/patch
+        # (512 ViT-L/14@224 images = ~132k tokens ~= 1 GB of activations at
+        # width 1024); callers needing a tighter memory bound than that keep
+        # their explicit batch_size above the cap.
+        if n * self.cfg.visual.seq_len <= 132_000:
             batch_size = n
         batch_list = [np.arange(s, min(s + batch_size, n))
                       for s in range(0, n, batch_size)]
@@ -516,40 +518,25 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         batch_list = list(shuffler.batches(epoch))
         sizes = np.array([len(b) for b in batch_list])
         dropout_epoch_key = jax.random.fold_in(dropout_root, epoch)
-        if jax.process_count() == 1:
-            # whole epoch as ONE compiled scan (see _epoch_scan); with a data
-            # mesh the idx/valid matrices arrive sharded P(None, 'data') so
-            # the scanned program is itself data-parallel. Multi-host keeps
-            # the per-step path (per-process batch assembly).
-            idx_mat, valid_mat = trainer._prep_idx_mat(batch_list, batch_size)
-            epoch_fn = trainer._epoch_scan(kind)
-            base_pkey = jax.random.PRNGKey(
-                int(perturb_seed) + int(training_run) * 1000)
-            trainable, opt_state, losses, oks = epoch_fn(
-                trainable, opt_state, trainer.params, trainer.static,
-                train_imgs_dev, train_tgts_dev, idx_mat,
-                valid_mat, dropout_epoch_key, base_pkey)
-            losses = np.asarray(losses)
-            oks = np.asarray(oks)
-            for bi in np.nonzero(~oks)[0]:
-                log(f"WARNING: non-finite batch {bi} skipped "
-                    f"(epoch {epoch + 1})")
-            total_loss = float(np.sum(losses * sizes * oks))
-        else:
-            step = trainer._train_step_resident(kind)
-            total_loss = 0.0
-            for batch_idx, idx in enumerate(batch_list):
-                bidx, valid = trainer._prep_idx(idx, batch_size)
-                pkey = batch_perturb_key(perturb_seed, training_run, batch_idx)
-                dkey = jax.random.fold_in(dropout_epoch_key, batch_idx)
-                trainable, opt_state, loss, ok = step(
-                    trainable, opt_state, trainer.params, trainer.static,
-                    train_imgs_dev, train_tgts_dev, bidx, valid, pkey, dkey)
-                if bool(ok):
-                    total_loss += float(loss) * len(idx)
-                else:
-                    log(f"WARNING: non-finite batch {batch_idx} skipped "
-                        f"(epoch {epoch + 1})")
+        # whole epoch as ONE compiled scan (see _epoch_scan); with a data
+        # mesh the idx/valid matrices arrive sharded P(None, 'data') so the
+        # scanned program is itself data-parallel, and on a multi-host pod
+        # _prep_idx_mat assembles each process's column block (driven against
+        # a per-step oracle by examples/multihost_cpu_demo.py section 5).
+        idx_mat, valid_mat = trainer._prep_idx_mat(batch_list, batch_size)
+        epoch_fn = trainer._epoch_scan(kind)
+        base_pkey = jax.random.PRNGKey(
+            int(perturb_seed) + int(training_run) * 1000)
+        trainable, opt_state, losses, oks = epoch_fn(
+            trainable, opt_state, trainer.params, trainer.static,
+            train_imgs_dev, train_tgts_dev, idx_mat,
+            valid_mat, dropout_epoch_key, base_pkey)
+        losses = np.asarray(losses)
+        oks = np.asarray(oks)
+        for bi in np.nonzero(~oks)[0]:
+            log(f"WARNING: non-finite batch {bi} skipped "
+                f"(epoch {epoch + 1})")
+        total_loss = float(np.sum(losses * sizes * oks))
         # reference divides by the full dataset size regardless of skips
         avg_train_loss = total_loss / n_train
 
