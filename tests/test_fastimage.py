@@ -86,6 +86,18 @@ class TestFastImage:
             fastimage.transform_batch(["/nonexistent.jpg"], 0, 32, 32,
                                       np.zeros(1, np.uint64))
 
+    def test_batch_thread_count_invariant(self, fastimage, images):
+        """Per-image seeds make the augmentations independent of the worker
+        partition: threads=1 and threads=4 must produce byte-identical
+        batches (thread scaling may reorder WORK, never results)."""
+        paths = [images["png"], images["jpg"]] * 4
+        seeds = (np.arange(8, dtype=np.uint64) * 977) + 3
+        a = fastimage.transform_batch(paths, fastimage.MODE_RRC_FLIP,
+                                      32, 32, seeds, threads=1)
+        b = fastimage.transform_batch(paths, fastimage.MODE_RRC_FLIP,
+                                      32, 32, seeds, threads=4)
+        np.testing.assert_array_equal(a, b)
+
     def test_loader_native_path(self, fastimage, tmp_path, images):
         import shutil
         from vit_project_tpu.data.imagenet import ImageFolderLoader
