@@ -34,7 +34,11 @@ def save(path: str, tree) -> None:
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
-    tmp = path + ".tmp"
+    # pid-unique temp name: two writers racing on the same target (e.g. a
+    # mis-gated multi-process caller on a shared FS) each complete their own
+    # file and the atomic replace keeps whichever finished last INTACT,
+    # instead of interleaving into one corrupt .tmp
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         pickle.dump(_to_host(tree), f, protocol=4)
     os.replace(tmp, path)  # atomic: a crash never leaves a truncated checkpoint

@@ -454,8 +454,9 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     epochs_no_improve = 0
 
     os.makedirs(dora_parameters_path, exist_ok=True)
-    csvio.init_clip_csv(training_res_path, resume_from_epoch,
-                        previous_training_res_path, logger)
+    if jax.process_index() == 0:  # shared-FS file setup: one writer
+        csvio.init_clip_csv(training_res_path, resume_from_epoch,
+                            previous_training_res_path, logger)
 
     dropout_root = jax.random.PRNGKey(dropout_seed)
     n_train = len(train_images)
@@ -550,29 +551,36 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             trainable, inf_imgs_dev, reference_rdm)
         log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
 
-        if dump_dir is not None:
-            _dump_embeddings(dump_dir, epoch + 1, emb, inference_names,
-                             prefix="things_48")
-        if nod_imgs_dev is not None and nod_dump_dir is not None:
-            # second per-epoch inference set (the reference runs produced
-            # nod_embeddings_epochN.csv dumps; SURVEY.md section 0)
-            n_nod = len(nod_images)
-            nod_emb = np.asarray(trainer._infer_step(
-                trainable, trainer.params, trainer.static,
-                nod_imgs_dev))[:n_nod]
-            _dump_embeddings(nod_dump_dir, epoch + 1, nod_emb, nod_names,
-                             prefix="nod")
+        # host-side artifacts (CSV rows, pickles, dumps) are written by
+        # process 0 only: on a pod every process holds the same replicated
+        # state, and P concurrent writers to one shared-FS file would race
+        # (the reference is single-process here; its ViT path rank-gates the
+        # same way, train_vit_sgd.py:92)
+        if jax.process_index() == 0:
+            if dump_dir is not None:
+                _dump_embeddings(dump_dir, epoch + 1, emb, inference_names,
+                                 prefix="things_48")
+            if nod_imgs_dev is not None and nod_dump_dir is not None:
+                # second per-epoch inference set (the reference runs produced
+                # nod_embeddings_epochN.csv dumps; SURVEY.md section 0)
+                n_nod = len(nod_images)
+                nod_emb = np.asarray(trainer._infer_step(
+                    trainable, trainer.params, trainer.static,
+                    nod_imgs_dev))[:n_nod]
+                _dump_embeddings(nod_dump_dir, epoch + 1, nod_emb, nod_names,
+                                 prefix="nod")
 
-        csvio.append_clip_row(training_res_path, epoch + 1, avg_train_loss,
-                              avg_test_loss, rho, p_value, **flags)
+            csvio.append_clip_row(training_res_path, epoch + 1,
+                                  avg_train_loss, avg_test_loss, rho, p_value,
+                                  **flags)
 
-        clip_ckpt.save_dora_parameters(trainable, dora_parameters_path, epoch,
-                                       logger=logger)
-        log(f"DoRA parameters saved for epoch {epoch + 1}")
-        clip_ckpt.save_random_states(opt_state, epoch, random_state_path,
-                                     data_seed,
-                                     {"dropout_seed": dropout_seed},
-                                     logger=logger)
+            clip_ckpt.save_dora_parameters(trainable, dora_parameters_path,
+                                           epoch, logger=logger)
+            log(f"DoRA parameters saved for epoch {epoch + 1}")
+            clip_ckpt.save_random_states(opt_state, epoch, random_state_path,
+                                         data_seed,
+                                         {"dropout_seed": dropout_seed},
+                                         logger=logger)
 
         in_win = windows.in_window(epoch, training_run, perturb_length) \
             and perturb_type in windows.PERTURB_TYPES
@@ -639,9 +647,11 @@ def run_behavioral_training(config) -> dict:
             len(dataset), cfg.train_portion, cfg.random_seed)
         split_path = os.path.join(cfg.random_state_path,
                                   "dataset_split_indices.pth")
-        dthings.save_split_indices(split_path, train_idx, test_idx,
-                                   cfg.random_seed)
-        logger.info(f"Saved fresh dataset split to {split_path}")
+        # every process derives the identical split from the seed; one writer
+        if jax.process_index() == 0:
+            dthings.save_split_indices(split_path, train_idx, test_idx,
+                                       cfg.random_seed)
+            logger.info(f"Saved fresh dataset split to {split_path}")
 
     inference = dthings.ThingsInferenceDataset(
         cfg.inference_csv_file, cfg.img_dir, cfg.RDM48_triplet_dir)
