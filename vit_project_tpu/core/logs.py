@@ -14,19 +14,31 @@ _FORMAT = "%(asctime)s - %(levelname)s - %(message)s"
 _DATEFMT = "%Y-%m-%d %H:%M:%S"
 
 
+def _is_primary() -> bool:
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def _build(name: str, log_file_path: str) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers = []
     formatter = logging.Formatter(_FORMAT, datefmt=_DATEFMT)
 
-    d = os.path.dirname(log_file_path)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    fh = logging.FileHandler(log_file_path, mode="w")
-    fh.setLevel(logging.INFO)
-    fh.setFormatter(formatter)
-    logger.addHandler(fh)
+    # the file handler truncates (mode="w") — on a pod only process 0 owns
+    # the log file; other processes keep console output only (the reference
+    # rank-gates its distributed prints the same way, train_vit_sgd.py:149)
+    if _is_primary():
+        d = os.path.dirname(log_file_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        fh = logging.FileHandler(log_file_path, mode="w")
+        fh.setLevel(logging.INFO)
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
 
     ch = logging.StreamHandler(sys.stdout)
     ch.setLevel(logging.INFO)

@@ -817,7 +817,8 @@ def run_behavioral_training(config) -> dict:
         nod_images=nod_images, nod_names=nod_names,
         nod_dump_dir=cfg.nod_dump_dir)
 
-    if cfg.nod_dump_dir and nod_names is not None:
+    if cfg.nod_dump_dir and nod_names is not None \
+            and jax.process_index() == 0:  # reads proc-0's dumps; one writer
         # per-epoch category-RDM archive (the reference runs shipped
         # hba_nod_category_rdms_dict.npz with no producing script —
         # SURVEY.md section 0; schema defined in analysis/category_rdms.py)
