@@ -168,3 +168,26 @@ class TestCategoryRdms:
             df.to_csv(d / f"nod_embeddings_epoch{e}.csv", index=False)
         with pytest.raises(ValueError, match="differs"):
             cr.build_category_rdms(str(d))
+
+
+class TestPodSafeLogging:
+    def test_nonprimary_process_gets_no_file_handler(self, tmp_path,
+                                                     monkeypatch):
+        """The file handler truncates on open (mode='w'), so on a pod only
+        process 0 may own the log file; other processes log to console only."""
+        import logging
+        from vit_project_tpu.core import logs
+
+        p0 = str(tmp_path / "p0.log")
+        lg = logs.setup_logger(p0)
+        assert any(isinstance(h, logging.FileHandler) for h in lg.handlers)
+        assert os.path.exists(p0)
+
+        monkeypatch.setattr(logs, "_is_primary", lambda: False)
+        p1 = str(tmp_path / "p1.log")
+        lg = logs.setup_logger(p1)
+        assert not any(isinstance(h, logging.FileHandler)
+                       for h in lg.handlers)
+        assert not os.path.exists(p1)
+        # console handler still present so the process is not silent
+        assert any(isinstance(h, logging.StreamHandler) for h in lg.handlers)
