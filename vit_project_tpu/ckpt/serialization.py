@@ -37,11 +37,25 @@ def save(path: str, tree) -> None:
     # pid-unique temp name: two writers racing on the same target (e.g. a
     # mis-gated multi-process caller on a shared FS) each complete their own
     # file and the atomic replace keeps whichever finished last INTACT,
-    # instead of interleaving into one corrupt .tmp
+    # instead of interleaving into one corrupt .tmp. Stale temps from a
+    # killed previous run are reaped here so they cannot accumulate.
+    import glob
+    for stale in glob.glob(f"{path}.tmp.*"):
+        try:
+            os.unlink(stale)
+        except OSError:
+            pass
     tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        pickle.dump(_to_host(tree), f, protocol=4)
-    os.replace(tmp, path)  # atomic: a crash never leaves a truncated checkpoint
+    try:
+        with open(tmp, "wb") as f:
+            pickle.dump(_to_host(tree), f, protocol=4)
+        os.replace(tmp, path)  # atomic: a crash never leaves a truncated file
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load(path: str):

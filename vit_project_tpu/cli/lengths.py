@@ -96,7 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ..parallel import dist
     args = build_parser().parse_args(argv)
+    # no-op single-process; on a pod launcher (env rendezvous) this
+    # initializes jax.distributed so the process-0 write gates and
+    # global batch assembly in the training loop see real ranks
+    dist.setup_distributed()
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
 
     config = {

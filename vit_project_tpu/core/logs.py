@@ -16,8 +16,8 @@ _DATEFMT = "%Y-%m-%d %H:%M:%S"
 
 def _is_primary() -> bool:
     try:
-        import jax
-        return jax.process_index() == 0
+        from ..parallel import dist
+        return dist.is_primary()
     except Exception:
         return True
 

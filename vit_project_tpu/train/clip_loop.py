@@ -40,6 +40,7 @@ from ..data.spose66 import classnames66
 from ..models import clip as vclip
 from ..models import tokenizer as vtok
 from ..ops import rsa as vrsa
+from ..parallel import dist
 from ..perturb import injectors, windows
 
 
@@ -454,7 +455,7 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     epochs_no_improve = 0
 
     os.makedirs(dora_parameters_path, exist_ok=True)
-    if jax.process_index() == 0:  # shared-FS file setup: one writer
+    if dist.is_primary():  # shared-FS file setup: one writer
         csvio.init_clip_csv(training_res_path, resume_from_epoch,
                             previous_training_res_path, logger)
 
@@ -551,22 +552,27 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             trainable, inf_imgs_dev, reference_rdm)
         log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
 
+        nod_emb = None
+        if nod_imgs_dev is not None and nod_dump_dir is not None:
+            # second per-epoch inference set (the reference runs produced
+            # nod_embeddings_epochN.csv dumps; SURVEY.md section 0). The
+            # device computation runs on EVERY process (the jit spans the
+            # pod mesh — gating it would deadlock the SPMD program); only
+            # the file write below is process-0.
+            nod_emb = np.asarray(trainer._infer_step(
+                trainable, trainer.params, trainer.static,
+                nod_imgs_dev))[:len(nod_images)]
+
         # host-side artifacts (CSV rows, pickles, dumps) are written by
         # process 0 only: on a pod every process holds the same replicated
         # state, and P concurrent writers to one shared-FS file would race
         # (the reference is single-process here; its ViT path rank-gates the
         # same way, train_vit_sgd.py:92)
-        if jax.process_index() == 0:
+        if dist.is_primary():
             if dump_dir is not None:
                 _dump_embeddings(dump_dir, epoch + 1, emb, inference_names,
                                  prefix="things_48")
-            if nod_imgs_dev is not None and nod_dump_dir is not None:
-                # second per-epoch inference set (the reference runs produced
-                # nod_embeddings_epochN.csv dumps; SURVEY.md section 0)
-                n_nod = len(nod_images)
-                nod_emb = np.asarray(trainer._infer_step(
-                    trainable, trainer.params, trainer.static,
-                    nod_imgs_dev))[:n_nod]
+            if nod_emb is not None:
                 _dump_embeddings(nod_dump_dir, epoch + 1, nod_emb, nod_names,
                                  prefix="nod")
 
@@ -648,7 +654,7 @@ def run_behavioral_training(config) -> dict:
         split_path = os.path.join(cfg.random_state_path,
                                   "dataset_split_indices.pth")
         # every process derives the identical split from the seed; one writer
-        if jax.process_index() == 0:
+        if dist.is_primary():
             dthings.save_split_indices(split_path, train_idx, test_idx,
                                        cfg.random_seed)
             logger.info(f"Saved fresh dataset split to {split_path}")
@@ -818,7 +824,7 @@ def run_behavioral_training(config) -> dict:
         nod_dump_dir=cfg.nod_dump_dir)
 
     if cfg.nod_dump_dir and nod_names is not None \
-            and jax.process_index() == 0:  # reads proc-0's dumps; one writer
+            and dist.is_primary():  # reads proc-0's dumps; one writer
         # per-epoch category-RDM archive (the reference runs shipped
         # hba_nod_category_rdms_dict.npz with no producing script —
         # SURVEY.md section 0; schema defined in analysis/category_rdms.py)
