@@ -163,3 +163,41 @@ def test_nan_guard_skips_batch_without_update():
     for a, b in zip(jax.tree_util.tree_leaves(tr1),
                     jax.tree_util.tree_leaves(trainable)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_remat_is_numerically_free():
+    """ClipHBATrainer(remat=True) must produce the exact same step results
+    as remat=False (jax.checkpoint replays identical math with identical
+    keys) — the flag only trades compute for activation memory."""
+    cfg = vclip.tiny_clip_config()
+    params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+    spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+    trainable, static, acfg = adora.apply_dora(params, spec, r=4,
+                                               key=jax.random.PRNGKey(1))
+    prompts = np.random.RandomState(0).randint(
+        1, 400, (66, cfg.text.context_length)).astype(np.int32)
+    rs = np.random.RandomState(5)
+    imgs = rs.randint(0, 255, (12, 32, 32, 3), np.uint8)
+    tgts = rs.rand(12, 66).astype(np.float32)
+
+    outs = []
+    for remat in (False, True):
+        tr = ClipHBATrainer(cfg, params, acfg, static, prompts, lr=3e-4,
+                            compute_dtype=jnp.float32, mesh=None, remat=remat)
+        t = jax.tree_util.tree_map(jnp.array, trainable)
+        opt = tr.init_opt_state(t)
+        di, dt = tr.upload_dataset(imgs, tgts)
+        idx, valid = tr._prep_idx(np.arange(12), 12)
+        step = tr._train_step_resident("none")
+        t, opt, loss, ok = step(t, opt, tr.params, tr.static, di, dt, idx,
+                                valid, jax.random.PRNGKey(2),
+                                jax.random.PRNGKey(3))
+        assert bool(ok)
+        outs.append((float(loss), t))
+    assert outs[0][0] == outs[1][0]
+    # remat changes XLA's fusion/reassociation in the backward, so updated
+    # params agree to FP-noise (measured maxdiff ~1e-11), not bit-exactly
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="./clip_hba_baseline")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each visual block (memory lever for "
+                        "backbones whose activations outgrow HBM)")
     p.add_argument("--dump_inference_embeddings", action="store_true")
     p.add_argument("--nod_csv_file", default=None,
                    help="optional second inference set (per-epoch "
@@ -82,6 +85,7 @@ def main(argv=None):
         "criterion": "mse",
         "cuda": 0,
         "compute_dtype": args.compute_dtype,
+        "remat": args.remat,
         "dump_inference_embeddings": args.dump_inference_embeddings,
         "inference_dump_dir": f"{out}/things_48_inference_results",
         "nod_csv_file": args.nod_csv_file,

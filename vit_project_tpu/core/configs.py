@@ -41,6 +41,8 @@ class ClipRunConfig:
     early_stopping_patience: int = 20
     random_seed: int = 1
     compute_dtype: str = "bfloat16"        # frozen-tower compute dtype on TPU
+    remat: bool = False                    # jax.checkpoint each visual block
+                                           # (memory lever for big backbones)
 
     # perturbation
     perturb_type: str = "baseline"         # random_target | label_shuffle |

@@ -57,7 +57,8 @@ class ClipHBATrainer:
                  adapter_cfg: dict, static: dict, prompt_tokens: np.ndarray,
                  lr: float, compute_dtype=jnp.bfloat16,
                  perturb_distribution: str = "target",
-                 dist_mean: float = 0.0, dist_std: float = 1.0, mesh=None):
+                 dist_mean: float = 0.0, dist_std: float = 1.0, mesh=None,
+                 remat: bool = False):
         """`mesh` (a ('data',) jax Mesh) enables data-parallel batches — the
         TPU-native equivalent of the reference's cuda==-1 nn.DataParallel wrap
         (run_behavioral_training :1174-1176); partial batches are padded to the
@@ -78,6 +79,10 @@ class ClipHBATrainer:
         self.perturb_distribution = perturb_distribution
         self.dist_mean = dist_mean
         self.dist_std = dist_std
+        # per-block jax.checkpoint on the visual tower (models/vit.py
+        # _block_fn): the memory lever for backbones whose activations
+        # outgrow HBM at the training batch size
+        self.remat = remat
         self._steps: dict = {}
 
     def init_opt_state(self, trainable):
@@ -179,7 +184,7 @@ class ClipHBATrainer:
         (reference train_model 'continue' on non-finite batches, ref :929-998)."""
         optimizer = self.optimizer
         cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
-        cdt = self.compute_dtype
+        cdt, rm = self.compute_dtype, self.remat
         dist_kind = self.perturb_distribution
         dmean, dstd = self.dist_mean, self.dist_std
 
@@ -189,7 +194,7 @@ class ClipHBATrainer:
             preds = vclip.clip_hba_forward(
                 params, images, prompts, cfg, adapters=ad,
                 adapter_cfg=acfg, dropout_key=dropout_key,
-                deterministic=False, compute_dtype=cdt)
+                deterministic=False, compute_dtype=cdt, remat=rm)
             row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
             loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
             return loss, preds
@@ -745,7 +750,7 @@ def run_behavioral_training(config) -> dict:
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
         perturb_distribution=cfg.perturb_distribution,
-        dist_mean=mean, dist_std=std, mesh=mesh)
+        dist_mean=mean, dist_std=std, mesh=mesh, remat=cfg.remat)
     trainable = trainer.prepare_state(trainable)
     opt_state = trainer.init_opt_state(trainable)
 
