@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip_weights", default=None)
     p.add_argument("--bpe_vocab", default=None)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each visual block (memory lever for "
+                        "backbones whose activations outgrow HBM)")
     # reference hardcodes these (clip_train_behavior_lengths.py:110-112);
     # exposed as flags so forks can match any baseline's adapter config
     p.add_argument("--vision_layers", type=int, default=2)
@@ -125,6 +128,7 @@ def main(argv=None):
         "criterion": "mse",
         "cuda": args.cuda,
         "compute_dtype": args.compute_dtype,
+        "remat": args.remat,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,

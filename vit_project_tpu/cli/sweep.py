@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="midpoint | hybrid | sweep | range:A-B | "
                         "comma-separated epochs")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each visual block (memory lever for "
+                        "backbones whose activations outgrow HBM)")
     return p
 
 
@@ -136,6 +139,7 @@ def main(argv=None):
         "criterion": "mse",
         "cuda": 0,
         "compute_dtype": args.compute_dtype,
+        "remat": args.remat,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,
