@@ -91,3 +91,45 @@ class TestPlots:
                               str(tmp_path / "f3.png"))
         assert os.path.getsize(out1) > 1000
         assert os.path.getsize(out3) > 1000
+
+
+REF = "/root/reference/Data/clip_results"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF),
+                    reason="reference artifacts not present")
+class TestAgainstRealReferenceArtifacts:
+    """Parity proof: the analysis layer must parse the reference's ACTUAL
+    shipped result trees and reproduce its documented numbers."""
+
+    def test_fig1_baseline_headline_numbers(self):
+        df = figs.load_clip_csv(os.path.join(
+            REF, "baseline_clip_results_seed1.csv"))
+        assert len(df) == 118
+        i = df["test_loss"].idxmin()
+        assert int(df.loc[i, "epoch"]) == 98          # BASELINE.md min loss
+        assert abs(df.loc[i, "test_loss"] - 29.1013) < 1e-3
+        j = df["behavioral_rsa_rho"].idxmax()
+        assert int(df.loc[j, "epoch"]) == 53          # BASELINE.md peak RSA
+        assert abs(df.loc[j, "behavioral_rsa_rho"] - 0.77903) < 1e-4
+
+    def test_fig3_sweep_tree_parses_fully(self):
+        deltas = figs.sweep_deltas(
+            os.path.join(REF, "baseline_clip_results_seed1.csv"),
+            os.path.join(REF, "single_sweep_experiments"))
+        assert len(deltas) == 98                      # all 98 runs
+
+    def test_fig4_covers_both_artifact_generations(self):
+        """The shipped tree mixes training_res.csv and metrics.csv
+        condition dirs; all 136 must appear, including the never-recovered
+        late-onset rows (README's NR findings)."""
+        t = figs.recovery_table(
+            os.path.join(REF, "baseline_clip_results_seed1.csv"),
+            os.path.join(REF,
+                         "perturb_length_experiments_baselineseed1_"
+                         "perturbseed0"),
+            "random_target")
+        assert len(t) == 136
+        nr = t[t["recovery_epoch"] == -1]
+        assert len(nr) == 12
+        assert set(nr["onset"]) == {58, 60, 70, 80, 90, 94}

@@ -60,10 +60,18 @@ def list_length_runs(base_dir: str,
         ptype, e, l = m.group(1), int(m.group(2)), int(m.group(3))
         if perturb_type and ptype != perturb_type:
             continue
-        csv_path = os.path.join(base_dir, name, "training_res.csv")
-        if os.path.exists(csv_path):
-            out.append({"type": ptype, "onset": e, "length": l,
-                        "csv": csv_path, "dir": os.path.join(base_dir, name)})
+        # the reference's shipped tree mixes two artifact generations:
+        # training_res.csv (the committed pipeline's name) and metrics.csv
+        # (an earlier revision, same leading columns) — its fig4 notebook
+        # reads both, so skipping metrics.csv would silently drop 18 of the
+        # 136 conditions (e2/e7/e70 rows)
+        for fname in ("training_res.csv", "metrics.csv"):
+            csv_path = os.path.join(base_dir, name, fname)
+            if os.path.exists(csv_path):
+                out.append({"type": ptype, "onset": e, "length": l,
+                            "csv": csv_path,
+                            "dir": os.path.join(base_dir, name)})
+                break
     return out
 
 
