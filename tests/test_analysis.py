@@ -133,3 +133,16 @@ class TestAgainstRealReferenceArtifacts:
         nr = t[t["recovery_epoch"] == -1]
         assert len(nr) == 12
         assert set(nr["onset"]) == {58, 60, 70, 80, 90, 94}
+
+    def test_fig2_reads_the_flat_per_type_dirs(self):
+        """The per-type sweep dirs (image_noise/ etc.) ship FLAT
+        training_res_run{N}.csv files (no training_run{N}/ nesting); the
+        fig2 comparison epochs must resolve in all four."""
+        base = os.path.join(REF, "baseline_clip_results_seed1.csv")
+        dirs = {t: os.path.join(REF, t) for t in
+                ("image_noise", "label_shuffle", "target_noise",
+                 "uniform_target")}
+        out = figs.perturbation_type_deltas(
+            base, dirs, epochs=[5, 15, 25, 35, 45, 70, 98])
+        assert len(out) == 28
+        assert set(out.groupby("perturbation_type").size()) == {7}

@@ -32,8 +32,17 @@ def load_clip_csv(path: str) -> pd.DataFrame:
 
 
 def sweep_run_csv(sweep_dir: str, run: int) -> str:
-    return os.path.join(sweep_dir, f"training_run{run}",
-                        f"training_res_run{run}.csv")
+    """Per-run CSV path in either reference layout: the sweep driver's
+    nested `training_run{N}/training_res_run{N}.csv`, or the flat
+    `training_res_run{N}.csv` the per-type dirs ship (image_noise/ etc. —
+    the fig2 notebook reads 'training_res_run*.csv files from root
+    directory')."""
+    nested = os.path.join(sweep_dir, f"training_run{run}",
+                          f"training_res_run{run}.csv")
+    if os.path.exists(nested):
+        return nested
+    flat = os.path.join(sweep_dir, f"training_res_run{run}.csv")
+    return flat if os.path.exists(flat) else nested
 
 
 def list_sweep_runs(sweep_dir: str) -> list[int]:
