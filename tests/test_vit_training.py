@@ -142,6 +142,13 @@ class TestViTTraining:
         assert set(df["perturbation_type"]) == {"gaussian", "label_shuffle"}
         assert np.allclose(df["delta_loss"],
                            df["perturbed_loss"] - df["baseline_loss"])
+        # companion summary table (reference perturbation_summary_table.csv)
+        summ = pd.read_csv(os.path.join(os.path.dirname(out_csv),
+                                        "perturbation_summary_table.csv"))
+        assert list(summ.columns) == ["perturb_epoch", "perturbation_type",
+                                      "delta_loss", "delta_rsa",
+                                      "baseline_loss", "baseline_rsa"]
+        assert len(summ) == len(df)
         # a missing checkpoint epoch is skipped, not fatal
         r = vit_measure.measure_perturbation_effect(
             99, "gaussian", None, None, out,

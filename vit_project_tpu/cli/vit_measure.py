@@ -179,7 +179,19 @@ def main(argv=None):
 
     csvio.write_measure_csv(args.output_csv, results)
     print(f"Saved results to {args.output_csv}")
-    print(pd.DataFrame(results).to_string(index=False))
+    df = pd.DataFrame(results)
+    print(df.to_string(index=False))
+    if len(df):
+        # companion artifact the reference runs shipped without a committed
+        # producer (Data/vit_results/perturbation_summary_table.csv — the
+        # same uncommitted-revision evidence as the category RDMs,
+        # SURVEY.md section 0): a 4-decimal projection of the effects grid
+        summary = df[["perturb_epoch", "perturbation_type", "delta_loss",
+                      "delta_rsa", "baseline_loss", "baseline_rsa"]].round(4)
+        spath = os.path.join(os.path.dirname(args.output_csv) or ".",
+                             "perturbation_summary_table.csv")
+        summary.to_csv(spath, index=False)
+        print(f"Saved summary table to {spath}")
     return results
 
 
