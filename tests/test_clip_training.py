@@ -215,6 +215,33 @@ class TestForkResume:
         assert rows[2] == base_rows[2]
 
 
+class TestHashTokenizerGuardrail:
+    """Pretrained weights + hash-tokenized prompts would silently void the
+    behavioral RSA (wrong token space for the text tower) — must hard-error
+    unless the explicit escape hatch is set."""
+
+    def test_refuses_then_escape_hatch_works(self, things_fixture, tmp_path,
+                                             monkeypatch):
+        import torch
+        from test_clip_conversion import TorchCLIP
+        monkeypatch.delenv("CLIP_BPE_PATH", raising=False)
+        torch.manual_seed(0)
+        weights = tmp_path / "tiny_clip.pt"
+        torch.save(TorchCLIP().eval().state_dict(), weights)
+
+        cfg = base_config(things_fixture, str(tmp_path / "refused"),
+                          clip_weights=str(weights), epochs=1)
+        with pytest.raises(ValueError, match="BPE vocab"):
+            clip_loop.run_behavioral_training(dict(cfg))
+        assert not os.path.exists(cfg["training_res_path"])
+
+        override = base_config(things_fixture, str(tmp_path / "allowed"),
+                               clip_weights=str(weights), epochs=1,
+                               allow_hash_tokenizer=True)
+        clip_loop.run_behavioral_training(dict(override))
+        assert os.path.exists(override["training_res_path"])
+
+
 class TestEarlyStopping:
     def test_patience_triggers(self, things_fixture, tmp_path):
         out = str(tmp_path / "es")

@@ -171,23 +171,28 @@ class TestCategoryRdms:
 
 
 class TestPodSafeLogging:
-    def test_nonprimary_process_gets_no_file_handler(self, tmp_path,
-                                                     monkeypatch):
+    def test_nonprimary_process_gets_no_file(self, tmp_path, monkeypatch):
         """The file handler truncates on open (mode='w'), so on a pod only
-        process 0 may own the log file; other processes log to console only."""
+        process 0 may own the log file; other processes log to console only.
+        The primary decision is LAZY (first emit), so building the logger
+        before dist.setup_distributed() cannot make every pod process
+        truncate the shared file."""
         import logging
         from vit_project_tpu.core import logs
 
         p0 = str(tmp_path / "p0.log")
         lg = logs.setup_logger(p0)
-        assert any(isinstance(h, logging.FileHandler) for h in lg.handlers)
+        assert not os.path.exists(p0)          # nothing opened before emit
+        lg.info("hello")
         assert os.path.exists(p0)
+        assert "hello" in open(p0).read()
 
-        monkeypatch.setattr(logs, "_is_primary", lambda: False)
+        # build BEFORE the process learns it is non-primary (the pod init
+        # ordering hazard): the file decision happens at first emit
         p1 = str(tmp_path / "p1.log")
         lg = logs.setup_logger(p1)
-        assert not any(isinstance(h, logging.FileHandler)
-                       for h in lg.handlers)
+        monkeypatch.setattr(logs, "_is_primary", lambda: False)
+        lg.info("from a secondary process")
         assert not os.path.exists(p1)
         # console handler still present so the process is not silent
         assert any(isinstance(h, logging.StreamHandler) for h in lg.handlers)

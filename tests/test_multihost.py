@@ -102,6 +102,62 @@ class TestOrderedGather:
         np.testing.assert_array_equal(out, data)
 
 
+class TestLoaderAbandonment:
+    def test_producer_thread_exits_when_consumer_abandons(self, folder):
+        """Closing the epoch generator mid-iteration must not leave the
+        producer thread blocked in q.put on a full prefetch queue."""
+        import threading
+        before = set(threading.enumerate())
+        ld = ImageFolderLoader(folder, 2, train=True, seed=0, size=16,
+                               workers=2, prefetch=1)
+        it = ld.epoch(0)
+        next(it)   # producer started; prefetch queue fills and put() blocks
+        it.close()  # abandon mid-epoch -> generator finally joins the producer
+        leftover = [t for t in set(threading.enumerate()) - before
+                    if t.is_alive()]
+        assert leftover == [], f"leaked threads: {leftover}"
+
+
+class TestSetupDistributed:
+    """Init-failure handling: multi-process intent must be loud (a swallowed
+    rendezvous failure degrades a pod into N independent 'process 0' runs),
+    while double-init and single-process stay silent."""
+
+    def test_rendezvous_failure_reraises(self, monkeypatch):
+        import jax
+
+        def boom(**kw):
+            raise RuntimeError("connection to coordinator failed")
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="coordinator"):
+            dist.setup_distributed(coordinator_address="10.0.0.1:1234",
+                                   num_processes=2, process_id=0)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        with pytest.raises(RuntimeError, match="coordinator"):
+            dist.setup_distributed()
+
+    def test_double_init_absorbed(self, monkeypatch):
+        import jax
+
+        def already(**kw):
+            raise RuntimeError("distributed.initialize should only be "
+                               "called once.")
+        monkeypatch.setattr(jax.distributed, "initialize", already)
+        idx, count = dist.setup_distributed(
+            coordinator_address="10.0.0.1:1234", num_processes=2, process_id=0)
+        assert (idx, count) == (jax.process_index(), jax.process_count())
+
+    def test_single_process_never_initializes(self, monkeypatch):
+        import jax
+
+        def forbidden(**kw):  # no intent -> initialize must not be called
+            raise AssertionError("initialize called without multi-process intent")
+        monkeypatch.setattr(jax.distributed, "initialize", forbidden)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert dist.setup_distributed()[1] >= 1
+
+
 class TestTwoProcessDistributed:
     def test_multihost_cpu_demo_end_to_end(self):
         """Spawns 2 coordinated jax.distributed CPU processes: disjoint

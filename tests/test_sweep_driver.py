@@ -30,6 +30,24 @@ class TestOrders:
         assert sweep_cli.parse_order("midpoint")[:2] == [1, 98]
 
 
+class TestLengthsPreviousRunScan:
+    """Cross-run resume dir selection (reference
+    clip_train_behavior_lengths.py:188-218 behavior)."""
+
+    def test_picks_longest_shorter_sibling(self, tmp_path):
+        from vit_project_tpu.cli.lengths import find_previous_run_dir
+        for name in ("random_target_e2_l1", "random_target_e2_l3",
+                     "random_target_e3_l2", "label_shuffle_e2_l2", "junk"):
+            os.makedirs(tmp_path / name)
+        (tmp_path / "random_target_e2_l4").touch()  # a file must not match
+        path, length = find_previous_run_dir(str(tmp_path), "random_target", 2, 5)
+        assert length == 3 and path.endswith("random_target_e2_l3")
+        # no shorter run / wrong type / missing base -> (None, None)
+        assert find_previous_run_dir(str(tmp_path), "random_target", 2, 1) == (None, None)
+        assert find_previous_run_dir(str(tmp_path), "image_noise", 2, 5) == (None, None)
+        assert find_previous_run_dir(str(tmp_path / "nope"), "random_target", 2, 5) == (None, None)
+
+
 @pytest.mark.slow
 class TestSweepDriver:
     def test_two_run_sweep(self, tmp_path):

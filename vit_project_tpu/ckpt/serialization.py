@@ -37,12 +37,16 @@ def save(path: str, tree) -> None:
     # pid-unique temp name: two writers racing on the same target (e.g. a
     # mis-gated multi-process caller on a shared FS) each complete their own
     # file and the atomic replace keeps whichever finished last INTACT,
-    # instead of interleaving into one corrupt .tmp. Stale temps from a
-    # killed previous run are reaped here so they cannot accumulate.
+    # instead of interleaving into one corrupt .tmp. Only temps older than an
+    # hour are reaped (a live racing writer's in-progress temp must survive),
+    # and the target path is glob-escaped so metacharacters in checkpoint
+    # names cannot widen the pattern.
     import glob
-    for stale in glob.glob(f"{path}.tmp.*"):
+    import time
+    for stale in glob.glob(glob.escape(path) + ".tmp.*"):
         try:
-            os.unlink(stale)
+            if time.time() - os.path.getmtime(stale) > 3600:
+                os.unlink(stale)
         except OSError:
             pass
     tmp = f"{path}.tmp.{os.getpid()}"

@@ -73,6 +73,19 @@ def load_checkpoint(path: str, template=None):
     return ser.load(path)
 
 
+def epoch_checkpoint(output_dir: str, epoch: int) -> str | None:
+    """Resolve `checkpoint_epoch_{N:03d}` in either container format — the
+    single-host .pth pickle or the pod-written .orbax directory — picking the
+    newer by mtime when both exist (same rule as latest_checkpoint), so
+    measurement runs can fork from checkpoints written by pod baselines."""
+    cands = []
+    for ext in (".orbax", ".pth"):
+        p = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}{ext}")
+        if os.path.exists(p):
+            cands.append((os.path.getmtime(p), p))
+    return max(cands)[1] if cands else None
+
+
 def latest_checkpoint(output_dir: str) -> str | None:
     """When both formats exist (e.g. a pod run followed by a single-host
     continuation of the same output_dir), pick the most recently written one

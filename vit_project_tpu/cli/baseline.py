@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="OpenAI CLIP checkpoint (.pt) to convert and load")
     p.add_argument("--bpe_vocab", default=None,
                    help="CLIP BPE merge table (bpe_simple_vocab_16e6.txt.gz)")
+    p.add_argument("--allow_hash_tokenizer", action="store_true",
+                   help="permit pretrained weights without a BPE vocab "
+                        "(RSA will be scientifically void; testing only)")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--train_portion", type=float, default=0.8)
@@ -68,6 +71,7 @@ def main(argv=None):
         "backbone": args.backbone,
         "clip_weights": args.clip_weights,
         "bpe_vocab": args.bpe_vocab,
+        "allow_hash_tokenizer": args.allow_hash_tokenizer,
         "epochs": args.epochs,
         "batch_size": args.batch_size,
         "train_portion": args.train_portion,

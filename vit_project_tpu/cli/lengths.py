@@ -13,42 +13,43 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from datetime import datetime
+from pathlib import Path
 
 from ..core import csvio
 from ..core.logs import setup_main_logger
 from ..train.clip_loop import run_behavioral_training
 
+# the `{type}_e{E}_l{L}` condition-directory naming shared with the fig4
+# recovery analysis (reference layout: clip_train_behavior_lengths.py:128-134)
+_CONDITION_DIR = re.compile(r"(?P<kind>.+)_e(?P<onset>\d+)_l(?P<length>\d+)$")
+_INJECTOR_KINDS = frozenset(
+    ["random_target", "label_shuffle", "uniform_images", "image_noise"])
+
 
 def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
                           current_length: int):
-    """Longest run with the same onset and smaller length (reference :188-218)."""
-    candidates = []
+    """Locate the longest already-trained condition at the same onset with a
+    strictly smaller window, for cross-run resume (reference behavior:
+    clip_train_behavior_lengths.py:188-218). Returns (dir_path, length) or
+    (None, None)."""
+    def shorter_siblings():
+        for entry in Path(base_dir).iterdir():
+            m = _CONDITION_DIR.match(entry.name)
+            if m is None or not entry.is_dir():
+                continue
+            if int(m["onset"]) != start_epoch:
+                continue
+            if perturb_type in _INJECTOR_KINDS and m["kind"] != perturb_type:
+                continue
+            if int(m["length"]) < current_length:
+                yield int(m["length"]), str(entry)
+
     if not os.path.isdir(base_dir):
         return None, None
-    for name in os.listdir(base_dir):
-        full_path = os.path.join(base_dir, name)
-        if not os.path.isdir(full_path):
-            continue
-        if f"e{start_epoch}_" not in name:
-            continue
-        if perturb_type in ("random_target", "label_shuffle",
-                            "uniform_images", "image_noise") \
-                and not name.startswith(perturb_type):
-            continue
-        length_val = None
-        for part in name.split("_"):
-            if part.startswith("l") and part[1:].isdigit():
-                length_val = int(part[1:])
-                break
-        if length_val is None:
-            continue
-        if length_val < current_length:
-            candidates.append((length_val, full_path))
-    if not candidates:
-        return None, None
-    best = max(candidates, key=lambda t: t[0])
-    return best[1], best[0]
+    best = max(shorter_siblings(), default=None)
+    return (None, None) if best is None else (best[1], best[0])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -86,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone", default="ViT-L/14")
     p.add_argument("--clip_weights", default=None)
     p.add_argument("--bpe_vocab", default=None)
+    p.add_argument("--allow_hash_tokenizer", action="store_true",
+                   help="permit pretrained weights without a BPE vocab "
+                        "(RSA will be scientifically void; testing only)")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
@@ -115,6 +119,7 @@ def main(argv=None):
         "backbone": args.backbone,
         "clip_weights": args.clip_weights,
         "bpe_vocab": args.bpe_vocab,
+        "allow_hash_tokenizer": args.allow_hash_tokenizer,
         "epochs": args.epochs,
         "batch_size": args.batch_size,
         "train_portion": 0.8,

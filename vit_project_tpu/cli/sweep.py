@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from collections import deque
 from datetime import datetime
 
 from ..core.logs import setup_main_logger
@@ -18,32 +17,24 @@ from ..train.clip_loop import run_behavioral_training
 
 
 def generate_midpoint_order(start: int = 1, end: int = 98) -> list[int]:
-    """Progressive midpoint refinement: start, end, middle, then breadth-first
-    interval splitting (reference :8-52) — early sweep results cover the whole
-    epoch range coarsely, later runs fill in."""
+    """Progressive midpoint refinement: the endpoints first, then generation by
+    generation each open interval contributes its midpoint and splits in two
+    (matches the sequence of reference :8-52) — early sweep results cover the
+    whole epoch range coarsely, later runs fill in the detail."""
     if start > end:
         return []
-    epochs = [start]
-    if start != end:
-        epochs.append(end)
-    mid = (start + end) // 2
-    if mid != start and mid != end:
-        epochs.append(mid)
-    queue = deque()
-    if mid > start + 1:
-        queue.append((start, mid))
-    if end > mid + 1:
-        queue.append((mid, end))
-    while queue:
-        left, right = queue.popleft()
-        new_mid = (left + right) // 2
-        if new_mid != left and new_mid != right:
-            epochs.append(new_mid)
-            if new_mid > left + 1:
-                queue.append((left, new_mid))
-            if right > new_mid + 1:
-                queue.append((new_mid, right))
-    return epochs
+    order = [start] if start == end else [start, end]
+    generation = [(start, end)]
+    while generation:
+        offspring = []
+        for lo, hi in generation:
+            pivot = (lo + hi) // 2
+            if lo < pivot < hi:
+                order.append(pivot)
+            offspring += [iv for iv in ((lo, pivot), (pivot, hi))
+                          if iv[1] - iv[0] > 1]
+        generation = offspring
+    return order
 
 
 def generate_hybrid_training_order() -> list[int]:
@@ -80,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone", default="ViT-L/14")
     p.add_argument("--clip_weights", default=None)
     p.add_argument("--bpe_vocab", default=None)
+    p.add_argument("--allow_hash_tokenizer", action="store_true",
+                   help="permit pretrained weights without a BPE vocab "
+                        "(RSA will be scientifically void; testing only)")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -126,6 +120,7 @@ def main(argv=None):
         "backbone": args.backbone,
         "clip_weights": args.clip_weights,
         "bpe_vocab": args.bpe_vocab,
+        "allow_hash_tokenizer": args.allow_hash_tokenizer,
         "epochs": args.epochs,
         "batch_size": args.batch_size,
         "train_portion": 0.8,

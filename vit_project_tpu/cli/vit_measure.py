@@ -55,10 +55,11 @@ def measure_perturbation_effect(
     log(f"Measuring: {perturbation_type} @ epoch {perturb_epoch} "
         f"(baseline loss={baseline_loss:.4f}, RSA={baseline_rsa:.4f})")
 
-    ckpt_path = os.path.join(baseline_checkpoint_dir,
-                             f"checkpoint_epoch_{perturb_epoch - 1:03d}.pth")
-    if not os.path.exists(ckpt_path):
-        log(f"Checkpoint not found: {ckpt_path}")
+    ckpt_path = vit_ckpt.epoch_checkpoint(baseline_checkpoint_dir,
+                                          perturb_epoch - 1)
+    if ckpt_path is None:
+        log(f"Checkpoint not found: checkpoint_epoch_{perturb_epoch - 1:03d}"
+            f".pth/.orbax in {baseline_checkpoint_dir}")
         return None
     ckpt = vit_ckpt.load_checkpoint(ckpt_path)
     params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
@@ -136,7 +137,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import scipy.io
+    from ..parallel import dist
     args = build_parser().parse_args(argv)
+    # pod-ready like the train CLI (reference's measure script runs under
+    # torchrun, measure...effect.py:121-135,601): establish real ranks before
+    # any loader/gate decisions
+    proc_id, proc_count = dist.setup_distributed()
 
     vit_cfg = vvit.VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(
@@ -149,12 +155,19 @@ def main(argv=None):
     trainer = ViTTrainer(vit_cfg, cfg)
 
     baseline_df = pd.read_csv(args.baseline_metrics_csv)
+    # batch_size is GLOBAL; each process loads its strided shard and feeds
+    # its local block (same contract as run_vit_training)
+    assert args.batch_size % proc_count == 0, (
+        f"global batch {args.batch_size} must divide by {proc_count} processes")
+    local_bs = args.batch_size // proc_count
     train_loader = dimg.ImageFolderLoader(
-        f"{args.data_path}/train", args.batch_size, train=True,
-        size=vit_cfg.image_size, workers=args.num_workers, drop_last=True)
+        f"{args.data_path}/train", local_bs, train=True,
+        size=vit_cfg.image_size, workers=args.num_workers, drop_last=True,
+        num_shards=proc_count, shard_id=proc_id)
     val_loader = dimg.ImageFolderLoader(
-        f"{args.data_path}/val", args.batch_size, train=False,
-        size=vit_cfg.image_size, workers=args.num_workers)
+        f"{args.data_path}/val", local_bs, train=False,
+        size=vit_cfg.image_size, workers=args.num_workers,
+        num_shards=proc_count, shard_id=proc_id)
     _, things_images = load_things_for_vit(args.things_csv,
                                            args.things_img_dir,
                                            size=vit_cfg.image_size)
@@ -177,21 +190,23 @@ def main(argv=None):
             if r is not None:
                 results.append(r)
 
-    csvio.write_measure_csv(args.output_csv, results)
-    print(f"Saved results to {args.output_csv}")
     df = pd.DataFrame(results)
-    print(df.to_string(index=False))
-    if len(df):
-        # companion artifact the reference runs shipped without a committed
-        # producer (Data/vit_results/perturbation_summary_table.csv — the
-        # same uncommitted-revision evidence as the category RDMs,
-        # SURVEY.md section 0): a 4-decimal projection of the effects grid
-        summary = df[["perturb_epoch", "perturbation_type", "delta_loss",
-                      "delta_rsa", "baseline_loss", "baseline_rsa"]].round(4)
-        spath = os.path.join(os.path.dirname(args.output_csv) or ".",
-                             "perturbation_summary_table.csv")
-        summary.to_csv(spath, index=False)
-        print(f"Saved summary table to {spath}")
+    # one CSV writer on a pod (reference rank-0 gate, measure...effect.py:653)
+    if dist.is_primary():
+        csvio.write_measure_csv(args.output_csv, results)
+        print(f"Saved results to {args.output_csv}")
+        print(df.to_string(index=False))
+        if len(df):
+            # companion artifact the reference runs shipped without a committed
+            # producer (Data/vit_results/perturbation_summary_table.csv — the
+            # same uncommitted-revision evidence as the category RDMs,
+            # SURVEY.md section 0): a 4-decimal projection of the effects grid
+            summary = df[["perturb_epoch", "perturbation_type", "delta_loss",
+                          "delta_rsa", "baseline_loss", "baseline_rsa"]].round(4)
+            spath = os.path.join(os.path.dirname(args.output_csv) or ".",
+                                 "perturbation_summary_table.csv")
+            summary.to_csv(spath, index=False)
+            print(f"Saved summary table to {spath}")
     return results
 
 

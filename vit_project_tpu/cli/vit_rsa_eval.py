@@ -25,12 +25,16 @@ from .vit_measure import load_things_for_vit
 
 
 def list_epoch_checkpoints(ckpt_dir: str) -> list[tuple[int, str]]:
-    out = []
-    for name in sorted(os.listdir(ckpt_dir)):
-        m = re.fullmatch(r"checkpoint_epoch_(\d+)\.pth", name)
+    """Every per-epoch checkpoint in either container format (.pth pickle or
+    pod-written .orbax dir), one entry per epoch — vit_ckpt.epoch_checkpoint
+    arbitrates when both formats exist."""
+    epochs = set()
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"checkpoint_epoch_(\d+)\.(pth|orbax)", name)
         if m:
-            out.append((int(m.group(1)), os.path.join(ckpt_dir, name)))
-    return out
+            epochs.add(int(m.group(1)))
+    return [(e, vit_ckpt.epoch_checkpoint(ckpt_dir, e))
+            for e in sorted(epochs)]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,7 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     import scipy.io
+    from ..parallel import dist
     args = build_parser().parse_args(argv)
+    # pod-ready: compute_rsa_score embeds a strided shard per process and
+    # gathers in dataset order; ranks must be real before the gate below
+    dist.setup_distributed()
     vit_cfg = vvit.VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(batch_size=args.batch_size,
                          compute_dtype=args.compute_dtype,
@@ -80,11 +88,12 @@ def main(argv=None):
         print(f"epoch {epoch}: rsa={rho:.4f}")
 
     df = pd.DataFrame(rows)
-    d = os.path.dirname(args.output_csv)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    df.to_csv(args.output_csv, index=False)
-    print(f"Wrote {args.output_csv}")
+    if dist.is_primary():  # one CSV writer on a pod
+        d = os.path.dirname(args.output_csv)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        df.to_csv(args.output_csv, index=False)
+        print(f"Wrote {args.output_csv}")
     return df
 
 

@@ -26,6 +26,9 @@ class ClipRunConfig:
     backbone: str = "ViT-L/14"
     clip_weights: Optional[str] = None     # path to converted (or OpenAI .pt) weights
     bpe_vocab: Optional[str] = None        # path to the CLIP BPE vocab (gz or txt)
+    allow_hash_tokenizer: bool = False     # escape hatch: permit pretrained
+                                           # weights with the hash tokenizer
+                                           # (RSA will be scientifically void)
     vision_layers: int = 2                 # last-n visual blocks that get DoRA
     transformer_layers: int = 1            # last-n text blocks that get DoRA
     rank: int = 32

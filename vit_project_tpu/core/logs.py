@@ -22,23 +22,53 @@ def _is_primary() -> bool:
         return True
 
 
+class _PrimaryFileHandler(logging.Handler):
+    """File handler gated to the primary process, decided LAZILY.
+
+    The file handler truncates (mode="w") — on a pod only process 0 owns the
+    log file; other processes keep console output only (the reference
+    rank-gates its distributed prints the same way, train_vit_sgd.py:149).
+    The primary check and the file open are deferred to the first emitted
+    record: a caller that builds the logger BEFORE dist.setup_distributed()
+    would otherwise see process_index()==0 on every pod process and truncate
+    the shared file concurrently.
+    """
+
+    def __init__(self, path: str, formatter: logging.Formatter):
+        super().__init__(logging.INFO)
+        self._path = path
+        self._inner: logging.FileHandler | None = None
+        self._decided = False
+        self.setFormatter(formatter)
+
+    def emit(self, record):
+        if not self._decided:
+            self._decided = True
+            if _is_primary():
+                d = os.path.dirname(self._path)
+                if d:
+                    os.makedirs(d, exist_ok=True)
+                self._inner = logging.FileHandler(self._path, mode="w")
+                self._inner.setLevel(logging.INFO)
+                self._inner.setFormatter(self.formatter)
+        if self._inner is not None:
+            self._inner.emit(record)
+
+    def close(self):
+        if self._inner is not None:
+            self._inner.close()
+        super().close()
+
+
 def _build(name: str, log_file_path: str) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    for h in logger.handlers:
+        h.close()
     logger.handlers = []
     formatter = logging.Formatter(_FORMAT, datefmt=_DATEFMT)
 
-    # the file handler truncates (mode="w") — on a pod only process 0 owns
-    # the log file; other processes keep console output only (the reference
-    # rank-gates its distributed prints the same way, train_vit_sgd.py:149)
-    if _is_primary():
-        d = os.path.dirname(log_file_path)
-        if d:
-            os.makedirs(d, exist_ok=True)
-        fh = logging.FileHandler(log_file_path, mode="w")
-        fh.setLevel(logging.INFO)
-        fh.setFormatter(formatter)
-        logger.addHandler(fh)
+    logger.addHandler(_PrimaryFileHandler(log_file_path, formatter))
 
     ch = logging.StreamHandler(sys.stdout)
     ch.setLevel(logging.INFO)

@@ -182,6 +182,18 @@ class ImageFolderLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that keeps watching `stop`: an abandoned consumer
+            # (generator closed mid-epoch) must not leave this thread blocked
+            # forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             if self.use_native:
                 from . import fastimage as fim
@@ -198,8 +210,9 @@ class ImageFolderLoader:
                         self.size, seeds, threads=self.workers)
                     lbls = np.asarray([self._label(int(i)) for i in idx],
                                       np.int32)
-                    q.put((imgs, lbls))
-                q.put(None)
+                    if not put((imgs, lbls)):
+                        return
+                put(None)
                 return
             with ThreadPoolExecutor(self.workers) as ex:
                 for s in range(0, end, self.batch_size):
@@ -216,8 +229,9 @@ class ImageFolderLoader:
                     imgs = np.stack([f.result() for f in futs])
                     lbls = np.asarray([self._label(int(i)) for i in idx],
                                       np.int32)
-                    q.put((imgs, lbls))
-            q.put(None)
+                    if not put((imgs, lbls)):
+                        return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -229,6 +243,7 @@ class ImageFolderLoader:
                 yield item
         finally:
             stop.set()
+            t.join(timeout=10.0)
 
 
 def normalize_imagenet(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD,

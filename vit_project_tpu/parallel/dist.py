@@ -19,17 +19,28 @@ def setup_distributed(coordinator_address: str | None = None,
     Returns (process_index, process_count). Single-process (including one TPU VM
     with all local chips, or the CPU test mesh) needs no initialization — the
     'not using distributed mode' fallback of the reference.
+
+    When the caller or environment *does* indicate multi-process intent, init
+    failures re-raise: swallowing them would degrade the pod into N independent
+    runs that each believe they are process 0 (N writers to the same shared-FS
+    artifacts). Only the idempotent already-initialized case is absorbed.
     """
-    try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        elif _env_configured():
-            jax.distributed.initialize()
-    except Exception:
-        # already initialized, or single-process: both fine
-        pass
+    multi_process_intent = coordinator_address is not None or _env_configured()
+    if multi_process_intent:
+        try:
+            if coordinator_address is not None:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id)
+            else:
+                jax.distributed.initialize()
+        except RuntimeError as e:
+            # jax raises "distributed.initialize should only be called once."
+            # on re-init; anything else is a real rendezvous failure
+            msg = str(e).lower()
+            if "only be called once" not in msg and "already" not in msg:
+                raise
     return jax.process_index(), jax.process_count()
 
 

@@ -336,7 +336,7 @@ class ClipHBATrainer:
         return jax.jit(eval_fn)
 
     def evaluate_resident(self, trainable, imgs_dev, tgts_dev, n: int,
-                          batch_size: int) -> float:
+                          batch_size: int, whole_set: bool = True) -> float:
         # Eval has no cross-batch dependence (unlike training, whose batch
         # size is fixed by reference optimizer-update parity), so run the
         # whole set as ONE batch when it fits: zero tail padding, one scan
@@ -346,9 +346,9 @@ class ClipHBATrainer:
         # fewer dispatches on a directly-attached TPU. The loss is sum/n
         # either way. The cap is in TOKENS so it adapts to image_size/patch
         # (512 ViT-L/14@224 images = ~132k tokens ~= 1 GB of activations at
-        # width 1024); callers needing a tighter memory bound than that keep
-        # their explicit batch_size above the cap.
-        if n * self.cfg.visual.seq_len <= 132_000:
+        # width 1024). whole_set=False makes the explicit batch_size a hard
+        # memory bound (the widening would otherwise override it).
+        if whole_set and n * self.cfg.visual.seq_len <= 132_000:
             batch_size = n
         batch_list = [np.arange(s, min(s + batch_size, n))
                       for s in range(0, n, batch_size)]
@@ -640,35 +640,9 @@ def run_behavioral_training(config) -> dict:
     logger.info("Starting Training Run")
     logger.info("=" * 80)
 
-    # dataset + perturbation distribution stats (ref :1096-1105)
-    dataset = dthings.ThingsDataset(cfg.csv_file, cfg.img_dir)
-    mean, std = injectors.perturb_distribution_stats(
-        dataset.targets, cfg.perturb_distribution)
-
-    # split: replay the baseline split if provided, else fresh + persist
-    if cfg.baseline_split_indices_path and \
-            os.path.exists(cfg.baseline_split_indices_path):
-        info = dthings.load_split_indices(cfg.baseline_split_indices_path,
-                                          logger)
-        train_idx = info["train_indices"]
-        test_idx = info["test_indices"]
-        logger.info("Using baseline dataset split")
-    else:
-        train_idx, test_idx = dthings.random_split_indices(
-            len(dataset), cfg.train_portion, cfg.random_seed)
-        split_path = os.path.join(cfg.random_state_path,
-                                  "dataset_split_indices.pth")
-        # every process derives the identical split from the seed; one writer
-        if dist.is_primary():
-            dthings.save_split_indices(split_path, train_idx, test_idx,
-                                       cfg.random_seed)
-            logger.info(f"Saved fresh dataset split to {split_path}")
-
-    inference = dthings.ThingsInferenceDataset(
-        cfg.inference_csv_file, cfg.img_dir, cfg.RDM48_triplet_dir)
-    reference_rdm = inference.load_reference_rdm()
-
-    # model
+    # model config first: the datasets decode at the tower's native input
+    # resolution (224 for every reference run; converted checkpoints such as
+    # ViT-L/14@336px carry their own size in the inferred config)
     loaded_pretrained = bool(cfg.clip_weights and
                              os.path.exists(cfg.clip_weights))
     if loaded_pretrained:
@@ -693,6 +667,36 @@ def run_behavioral_training(config) -> dict:
         logger.info("WARNING: no clip_weights provided - using random "
                     "initialization (testing only)")
 
+    # dataset + perturbation distribution stats (ref :1096-1105)
+    dataset = dthings.ThingsDataset(cfg.csv_file, cfg.img_dir,
+                                    size=clip_cfg.visual.image_size)
+    mean, std = injectors.perturb_distribution_stats(
+        dataset.targets, cfg.perturb_distribution)
+
+    # split: replay the baseline split if provided, else fresh + persist
+    if cfg.baseline_split_indices_path and \
+            os.path.exists(cfg.baseline_split_indices_path):
+        info = dthings.load_split_indices(cfg.baseline_split_indices_path,
+                                          logger)
+        train_idx = info["train_indices"]
+        test_idx = info["test_indices"]
+        logger.info("Using baseline dataset split")
+    else:
+        train_idx, test_idx = dthings.random_split_indices(
+            len(dataset), cfg.train_portion, cfg.random_seed)
+        split_path = os.path.join(cfg.random_state_path,
+                                  "dataset_split_indices.pth")
+        # every process derives the identical split from the seed; one writer
+        if dist.is_primary():
+            dthings.save_split_indices(split_path, train_idx, test_idx,
+                                       cfg.random_seed)
+            logger.info(f"Saved fresh dataset split to {split_path}")
+
+    inference = dthings.ThingsInferenceDataset(
+        cfg.inference_csv_file, cfg.img_dir, cfg.RDM48_triplet_dir,
+        size=clip_cfg.visual.image_size)
+    reference_rdm = inference.load_reference_rdm()
+
     pos_embedding = cfg.backbone != "RN50"
     logger.info(f"pos_embedding is {pos_embedding}")
 
@@ -701,13 +705,20 @@ def run_behavioral_training(config) -> dict:
         # Guardrail: hash-tokenized prompts are meaningless to a pretrained
         # text tower and would silently destroy behavioral RSA (the [B,66]
         # scores come from prompt/image cosine similarity, ref
-        # new_cvpr…pipeline.py:287-304). Point to the fix loudly.
-        logger.warning(
-            "PRETRAINED CLIP WEIGHTS LOADED BUT NO BPE VOCAB FOUND — falling "
-            "back to HashTokenizer. The 66 SPoSE prompts will NOT match the "
-            "pretrained text tower's token space and behavioral RSA will be "
-            "near zero. Pass bpe_vocab=<path to bpe_simple_vocab_16e6.txt.gz> "
-            "or set CLIP_BPE_PATH. See examples/validate_pretrained.py.")
+        # new_cvpr…pipeline.py:287-304). A warning in a 118-epoch log is easy
+        # to miss, so this is a hard error with an explicit escape hatch.
+        msg = (
+            "Pretrained CLIP weights loaded but no BPE vocab found — the "
+            "HashTokenizer fallback would feed the 66 SPoSE prompts to the "
+            "pretrained text tower in the wrong token space and behavioral "
+            "RSA would be near zero. Pass bpe_vocab=<path to "
+            "bpe_simple_vocab_16e6.txt.gz> or set CLIP_BPE_PATH (see "
+            "examples/validate_pretrained.py); set allow_hash_tokenizer=True "
+            "to proceed anyway (testing only).")
+        if not cfg.allow_hash_tokenizer:
+            logger.error(msg)
+            raise ValueError(msg)
+        logger.warning("allow_hash_tokenizer=True: " + msg)
     prompts = vtok.tokenize(classnames66, tokenizer=tok,
                             context_length=clip_cfg.text.context_length)
     prompts = np.minimum(prompts, clip_cfg.text.vocab_size - 1)
@@ -806,7 +817,8 @@ def run_behavioral_training(config) -> dict:
             nod_ann.columns[0]
         nod_names = nod_ann[col].tolist()
         nod_images = dthings.decode_images(
-            cfg.nod_img_dir or cfg.img_dir, nod_names)
+            cfg.nod_img_dir or cfg.img_dir, nod_names,
+            clip_cfg.visual.image_size)
         logger.info(f"Loaded NOD inference set: {len(nod_names)} images")
 
     trainable, opt_state, last_epoch0 = train_model(
