@@ -24,7 +24,12 @@ the reference gets from torchrun + DistributedSampler + NCCL
    (per-process column-block index assembly + in-scan optimizer updates)
    with per-batch losses matching the local oracle;
 6. every process calls the collective orbax pod-checkpoint writer (a
-   primary-only gate would deadlock) and the restored tree round-trips.
+   primary-only gate would deadlock) and the restored tree round-trips;
+7. the MEASUREMENT CLI (cli/vit_measure.py) runs as a real 2-process job:
+   both processes fork from the collective .orbax baseline checkpoint, the
+   loaders shard disjointly (num_shards=P), and exactly one process writes
+   the effects CSV — the reference's torchrun measure...effect.py:121-135,601
+   semantics.
 
 Run:  python examples/multihost_cpu_demo.py
 (or with an existing folder/port: see _main/_worker below)
@@ -176,11 +181,65 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     np.testing.assert_array_equal(np.asarray(ck["params"]["cls"]),
                                   np.asarray(params["cls"]))
 
+    # --- 7. the measurement CLI as a real 2-process job
+    from vit_project_tpu.cli import vit_measure
+    from vit_project_tpu.data import imagenet as dimg
+    from vit_project_tpu.train.schedules import CosineAnnealingLRWithWarmup
+
+    meas_ck = os.path.join(root, "measure_baseline")
+    sched = CosineAnnealingLRWithWarmup(0.1, 2, 4)
+    # epoch-0 baseline checkpoint, written COLLECTIVELY (.orbax on a pod) —
+    # the CLI must resolve it through vit_ckpt.epoch_checkpoint
+    vit_ckpt.save_checkpoint(0, params, buf, sched.state_dict(),
+                             1.0, 2.0, 0.4, meas_ck)
+    metrics_csv = os.path.join(root, "baseline_rsa.csv")
+    if dist.is_primary():
+        with open(metrics_csv, "w") as f:
+            f.write("epoch,val_loss,rsa_score\n1,2.0,0.1\n")
+    dist.barrier("measure_fixture")
+
+    # record the loader sharding the CLI builds (disjointness proof)
+    loader_args = []
+    orig_loader = dimg.ImageFolderLoader
+
+    class RecordingLoader(orig_loader):
+        def __init__(self, *a, **kw):
+            loader_args.append((kw.get("num_shards", 1),
+                                kw.get("shard_id", 0)))
+            super().__init__(*a, **kw)
+
+    dimg.ImageFolderLoader = RecordingLoader
+    try:
+        out_csv = os.path.join(root, "measure_out",
+                               "perturbation_effects.csv")
+        results = vit_measure.main([
+            "--baseline_checkpoint_dir", meas_ck,
+            "--baseline_metrics_csv", metrics_csv,
+            "--data_path", root, "--output_csv", out_csv,
+            "--things_csv", os.path.join(root, "things48.csv"),
+            "--things_img_dir", os.path.join(root, "things48"),
+            "--things_rdm_path", os.path.join(root, "rdm48.mat"),
+            "--perturbation_types", "gaussian",
+            "--perturb_epochs", "1", "--batch_size", str(2 * pc),
+            "--lr", "0.1", "--warmup_epochs", "2", "--total_epochs", "4",
+            "--num_workers", "2", "--compute_dtype", "float32",
+            "--backbone", "test-tiny"])
+    finally:
+        dimg.ImageFolderLoader = orig_loader
+    assert len(results) == 1 and np.isfinite(results[0]["perturbed_loss"])
+    assert (pc, pid) in loader_args, (loader_args, pc, pid)  # disjoint shards
+    dist.barrier("measure_done")
+    assert os.path.exists(out_csv)  # the (single) primary writer produced it
+    with open(out_csv) as f:
+        assert len(f.readlines()) == 2  # header + the single grid cell
+
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
           f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
           f"{loss_mhr:.4f} (oracle {loss_lo:.4f}) "
           f"train-scan losses {np.round(losses_mh, 4).tolist()} "
-          f"pod-ckpt {os.path.basename(latest)} OK", flush=True)
+          f"pod-ckpt {os.path.basename(latest)} "
+          f"measure-cli {results[0]['perturbation_type']}@"
+          f"{results[0]['perturb_epoch']} OK", flush=True)
 
 
 def _main():
@@ -191,12 +250,31 @@ def _main():
 
     root = tempfile.mkdtemp(prefix="mh_demo_")
     rs = np.random.RandomState(0)
-    for cls in ("a", "b", "c"):
-        d = os.path.join(root, "train", cls)
-        os.makedirs(d)
-        for i in range(8):
-            Image.fromarray(rs.randint(0, 255, (32, 32, 3),
-                                       dtype=np.uint8)).save(f"{d}/{i}.png")
+    for split, n_img in (("train", 8), ("val", 3)):
+        for cls in ("a", "b", "c"):
+            d = os.path.join(root, split, cls)
+            os.makedirs(d)
+            for i in range(n_img):
+                Image.fromarray(rs.randint(0, 255, (32, 32, 3),
+                                           dtype=np.uint8)).save(f"{d}/{i}.png")
+
+    # THINGS-48 fixture for the measurement CLI's RSA leg
+    import pandas as pd
+    import scipy.io
+    tdir = os.path.join(root, "things48")
+    os.makedirs(tdir)
+    names = []
+    for i in range(48):
+        n = f"t{i:02d}.png"
+        Image.fromarray(rs.randint(0, 255, (32, 32, 3),
+                                   dtype=np.uint8)).save(os.path.join(tdir, n))
+        names.append(n)
+    pd.DataFrame({"image_name": names}).to_csv(
+        os.path.join(root, "things48.csv"), index=False)
+    rdm = rs.rand(48, 48)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+    scipy.io.savemat(os.path.join(root, "rdm48.mat"), {"RDM48_triplet": rdm})
     def _free_port() -> int:
         # bind-to-0 picks a free port: a fixed default can collide with a
         # stale coordinator or a concurrently running demo
