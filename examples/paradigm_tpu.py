@@ -107,18 +107,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args(argv)
 
-    import jax
     # cross-run compile reuse: every sweep/lengths fork builds a fresh trainer
     # (new jit closures), so in-process jit caching never hits — the persistent
     # cache keyed on HLO fingerprint is what makes an N-run sweep pay the
-    # ViT-L epoch-scan compile once
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/jax_comp_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache is an optimization, not a requirement
-        print(f"[paradigm] persistent compile cache unavailable: {e}")
+    # ViT-L epoch-scan compile once (the CLIs enable it themselves too)
+    from vit_project_tpu.core.compile_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    print(f"[paradigm] persistent compile cache: {cache_dir}")
 
     work = os.path.abspath(args.workdir)
     os.makedirs(work, exist_ok=True)

@@ -108,6 +108,8 @@ def main(argv=None):
     # no-op single-process; on a pod launcher (env rendezvous) this
     # initializes jax.distributed so the process-0 write gates and
     # global batch assembly in the training loop see real ranks
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
 

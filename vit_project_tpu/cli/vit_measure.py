@@ -139,6 +139,8 @@ def main(argv=None):
     import scipy.io
     from ..parallel import dist
     args = build_parser().parse_args(argv)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # grid cells re-use each other's compiles
     # pod-ready like the train CLI (reference's measure script runs under
     # torchrun, measure...effect.py:121-135,601): establish real ranks before
     # any loader/gate decisions

@@ -57,6 +57,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     # pod-ready: compute_rsa_score embeds a strided shard per process and
     # gathers in dataset order; ranks must be real before the gate below
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
     vit_cfg = vvit.VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(batch_size=args.batch_size,

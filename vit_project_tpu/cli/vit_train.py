@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     from ..models.vit import VIT_CONFIGS
     args = build_parser().parse_args(argv)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
     vit_cfg = VIT_CONFIGS[args.backbone]
     cfg = ViTTrainConfig(
