@@ -102,6 +102,21 @@ class TestOrderedGather:
         np.testing.assert_array_equal(out, data)
 
 
+class TestDataEcho:
+    def test_each_batch_repeats_echo_times(self, folder):
+        base = ImageFolderLoader(folder, 4, train=True, seed=5, size=16,
+                                 workers=2, drop_last=True)
+        echoed = ImageFolderLoader(folder, 4, train=True, seed=5, size=16,
+                                   workers=2, drop_last=True, echo=3)
+        assert len(echoed) == 3 * len(base)
+        b = [lb for _, lb in base.epoch(2)]
+        e = [lb for _, lb in echoed.epoch(2)]
+        assert len(e) == 3 * len(b)
+        for i, lb in enumerate(b):
+            for k in range(3):
+                np.testing.assert_array_equal(e[3 * i + k], lb)
+
+
 class TestLoaderAbandonment:
     def test_producer_thread_exits_when_consumer_abandons(self, folder):
         """Closing the epoch generator mid-iteration must not leave the

@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_native_loader", action="store_true",
                    help="decode/augment through the C++ core "
                         "(build with: make -C native)")
+    p.add_argument("--data_echo", type=int, default=1,
+                   help="repeat each decoded train batch N times — mitigation "
+                        "when host decode cannot feed the device step rate")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each transformer block (O(1)-block "
                         "activation memory for ~1/3 extra FLOPs) — for batch "
@@ -62,7 +65,8 @@ def main(argv=None):
         image_size=vit_cfg.image_size,
         num_classes=vit_cfg.num_classes or 1000,
         profile_dir=args.profile_dir,
-        use_native_loader=args.use_native_loader, remat=args.remat)
+        use_native_loader=args.use_native_loader, remat=args.remat,
+        data_echo=args.data_echo)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -123,6 +123,9 @@ class ViTTrainConfig:
     image_size: int = 224
     profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
     use_native_loader: bool = False    # C++ decode core (native/fastimage.cpp)
+    data_echo: int = 1                 # yield each decoded train batch N times
+                                       # (mitigation when host decode cannot
+                                       # feed the device step rate)
     remat: bool = False  # jax.checkpoint each block: O(1)-block activation
                          # memory for ~1/3 extra FLOPs (big-batch/model lever)
 

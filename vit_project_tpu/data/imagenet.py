@@ -115,7 +115,8 @@ class ImageFolderLoader:
                  prefetch: int = 4, drop_last: bool = False,
                  label_table: np.ndarray | None = None,
                  use_native: bool = False,
-                 num_shards: int = 1, shard_id: int = 0):
+                 num_shards: int = 1, shard_id: int = 0,
+                 echo: int = 1):
         self.paths, self.labels, self.classes = scan_image_folder(root)
         self.batch_size = batch_size
         # Multi-host sharding with reference DistributedSampler semantics
@@ -145,6 +146,12 @@ class ImageFolderLoader:
                 raise RuntimeError("use_native=True but libfastimage.so is not "
                                    "built (make -C native)")
         self.use_native = use_native
+        # data echo: yield each decoded batch `echo` times, the standard
+        # mitigation when host decode cannot feed the device step rate
+        # (the step consumes echo x the decode throughput; gradient noise
+        # increases but convergence is robust at small factors)
+        assert echo >= 1
+        self.echo = echo
 
     def _shard_len(self):
         n = len(self.paths)
@@ -154,8 +161,9 @@ class ImageFolderLoader:
 
     def __len__(self):
         n = self._shard_len()
-        return n // self.batch_size if self.drop_last else \
+        nb = n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
+        return nb * self.echo
 
     def num_samples(self):
         return len(self.paths)
@@ -240,7 +248,8 @@ class ImageFolderLoader:
                 item = q.get()
                 if item is None:
                     return
-                yield item
+                for _ in range(self.echo):
+                    yield item
         finally:
             stop.set()
             t.join(timeout=10.0)

@@ -274,7 +274,7 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         f"{cfg.data_path}/train", local_bs, train=True,
         seed=cfg.random_seed, size=cfg.image_size, workers=cfg.num_workers,
         drop_last=True, use_native=cfg.use_native_loader,
-        num_shards=proc_count, shard_id=proc_id)
+        num_shards=proc_count, shard_id=proc_id, echo=cfg.data_echo)
     val_loader = dimg.ImageFolderLoader(
         f"{cfg.data_path}/val", local_bs, train=False,
         size=cfg.image_size, workers=cfg.num_workers,
