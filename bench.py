@@ -16,6 +16,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from vit_project_tpu.core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # re-runs skip the step compile
     from vit_project_tpu.core.configs import ViTTrainConfig
     from vit_project_tpu.models import vit as vvit
     from vit_project_tpu.parallel import mesh as vmesh
