@@ -211,3 +211,24 @@ class TestShardedCheckpoint:
         assert vit_ckpt.latest_checkpoint(out) == pth
         os.utime(orbax, (3_000_000, 3_000_000))
         assert vit_ckpt.latest_checkpoint(out) == orbax
+
+    def test_epoch_checkpoint_resolves_both_formats(self, tmp_path):
+        """The measurement CLIs fork from checkpoint_epoch_{N:03d} written by
+        either a single-host (.pth) or pod (.orbax) baseline; when both exist
+        the newer wins (same rule as latest_checkpoint)."""
+        import os
+        from vit_project_tpu.ckpt import vit_ckpt
+        out = str(tmp_path / "out")
+        assert vit_ckpt.epoch_checkpoint(out, 4) is None
+        vit_ckpt.save_checkpoint(4, {"w": 1.0}, {"w": 0.0}, {"last_epoch": 4},
+                                 1.0, 2.0, 0.5, out, sharded=False)
+        p = vit_ckpt.epoch_checkpoint(out, 4)
+        assert p.endswith("checkpoint_epoch_004.pth")
+        assert vit_ckpt.load_checkpoint(p)["epoch"] == 4
+        vit_ckpt.save_checkpoint(4, {"w": 2.0}, {"w": 0.0}, {"last_epoch": 4},
+                                 1.0, 2.0, 0.5, out, sharded=True)
+        orbax = os.path.join(out, "checkpoint_epoch_004.orbax")
+        os.utime(orbax, (3_000_000_0, 3_000_000_0))
+        pth = os.path.join(out, "checkpoint_epoch_004.pth")
+        os.utime(pth, (4_000_000_0, 4_000_000_0))
+        assert vit_ckpt.epoch_checkpoint(out, 4) == pth

@@ -132,6 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--backbone", default="vit_base_patch16_224",
                    help="model config name (see models.vit.VIT_CONFIGS)")
+    p.add_argument("--use_native_loader", action="store_true",
+                   help="decode/augment through the C++ core "
+                        "(build with: make -C native)")
     return p
 
 
@@ -165,10 +168,12 @@ def main(argv=None):
     train_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/train", local_bs, train=True,
         size=vit_cfg.image_size, workers=args.num_workers, drop_last=True,
+        use_native=args.use_native_loader,
         num_shards=proc_count, shard_id=proc_id)
     val_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/val", local_bs, train=False,
         size=vit_cfg.image_size, workers=args.num_workers,
+        use_native=args.use_native_loader,
         num_shards=proc_count, shard_id=proc_id)
     _, things_images = load_things_for_vit(args.things_csv,
                                            args.things_img_dir,
