@@ -105,6 +105,17 @@ def main(argv=None):
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--rank", type=int, default=32)
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--sweep_workers", type=int, default=1,
+                    help="fan the sweep forks out over N single-chip worker "
+                         "processes (multi-chip hosts; see cli/sweep.py "
+                         "--workers). 1 = in-process, the single-chip default")
+    ap.add_argument("--worker_device_env", default="TPU_VISIBLE_DEVICES",
+                    help="chip-pinning env var for --sweep_workers "
+                         "('none' on CPU)")
+    ap.add_argument("--sweep_batched_forks", type=int, default=1,
+                    help="vmap-batch the sweep forks in groups of N per chip "
+                         "(train/multi_fork.py); composes with "
+                         "--sweep_workers")
     args = ap.parse_args(argv)
 
     # cross-run compile reuse: every sweep/lengths fork builds a fresh trainer
@@ -168,7 +179,10 @@ def main(argv=None):
             f"{base}/random_states/dataset_split_indices.pth",
             "--output_base_directory", outdir,
             "--training_order", ",".join(map(str, order)),
-            "--compute_dtype", args.compute_dtype]
+            "--compute_dtype", args.compute_dtype,
+            "--workers", str(args.sweep_workers),
+            "--worker_device_env", args.worker_device_env,
+            "--batched_forks", str(args.sweep_batched_forks)]
 
     rt_order = parse_ints(args.sweep_epochs)
     in_order = parse_ints(args.noise_epochs)

@@ -1,5 +1,6 @@
 """Integration test for the sweep driver CLI: baseline -> 2-run sweep with the
-reference directory layout, plus the training-order generators."""
+reference directory layout, the training-order generators, and the multi-chip
+worker dispatch."""
 import csv
 import os
 
@@ -48,85 +49,195 @@ class TestLengthsPreviousRunScan:
         assert find_previous_run_dir(str(tmp_path / "nope"), "random_target", 2, 5) == (None, None)
 
 
+@pytest.fixture(scope="module")
+def sweep_fixture(tmp_path_factory):
+    """Synthetic THINGS + a 3-epoch tiny baseline to fork sweeps from."""
+    from PIL import Image
+    import pandas as pd
+    import scipy.io
+    work = tmp_path_factory.mktemp("sweepbase")
+    img_dir = work / "images"
+    os.makedirs(img_dir)
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(60):
+        n = f"t{i:03d}.png"
+        Image.fromarray(rs.randint(0, 255, (48, 48, 3),
+                                   dtype=np.uint8)).save(img_dir / n)
+        names.append(n)
+    df = pd.DataFrame({"image_name": names})
+    for j in range(66):
+        df[f"d{j}"] = (rs.rand(60) * 2).astype(np.float32)
+    df.to_csv(work / "train.csv")
+    inf = pd.DataFrame({"image_name": names[:48]})
+    for j in range(66):
+        inf[f"d{j}"] = (rs.rand(48) * 2).astype(np.float32)
+    inf.to_csv(work / "val.csv")
+    rdm = rs.rand(48, 48)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+    scipy.io.savemat(work / "rdm.mat", {"RDM48_triplet": rdm})
+
+    base = work / "baseline"
+    clip_loop.run_behavioral_training({
+        "csv_file": str(work / "train.csv"), "img_dir": str(img_dir),
+        "inference_csv_file": str(work / "val.csv"),
+        "RDM48_triplet_dir": str(work / "rdm.mat"),
+        "backbone": "test-tiny", "epochs": 3, "batch_size": 16,
+        "train_portion": 0.8, "lr": 3e-4, "logger": None,
+        "early_stopping_patience": 20,
+        "checkpoint_path": str(base / "m.ckpt"),
+        "training_res_path": str(base / "training_res.csv"),
+        "dora_parameters_path": str(base / "dora_params"),
+        "random_state_path": str(base / "random_states"),
+        "random_seed": 1, "vision_layers": 1, "transformer_layers": 1,
+        "rank": 4, "criterion": "mse", "cuda": 0,
+        "perturb_type": "baseline", "perturb_length": 0,
+        "perturb_distribution": "target", "perturb_seed": 42,
+        "training_run": 0, "compute_dtype": "float32"})
+    return {"work": work, "base": base, "img_dir": img_dir}
+
+
+def _sweep_argv(fx, out_base, extra):
+    work, base = fx["work"], fx["base"]
+    return [
+        "--csv_file", str(work / "train.csv"),
+        "--img_dir", str(fx["img_dir"]),
+        "--inference_csv_file", str(work / "val.csv"),
+        "--RDM48_triplet_dir", str(work / "rdm.mat"),
+        "--backbone", "test-tiny", "--epochs", "3", "--batch_size", "16",
+        "--random_seed", "1", "--vision_layers", "1",
+        "--transformer_layers", "1", "--rank", "4",
+        "--perturb_type", "random_target", "--perturb_seed", "7",
+        "--baseline_dora_directory", str(base / "dora_params"),
+        "--baseline_random_state_path", str(base / "random_states"),
+        "--baseline_split_indices_path",
+        str(base / "random_states" / "dataset_split_indices.pth"),
+        "--output_base_directory", out_base,
+        "--compute_dtype", "float32", *extra]
+
+
+def _check_run_layout(out_base, runs):
+    for run in runs:
+        p = os.path.join(out_base, f"training_run{run}",
+                         f"training_res_run{run}.csv")
+        assert os.path.exists(p), p
+        rows = list(csv.reader(open(p)))
+        # forked at run-1: rows start at epoch `run`
+        assert rows[1][0] == str(run)
+        assert rows[1][5] == "True"  # used_random_targets at epoch `run`
+        assert os.path.isdir(os.path.join(
+            out_base, f"training_run{run}", f"dora_params_run{run}"))
+
+
 @pytest.mark.slow
 class TestSweepDriver:
-    def test_two_run_sweep(self, tmp_path):
-        # --- build synthetic THINGS + baseline artifacts
-        from PIL import Image
-        import pandas as pd
-        import scipy.io
-        work = tmp_path
-        img_dir = work / "images"
-        os.makedirs(img_dir)
-        rs = np.random.RandomState(0)
-        names = []
-        for i in range(60):
-            n = f"t{i:03d}.png"
-            Image.fromarray(rs.randint(0, 255, (48, 48, 3),
-                                       dtype=np.uint8)).save(img_dir / n)
-            names.append(n)
-        df = pd.DataFrame({"image_name": names})
-        for j in range(66):
-            df[f"d{j}"] = (rs.rand(60) * 2).astype(np.float32)
-        df.to_csv(work / "train.csv")
-        inf = pd.DataFrame({"image_name": names[:48]})
-        for j in range(66):
-            inf[f"d{j}"] = (rs.rand(48) * 2).astype(np.float32)
-        inf.to_csv(work / "val.csv")
-        rdm = rs.rand(48, 48)
-        rdm = (rdm + rdm.T) / 2
-        np.fill_diagonal(rdm, 0)
-        scipy.io.savemat(work / "rdm.mat", {"RDM48_triplet": rdm})
-
-        base = work / "baseline"
-        clip_loop.run_behavioral_training({
-            "csv_file": str(work / "train.csv"), "img_dir": str(img_dir),
-            "inference_csv_file": str(work / "val.csv"),
-            "RDM48_triplet_dir": str(work / "rdm.mat"),
-            "backbone": "test-tiny", "epochs": 3, "batch_size": 16,
-            "train_portion": 0.8, "lr": 3e-4, "logger": None,
-            "early_stopping_patience": 20,
-            "checkpoint_path": str(base / "m.ckpt"),
-            "training_res_path": str(base / "training_res.csv"),
-            "dora_parameters_path": str(base / "dora_params"),
-            "random_state_path": str(base / "random_states"),
-            "random_seed": 1, "vision_layers": 1, "transformer_layers": 1,
-            "rank": 4, "criterion": "mse", "cuda": 0,
-            "perturb_type": "baseline", "perturb_length": 0,
-            "perturb_distribution": "target", "perturb_seed": 42,
-            "training_run": 0, "compute_dtype": "float32"})
-
-        # --- drive the sweep CLI over runs {2, 3}
-        out_base = str(work / "sweep_out")
-        failed = sweep_cli.main([
-            "--csv_file", str(work / "train.csv"),
-            "--img_dir", str(img_dir),
-            "--inference_csv_file", str(work / "val.csv"),
-            "--RDM48_triplet_dir", str(work / "rdm.mat"),
-            "--backbone", "test-tiny", "--epochs", "3", "--batch_size", "16",
-            "--random_seed", "1", "--vision_layers", "1",
-            "--transformer_layers", "1", "--rank", "4",
-            "--perturb_type", "random_target", "--perturb_seed", "7",
-            "--baseline_dora_directory", str(base / "dora_params"),
-            "--baseline_random_state_path", str(base / "random_states"),
-            "--baseline_split_indices_path",
-            str(base / "random_states" / "dataset_split_indices.pth"),
-            "--output_base_directory", out_base,
-            "--training_order", "2,3", "--compute_dtype", "float32"])
+    def test_two_run_sweep(self, sweep_fixture):
+        out_base = str(sweep_fixture["work"] / "sweep_out")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base, ["--training_order", "2,3"]))
         assert failed == []
-
-        # reference directory layout: training_run{N}/training_res_run{N}.csv
-        for run in (2, 3):
-            p = os.path.join(out_base, f"training_run{run}",
-                             f"training_res_run{run}.csv")
-            assert os.path.exists(p), p
-            rows = list(csv.reader(open(p)))
-            # forked at run-1: rows start at epoch `run`
-            assert rows[1][0] == str(run)
-            assert rows[1][5] == "True"  # used_random_targets at epoch `run`
-            assert os.path.isdir(os.path.join(
-                out_base, f"training_run{run}", f"dora_params_run{run}"))
-        # a main_training_log was written
+        _check_run_layout(out_base, (2, 3))
         logs = [f for f in os.listdir(out_base)
                 if f.startswith("main_training_log_")]
         assert logs
+
+    def test_parallel_workers(self, sweep_fixture):
+        """--workers 2 dispatches the runs to two subprocesses (on a TPU VM
+        each pins its own chip via TPU_VISIBLE_DEVICES; 'none' here for the
+        CPU test) and aggregates their failure reports."""
+        out_base = str(sweep_fixture["work"] / "sweep_workers")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "2,3", "--workers", "2",
+             "--worker_device_env", "none"]))
+        assert failed == []
+        _check_run_layout(out_base, (2, 3))
+        assert os.path.exists(os.path.join(out_base, "worker0.log"))
+        assert os.path.exists(os.path.join(out_base, "worker1.log"))
+
+    def test_worker_failure_aggregation(self, sweep_fixture):
+        """A run that raises inside its worker is surfaced by the dispatcher
+        while the healthy run (in the other worker) still completes.
+
+        Failure trigger: training_run9 pre-created as a FILE, so the run's
+        os.makedirs raises — a missing fork checkpoint is NOT an error (the
+        loop falls back to fresh DoRA init, reference strict=False parity)."""
+        out_base = str(sweep_fixture["work"] / "sweep_fail")
+        os.makedirs(out_base)
+        with open(os.path.join(out_base, "training_run9"), "w") as f:
+            f.write("not a directory")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "2,9", "--workers", "2",
+             "--worker_device_env", "none"]))
+        assert failed == [9], failed
+        _check_run_layout(out_base, (2,))
+
+
+def _read_rows(path):
+    with open(path) as f:
+        return list(csv.reader(f))
+
+
+@pytest.mark.slow
+class TestBatchedForks:
+    """train/multi_fork.py: R sweep forks under one vmapped program."""
+
+    def test_matches_sequential_sweep(self, sweep_fixture):
+        """A batched group of 2 forks writes the same artifact tree as the
+        sequential driver, with per-epoch metrics equal to float tolerance
+        (same math; batched-matmul reduction order may differ)."""
+        work = sweep_fixture["work"]
+        seq_base = str(work / "sweep_seq_oracle")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, seq_base, ["--training_order", "2,3"]))
+        assert failed == []
+
+        out_base = str(work / "sweep_batched")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "2,3", "--batched_forks", "2"]))
+        assert failed == []
+        _check_run_layout(out_base, (2, 3))
+
+        for run in (2, 3):
+            seq = _read_rows(os.path.join(
+                seq_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            bat = _read_rows(os.path.join(
+                out_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            assert [r[0] for r in bat] == [r[0] for r in seq]     # epochs
+            assert [r[5:] for r in bat] == [r[5:] for r in seq]   # flags
+            for rs, rb in zip(seq[1:], bat[1:]):
+                # losses agree to float noise (same math, different batched-
+                # matmul reduction order)
+                np.testing.assert_allclose(
+                    [float(x) for x in rb[1:3]],
+                    [float(x) for x in rs[1:3]], rtol=1e-4)
+                # Spearman rho is a RANK statistic: at random init the RDM is
+                # dense with near-ties, so 1e-7 embedding noise flips adjacent
+                # ranks and quantizes rho by ~1e-3 steps — compare coarsely
+                assert abs(float(rb[3]) - float(rs[3])) < 0.02, (rb, rs)
+                assert 0.0 <= float(rb[4]) <= 1.0
+            # per-epoch fork checkpoints exist in the reference layout
+            run_dir = os.path.join(out_base, f"training_run{run}")
+            ep1 = int(bat[1][0])
+            assert os.path.exists(os.path.join(
+                run_dir, f"dora_params_run{run}",
+                f"epoch{ep1}_dora_params.pth"))
+            assert os.path.exists(os.path.join(
+                run_dir, f"random_states_run{run}",
+                f"epoch{ep1}_random_states.pth"))
+
+    def test_rejects_multi_epoch_windows(self, sweep_fixture):
+        from vit_project_tpu.train.multi_fork import run_batched_sweep
+        with pytest.raises(ValueError, match="perturb_length"):
+            run_batched_sweep(
+                {"csv_file": str(sweep_fixture["work"] / "train.csv"),
+                 "img_dir": str(sweep_fixture["img_dir"]),
+                 "inference_csv_file": str(sweep_fixture["work"] / "val.csv"),
+                 "RDM48_triplet_dir": str(sweep_fixture["work"] / "rdm.mat"),
+                 "backbone": "test-tiny", "perturb_type": "random_target",
+                 "perturb_length": 2,
+                 "output_base_directory": str(sweep_fixture["work"] / "x")},
+                [2, 3])

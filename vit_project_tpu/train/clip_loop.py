@@ -623,22 +623,19 @@ def _dump_embeddings(dump_dir: str, epoch1: int, emb: np.ndarray, names,
               index=False)
 
 
-def run_behavioral_training(config) -> dict:
-    """Config-dict entry point (reference run_behavioral_training :1066-1227).
+def build_run_assets(cfg: ClipRunConfig, logger):
+    """Everything a CLIP-HBA run needs BEFORE any training state exists:
+    model params/config, decoded datasets, split indices, inference set +
+    reference RDM, tokenized prompts, perturbation stats, and the
+    DoRA-surgered (trainable, static) trees.
 
-    Accepts the reference's dict config surface or a ClipRunConfig. Returns a
-    summary dict {last_epoch0, training_res_path, ...}.
-    """
-    cfg = (config if isinstance(config, ClipRunConfig)
-           else ClipRunConfig.from_dict(config))
-
-    log_dir = os.path.dirname(cfg.checkpoint_path) or "."
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-    logger = setup_logger(os.path.join(log_dir,
-                                       f"training_log_{timestamp}.txt"))
-    logger.info("=" * 80)
-    logger.info("Starting Training Run")
-    logger.info("=" * 80)
+    Extracted from run_behavioral_training so the batched multi-fork sweep
+    (train/multi_fork.py) can pay this setup ONCE for a whole group of forks
+    — the assets are identical across sweep runs (same backbone, same
+    baseline split, same prompts); only per-fork checkpoints differ.
+    Returns a SimpleNamespace; field names match the local variables the
+    solo path uses."""
+    from types import SimpleNamespace
 
     # model config first: the datasets decode at the tower's native input
     # resolution (224 for every reference run; converted checkpoints such as
@@ -730,6 +727,38 @@ def run_behavioral_training(config) -> dict:
     trainable, static, acfg = adora.apply_dora(
         params, spec, r=cfg.rank, alpha=cfg.dora_alpha,
         dropout=cfg.dora_dropout, key=jax.random.PRNGKey(cfg.random_seed + 123))
+
+    return SimpleNamespace(
+        loaded_pretrained=loaded_pretrained, params=params, clip_cfg=clip_cfg,
+        dataset=dataset, mean=mean, std=std, train_idx=train_idx,
+        test_idx=test_idx, inference=inference, reference_rdm=reference_rdm,
+        prompts=prompts, spec=spec, trainable=trainable, static=static,
+        acfg=acfg)
+
+
+def run_behavioral_training(config) -> dict:
+    """Config-dict entry point (reference run_behavioral_training :1066-1227).
+
+    Accepts the reference's dict config surface or a ClipRunConfig. Returns a
+    summary dict {last_epoch0, training_res_path, ...}.
+    """
+    cfg = (config if isinstance(config, ClipRunConfig)
+           else ClipRunConfig.from_dict(config))
+
+    log_dir = os.path.dirname(cfg.checkpoint_path) or "."
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    logger = setup_logger(os.path.join(log_dir,
+                                       f"training_log_{timestamp}.txt"))
+    logger.info("=" * 80)
+    logger.info("Starting Training Run")
+    logger.info("=" * 80)
+
+    a = build_run_assets(cfg, logger)
+    params, clip_cfg, dataset = a.params, a.clip_cfg, a.dataset
+    mean, std = a.mean, a.std
+    train_idx, test_idx = a.train_idx, a.test_idx
+    inference, reference_rdm, prompts = a.inference, a.reference_rdm, a.prompts
+    spec, trainable, static, acfg = a.spec, a.trainable, a.static, a.acfg
 
     training_run = cfg.training_run
 
