@@ -116,6 +116,9 @@ def main(argv=None):
                     help="vmap-batch the sweep forks in groups of N per chip "
                          "(train/multi_fork.py); composes with "
                          "--sweep_workers")
+    ap.add_argument("--sweep_fork_devices", type=int, default=1,
+                    help="shard the batched fork axis over N local devices "
+                         "(cli/sweep.py --fork_devices)")
     args = ap.parse_args(argv)
 
     # cross-run compile reuse: every sweep/lengths fork builds a fresh trainer
@@ -182,7 +185,8 @@ def main(argv=None):
             "--compute_dtype", args.compute_dtype,
             "--workers", str(args.sweep_workers),
             "--worker_device_env", args.worker_device_env,
-            "--batched_forks", str(args.sweep_batched_forks)]
+            "--batched_forks", str(args.sweep_batched_forks),
+            "--fork_devices", str(args.sweep_fork_devices)]
 
     rt_order = parse_ints(args.sweep_epochs)
     in_order = parse_ints(args.noise_epochs)

@@ -229,6 +229,35 @@ class TestBatchedForks:
                 run_dir, f"random_states_run{run}",
                 f"epoch{ep1}_random_states.pth"))
 
+    def test_sharded_fork_axis_with_padding(self, sweep_fixture):
+        """--fork_devices shards the fork axis over the (virtual 8-device)
+        mesh. 3 forks over 2 devices exercises the ballast padding (R=3 ->
+        4), and results must still match the sequential driver."""
+        work = sweep_fixture["work"]
+        seq_base = str(work / "sweep_seq_oracle3")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, seq_base, ["--training_order", "1,2,3"]))
+        assert failed == []
+
+        out_base = str(work / "sweep_sharded")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "1,2,3", "--batched_forks", "3",
+             "--fork_devices", "2"]))
+        assert failed == []
+        _check_run_layout(out_base, (2, 3))
+        for run in (1, 2, 3):
+            seq = _read_rows(os.path.join(
+                seq_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            bat = _read_rows(os.path.join(
+                out_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            assert [r[0] for r in bat] == [r[0] for r in seq]
+            assert [r[5:] for r in bat] == [r[5:] for r in seq]
+            for rs, rb in zip(seq[1:], bat[1:]):
+                np.testing.assert_allclose(
+                    [float(x) for x in rb[1:3]],
+                    [float(x) for x in rs[1:3]], rtol=1e-4)
+
     def test_rejects_multi_epoch_windows(self, sweep_fixture):
         from vit_project_tpu.train.multi_fork import run_batched_sweep
         with pytest.raises(ValueError, match="perturb_length"):

@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "towers/dataset and batch the b64 matmuls to MXU-"
                         "saturating shapes. Composes with --workers (each "
                         "worker batches its slice). 1 = sequential forks.")
+    p.add_argument("--fork_devices", type=int, default=1,
+                   help="shard the batched fork axis over N local devices "
+                        "(one program, forks partitioned across chips via "
+                        "GSPMD — zero collectives). Requires "
+                        "--batched_forks > 1. An in-process alternative to "
+                        "--workers for a multi-chip host.")
     return p
 
 
@@ -242,11 +248,20 @@ def main(argv=None):
 
     if args.batched_forks > 1:
         from ..train.multi_fork import run_batched_sweep
+        fork_mesh = None
+        if args.fork_devices > 1:
+            import jax
+            from ..parallel import mesh as vmesh
+            n = min(args.fork_devices, jax.local_device_count(),
+                    args.batched_forks)
+            fork_mesh = vmesh.make_mesh(n_data=n, devices=jax.devices()[:n])
         logger.info(f"Batched-fork mode: {len(training_order)} runs in "
-                    f"vmapped groups of {args.batched_forks}")
+                    f"vmapped groups of {args.batched_forks}"
+                    + (f" over {fork_mesh.devices.size} devices"
+                       if fork_mesh is not None else ""))
         failed_run_list = run_batched_sweep(
             config, training_order, group_size=args.batched_forks,
-            logger=logger)
+            logger=logger, mesh=fork_mesh)
         if failed_run_list:
             logger.info(f"Failed runs: {failed_run_list}")
         report = os.environ.get("VIT_SWEEP_FAILED_JSON")

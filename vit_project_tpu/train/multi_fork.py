@@ -59,6 +59,30 @@ def _stack(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def _pad_forks(tree, r_pad: int):
+    """Repeat the last fork slice r_pad times so the fork axis divides the
+    mesh. Padded rows are pure compute ballast: they train on duplicated
+    state, and the host loop never reads them back."""
+    if r_pad == 0:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[-1:], r_pad, axis=0)], axis=0), tree)
+
+
+def _shard_forks(mesh, tree):
+    """Partition the fork axis (axis 0 of every leaf) over the mesh's 'data'
+    axis. The forks are embarrassingly parallel — the vmapped programs have
+    no cross-fork contractions — so GSPMD partitions every batched matmul
+    block-diagonally and inserts ZERO collectives; fork parallelism rides the
+    mesh the way --workers rides processes, but inside one program."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+    s = NamedSharding(mesh, PartitionSpec("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
 def _slice_fork(tree, i: int):
     """Fork i's slice of a stacked pytree (host copy for checkpointing)."""
     return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
@@ -157,13 +181,20 @@ class _ForkState:
 
 
 def run_batched_sweep(base_config: dict, training_order: list[int], *,
-                      group_size: int = 8, logger=None) -> list[int]:
+                      group_size: int = 8, logger=None,
+                      mesh=None) -> list[int]:
     """Train the sweep's forks in vmapped groups of `group_size`.
 
     `base_config` is the sweep CLI's per-run config template WITHOUT the
     run-specific paths (they are derived here, reference layout
     `{output_base_directory}/training_run{N}/...`). Returns the list of
-    failed runs, like the sequential driver loop."""
+    failed runs, like the sequential driver loop.
+
+    `mesh`: optional 1-D ('data',) device mesh; the FORK axis is then
+    sharded over it — each chip trains group_size/n_devices forks of the
+    same compiled program with no collectives (see _shard_forks). Groups
+    whose fork count does not divide the mesh are padded with ballast
+    copies of the last fork."""
     log = logger.info if logger else print
     cfg = ClipRunConfig.from_dict({
         **base_config, "training_run": 0,
@@ -219,13 +250,26 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     log(f"Batched sweep: {len(order)} forks in {len(groups)} group(s) of "
         f"<= {group_size} (one vmapped program per group)")
 
+    if mesh is not None:
+        # shared (fork-unmapped) operands must live on the same mesh as the
+        # fork-sharded state: replicate them once
+        from ..parallel import mesh as vmesh
+        (trainer.params, trainer.static, train_imgs_dev, train_tgts_dev,
+         test_imgs_dev, test_tgts_dev, inf_imgs_dev, rdm_dev, eval_idx,
+         eval_valid) = vmesh.replicate(
+            mesh, (trainer.params, trainer.static, train_imgs_dev,
+                   train_tgts_dev, test_imgs_dev, test_tgts_dev, inf_imgs_dev,
+                   rdm_dev, jnp.asarray(eval_idx), jnp.asarray(eval_valid)))
+        log(f"Fork axis sharded over {mesh.devices.size} devices "
+            f"(zero-collective fork parallelism)")
+
     failed: list[int] = []
     for gi, runs in enumerate(groups):
         try:
             _run_group(trainer, programs, cfg, runs, base_config, assets,
                        train_imgs_dev, train_tgts_dev, test_imgs_dev,
                        test_tgts_dev, inf_imgs_dev, rdm_dev, eval_idx,
-                       eval_valid, n_train, n_test, log)
+                       eval_valid, n_train, n_test, log, mesh=mesh)
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) completed")
         except Exception as e:
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e}")
@@ -277,7 +321,8 @@ def _load_fork(cfg: ClipRunConfig, run: int, trainer: ClipHBATrainer,
 def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
                base_config: dict, assets, train_imgs_dev, train_tgts_dev,
                test_imgs_dev, test_tgts_dev, inf_imgs_dev, rdm_dev,
-               eval_idx, eval_valid, n_train: int, n_test: int, log):
+               eval_idx, eval_valid, n_train: int, n_test: int, log,
+               mesh=None):
     out_base = base_config["output_base_directory"]
     forks: list[_ForkState] = []
     trainables, opts, seeds = [], [], []
@@ -292,17 +337,18 @@ def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
         opts.append(o)
         seeds.append(int(s))
 
-    trainable = _stack(trainables)
-    opt_state = _stack(opts)
     R = len(forks)
+    r_pad = 0 if mesh is None else (-R) % mesh.devices.size
+    trainable = _shard_forks(mesh, _pad_forks(_stack(trainables), r_pad))
+    opt_state = _shard_forks(mesh, _pad_forks(_stack(opts), r_pad))
     shufflers = [dthings.EpochShuffler(n_train, cfg.batch_size, s)
                  for s in seeds]
     n_b = shufflers[0].num_batches()
     sizes = None  # per-epoch per-fork batch sizes, set below
     dropout_root = jax.random.PRNGKey(cfg.random_seed)
-    base_pkeys = jnp.stack([
+    base_pkeys = _shard_forks(mesh, _pad_forks(jnp.stack([
         jax.random.PRNGKey(int(cfg.perturb_seed) + run * 1000)
-        for run in runs])
+        for run in runs]), r_pad))
 
     # relative-time lock step: t=0 is every fork's perturbed epoch
     t = 0
@@ -316,9 +362,10 @@ def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
             valid_mats.append(vm)
             size_rows.append([len(b) for b in batch_list])
             dkeys.append(jax.random.fold_in(dropout_root, e0))
-        idx_mat = jnp.stack(idx_mats)
-        valid_mat = jnp.stack(valid_mats)
-        dkeys = jnp.stack(dkeys)
+        idx_mat = _shard_forks(mesh, _pad_forks(jnp.stack(idx_mats), r_pad))
+        valid_mat = _shard_forks(mesh,
+                                 _pad_forks(jnp.stack(valid_mats), r_pad))
+        dkeys = _shard_forks(mesh, _pad_forks(jnp.stack(dkeys), r_pad))
         sizes = np.asarray(size_rows)
 
         if t == 0:
