@@ -119,6 +119,10 @@ def main(argv=None):
     ap.add_argument("--sweep_fork_devices", type=int, default=1,
                     help="shard the batched fork axis over N local devices "
                          "(cli/sweep.py --fork_devices)")
+    ap.add_argument("--batched_lengths", action="store_true",
+                    help="train each length's onset conditions as one "
+                         "vmapped fork group (cli/lengths.py --onsets mode) "
+                         "instead of one process-level run per condition")
     args = ap.parse_args(argv)
 
     # cross-run compile reuse: every sweep/lengths fork builds a fresh trainer
@@ -213,27 +217,41 @@ def main(argv=None):
     print(f"== 3/4 lengths grid: onsets {onsets} x lengths {lens} "
           f"(longer runs cross-resume from shorter)")
     t0 = time.time()
+
+    def lengths_common():
+        return [
+            "--perturb_type", "random_target",
+            "--epochs", str(args.epochs),
+            "--batch_size", str(args.batch_size),
+            "--csv_file", data["csv_file"], "--img_dir", data["img_dir"],
+            "--inference_csv_file", data["inference_csv_file"],
+            "--RDM48_triplet_dir", data["RDM48_triplet_dir"],
+            "--backbone", args.backbone,
+            "--random_seed", str(args.seed), "--perturb_seed", "0",
+            "--vision_layers", "2", "--transformer_layers", "1",
+            "--rank", str(args.rank),
+            "--baseline_dora_directory", f"{base}/dora_params",
+            "--baseline_random_state_path", f"{base}/random_states",
+            "--baseline_split_indices_path",
+            f"{base}/random_states/dataset_split_indices.pth",
+            "--output_base_directory", lengths_dir,
+            "--compute_dtype", args.compute_dtype]
+
     for L in lens:  # ascending so l2 exercises cross-run resume from l1
-        for E in onsets:
-            lengths_cli.main([
-                "--perturb_type", "random_target",
-                "--perturb_epoch", str(E), "--perturb_length", str(L),
-                "--output_dir", f"random_target_e{E}_l{L}",
-                "--epochs", str(args.epochs),
-                "--batch_size", str(args.batch_size),
-                "--csv_file", data["csv_file"], "--img_dir", data["img_dir"],
-                "--inference_csv_file", data["inference_csv_file"],
-                "--RDM48_triplet_dir", data["RDM48_triplet_dir"],
-                "--backbone", args.backbone,
-                "--random_seed", str(args.seed), "--perturb_seed", "0",
-                "--vision_layers", "2", "--transformer_layers", "1",
-                "--rank", str(args.rank),
-                "--baseline_dora_directory", f"{base}/dora_params",
-                "--baseline_random_state_path", f"{base}/random_states",
-                "--baseline_split_indices_path",
-                f"{base}/random_states/dataset_split_indices.pth",
-                "--output_base_directory", lengths_dir,
-                "--compute_dtype", args.compute_dtype])
+        if args.batched_lengths:
+            failed = lengths_cli.main(
+                lengths_common()
+                + ["--onsets", ",".join(map(str, onsets)),
+                   "--perturb_length", str(L),
+                   "--fork_devices", str(args.sweep_fork_devices)])
+            assert not failed, f"lengths failures: {failed}"
+        else:
+            for E in onsets:
+                lengths_cli.main(
+                    lengths_common()
+                    + ["--perturb_epoch", str(E),
+                       "--perturb_length", str(L),
+                       "--output_dir", f"random_target_e{E}_l{L}"])
     times["lengths_grid"] = time.time() - t0
     print(f"   grid wall: {times['lengths_grid']:.1f}s")
 

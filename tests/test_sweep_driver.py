@@ -258,15 +258,70 @@ class TestBatchedForks:
                     [float(x) for x in rb[1:3]],
                     [float(x) for x in rs[1:3]], rtol=1e-4)
 
-    def test_rejects_multi_epoch_windows(self, sweep_fixture):
-        from vit_project_tpu.train.multi_fork import run_batched_sweep
-        with pytest.raises(ValueError, match="perturb_length"):
-            run_batched_sweep(
-                {"csv_file": str(sweep_fixture["work"] / "train.csv"),
-                 "img_dir": str(sweep_fixture["img_dir"]),
-                 "inference_csv_file": str(sweep_fixture["work"] / "val.csv"),
-                 "RDM48_triplet_dir": str(sweep_fixture["work"] / "rdm.mat"),
-                 "backbone": "test-tiny", "perturb_type": "random_target",
-                 "perturb_length": 2,
-                 "output_base_directory": str(sweep_fixture["work"] / "x")},
-                [2, 3])
+def _lengths_argv(fx, out_base, extra):
+    work, base = fx["work"], fx["base"]
+    return [
+        "--csv_file", str(work / "train.csv"),
+        "--img_dir", str(fx["img_dir"]),
+        "--inference_csv_file", str(work / "val.csv"),
+        "--RDM48_triplet_dir", str(work / "rdm.mat"),
+        "--backbone", "test-tiny", "--epochs", "3", "--batch_size", "16",
+        "--random_seed", "1", "--vision_layers", "1",
+        "--transformer_layers", "1", "--rank", "4",
+        "--perturb_type", "random_target", "--perturb_seed", "7",
+        "--baseline_dora_directory", str(base / "dora_params"),
+        "--baseline_random_state_path", str(base / "random_states"),
+        "--baseline_split_indices_path",
+        str(base / "random_states" / "dataset_split_indices.pth"),
+        "--output_base_directory", out_base,
+        "--compute_dtype", "float32", *extra]
+
+
+@pytest.mark.slow
+class TestBatchedLengths:
+    """train/multi_fork.run_batched_lengths: the (onset x length) grid in
+    vmapped groups, incl. the cross-run resume ladder."""
+
+    def test_matches_sequential_and_cross_resumes(self, sweep_fixture):
+        from vit_project_tpu.cli import lengths as lengths_cli
+        work = sweep_fixture["work"]
+
+        seq_base = str(work / "len_seq_oracle")
+        for L in (1, 2):  # ascending so l2 cross-resumes from l1
+            for E in (2, 3):
+                lengths_cli.main(_lengths_argv(
+                    sweep_fixture, seq_base,
+                    ["--perturb_epoch", str(E), "--perturb_length", str(L),
+                     "--output_dir", f"random_target_e{E}_l{L}"]))
+
+        bat_base = str(work / "len_batched")
+        for L in (1, 2):
+            failed = lengths_cli.main(_lengths_argv(
+                sweep_fixture, bat_base,
+                ["--onsets", "2,3", "--perturb_length", str(L),
+                 "--batched_forks", "2"]))
+            assert failed == []
+
+        for L in (1, 2):
+            for E in (2, 3):
+                name = f"random_target_e{E}_l{L}"
+                seq = _read_rows(os.path.join(seq_base, name,
+                                              "training_res.csv"))
+                bat = _read_rows(os.path.join(bat_base, name,
+                                              "training_res.csv"))
+                assert [r[0] for r in bat] == [r[0] for r in seq], name
+                assert [r[5:] for r in bat] == [r[5:] for r in seq], name
+                for rs, rb in zip(seq[1:], bat[1:]):
+                    np.testing.assert_allclose(
+                        [float(x) for x in rb[1:3]],
+                        [float(x) for x in rs[1:3]], rtol=1e-4,
+                        err_msg=name)
+        # the l2 run at onset 2 really cross-resumed: its CSV starts with
+        # the pre-populated epoch-2 row and appends epoch 3
+        rows = _read_rows(os.path.join(bat_base, "random_target_e2_l2",
+                                       "training_res.csv"))
+        assert [r[0] for r in rows[1:]] == ["2", "3"]
+        # per-epoch checkpoints exist in the reference lengths layout
+        assert os.path.exists(os.path.join(
+            bat_base, "random_target_e2_l1", "dora_params_2",
+            "epoch2_dora_params.pth"))

@@ -59,14 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perturb_type", default="random_target",
                    choices=["random_target", "label_shuffle", "uniform_images",
                             "image_noise", "baseline"])
-    p.add_argument("--perturb_epoch", type=int, required=True,
-                   help="Epoch to perturb (0 for baseline)")
+    p.add_argument("--perturb_epoch", type=int, default=None,
+                   help="Epoch to perturb (0 for baseline); required unless "
+                        "--onsets is given")
     p.add_argument("--perturb_length", type=int, required=True,
                    help="Length of perturbation (0 for baseline)")
     p.add_argument("--perturb_distribution", default="target",
                    choices=["normal", "target"])
     p.add_argument("--perturb_seed", type=int, default=0)
-    p.add_argument("--output_dir", required=True,
+    p.add_argument("--output_dir", default=None,
                    help="e.g. random_target_e2_l2 (relative to base)")
     p.add_argument("--cuda", type=int, default=0)
     p.add_argument("--epochs", type=int, default=500)
@@ -99,7 +100,83 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vision_layers", type=int, default=2)
     p.add_argument("--transformer_layers", type=int, default=1)
     p.add_argument("--rank", type=int, default=32)
+    p.add_argument("--onsets", default=None,
+                   help="comma-separated perturb onsets, e.g. '3,8,15': "
+                        "train ALL (onset x perturb_length) conditions of "
+                        "this length in vmapped fork groups on one chip "
+                        "(train/multi_fork.run_batched_lengths) instead of "
+                        "one condition per invocation. --perturb_epoch/"
+                        "--output_dir are ignored; each condition keeps the "
+                        "reference {type}_e{E}_l{L}/ layout and the full "
+                        "resume ladder.")
+    p.add_argument("--batched_forks", type=int, default=8,
+                   help="group size for --onsets batching")
+    p.add_argument("--fork_devices", type=int, default=1,
+                   help="shard the batched fork axis over N local devices "
+                        "(see cli/sweep.py --fork_devices)")
     return p
+
+
+def _main_batched(args, timestamp: str):
+    """--onsets mode: every (onset, perturb_length) condition of one length
+    trained as vmapped fork groups (train/multi_fork.run_batched_lengths).
+    Returns the list of failed condition dir names (empty = all good)."""
+    if args.perturb_type == "baseline":
+        build_parser().error("--onsets batching is for perturbed conditions; "
+                             "run the baseline mode per condition")
+    onsets = [int(x) for x in args.onsets.split(",") if x.strip()]
+    config = {
+        "csv_file": args.csv_file,
+        "img_dir": args.img_dir,
+        "inference_csv_file": args.inference_csv_file,
+        "RDM48_triplet_dir": args.RDM48_triplet_dir,
+        "backbone": args.backbone,
+        "clip_weights": args.clip_weights,
+        "bpe_vocab": args.bpe_vocab,
+        "allow_hash_tokenizer": args.allow_hash_tokenizer,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "train_portion": 0.8,
+        "lr": args.lr,
+        "logger": None,
+        "early_stopping_patience": args.early_stopping_patience,
+        "random_seed": args.random_seed,
+        "vision_layers": args.vision_layers,
+        "transformer_layers": args.transformer_layers,
+        "rank": args.rank,
+        "criterion": "mse",
+        "cuda": args.cuda,
+        "compute_dtype": args.compute_dtype,
+        "remat": args.remat,
+        "baseline_dora_directory": args.baseline_dora_directory,
+        "baseline_random_state_path": args.baseline_random_state_path,
+        "baseline_split_indices_path": args.baseline_split_indices_path,
+        "perturb_type": args.perturb_type,
+        "perturb_distribution": args.perturb_distribution,
+        "perturb_seed": args.perturb_seed,
+        "perturb_length": args.perturb_length,
+        "output_base_directory": args.output_base_directory,
+    }
+    fork_mesh = None
+    if args.fork_devices > 1:
+        import jax
+        from ..parallel import mesh as vmesh
+        n = min(args.fork_devices, jax.local_device_count(), len(onsets))
+        fork_mesh = vmesh.make_mesh(n_data=n, devices=jax.devices()[:n])
+
+    os.makedirs(args.output_base_directory, exist_ok=True)
+    logger = setup_main_logger(os.path.join(
+        args.output_base_directory,
+        f"lengths_batched_log_{timestamp}.txt"))
+    logger.info(f"Batched lengths mode: type={args.perturb_type} "
+                f"length={args.perturb_length} onsets={onsets}")
+    from ..train.multi_fork import run_batched_lengths
+    failed = run_batched_lengths(
+        config, onsets, args.perturb_length,
+        group_size=args.batched_forks, logger=logger, mesh=fork_mesh)
+    if failed:
+        logger.info(f"Failed conditions: {failed}")
+    return failed
 
 
 def main(argv=None):
@@ -112,6 +189,13 @@ def main(argv=None):
     enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    if args.onsets is not None:
+        return _main_batched(args, timestamp)
+    if args.perturb_epoch is None or args.output_dir is None:
+        build_parser().error(
+            "--perturb_epoch and --output_dir are required "
+            "(or pass --onsets for the batched multi-condition mode)")
 
     config = {
         "csv_file": args.csv_file,

@@ -178,10 +178,16 @@ class ClipHBATrainer:
                 self.mesh, (self._local_rows(idx_p), self._local_rows(valid)))
         return jnp.asarray(idx_p), jnp.asarray(valid)
 
-    def _step_core(self, perturb_type: str):
+    def _step_core(self, perturb_type: str, gated: bool = False):
         """Shared body of both train-step variants: perturb -> masked-MSE
         forward -> grads -> AdamW update with the NaN batch-skip guard
-        (reference train_model 'continue' on non-finite batches, ref :929-998)."""
+        (reference train_model 'continue' on non-finite batches, ref :929-998).
+
+        gated=True returns a core taking a trailing `in_win` bool that
+        selects perturbed vs clean inputs per call — one compiled program
+        serves every epoch of a perturbation window (the batched multi-fork
+        runner vmaps the flag over forks with different windows). The
+        injector always runs; its cost is noise next to the tower fwd+bwd."""
         optimizer = self.optimizer
         cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
         cdt, rm = self.compute_dtype, self.remat
@@ -200,10 +206,15 @@ class ClipHBATrainer:
             return loss, preds
 
         def core(trainable, opt_state, params, static, images, targets,
-                 valid, perturb_key, dropout_key):
-            images, targets = injectors.apply_clip_perturbation(
+                 valid, perturb_key, dropout_key, in_win=None):
+            p_images, p_targets = injectors.apply_clip_perturbation(
                 perturb_type, perturb_key, images, targets,
                 distribution=dist_kind, mean=dmean, std=dstd, valid=valid)
+            if gated:
+                images = jnp.where(in_win, p_images, images)
+                targets = jnp.where(in_win, p_targets, targets)
+            else:
+                images, targets = p_images, p_targets
             (loss, preds), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable, params, static, images,
                                        targets, valid, dropout_key)

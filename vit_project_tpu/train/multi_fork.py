@@ -14,11 +14,12 @@ per fork. On a TPU the forks are a *batch dimension*:
   [R*B*S, D] matmul against shared weights (XLA collapses the batched matmul
   when the weights are unmapped) — exactly the MXU-utilization recovery the
   b64 shape leaves on the table;
-- sweep forks all use `perturb_length == 1` and perturb exactly their first
-  trained epoch (window [run-1, run-1], perturb/windows.py), so in RELATIVE
-  time every fork runs the same program: step t=0 is the perturbed epoch,
-  t>=1 are clean epochs. Lock-stepping forks on relative epoch t therefore
-  needs exactly two compiled epoch programs, identical to the solo path's.
+- a per-fork `in_win` gate inside the ONE compiled epoch program selects
+  perturbed vs clean inputs from each fork's ABSOLUTE window
+  ([run-1, run-1+L-1], perturb/windows.py), so forks with different onsets,
+  window lengths, and resume points lock-step together with no relative-time
+  alignment; the same program serves the single-epoch sweep
+  (run_batched_sweep) and the variable-length grid (run_batched_lengths).
 
 Artifacts are written per fork in the exact solo/reference layout
 (training_run{N}/training_res_run{N}.csv, per-epoch DoRA + random-state
@@ -28,7 +29,7 @@ order inside the batched matmuls may differ from the solo program's, so
 trajectories match to float tolerance, not bit-exactly (the equivalence test
 pins this down in float32).
 
-Early stopping is per fork (patience frozen during the t=0 window, reference
+Early stopping is per fork (patience frozen inside each fork's window, reference
 :1043-1056): a stopped fork keeps riding the batched program (its updates are
 discarded) until the whole group finishes; groups are built from the
 training order sorted ascending so co-grouped forks have similar remaining
@@ -89,20 +90,22 @@ def _slice_fork(tree, i: int):
 
 
 def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
-    """The three vmapped-over-forks jitted programs: perturbed epoch, clean
-    epoch, eval+RSA. Mirrors ClipHBATrainer._epoch_scan / _eval_scan /
-    _infer_step with a leading fork axis on (trainable, opt_state, idx/valid
-    matrices, keys); params/static/datasets are unmapped so XLA sees shared
-    weights (in_axes=None, passed as explicit jit args — never closures)."""
+    """The three vmapped-over-forks jitted programs: train epoch (with a
+    per-fork `in_win` gate selecting perturbed vs clean inputs — ONE
+    compiled program serves every epoch of every window shape), eval, and
+    RSA. Mirrors ClipHBATrainer._epoch_scan / _eval_scan / _infer_step with
+    a leading fork axis on (trainable, opt_state, idx/valid matrices, keys,
+    in_win); params/static/datasets are unmapped so XLA sees shared weights
+    (in_axes=None, passed as explicit jit args — never closures)."""
     cfg, acfg, prompts = trainer.cfg, trainer.acfg, trainer.prompts
     cdt, rm = trainer.compute_dtype, trainer.remat
 
-    def epoch_for(kind: str):
-        core = trainer._step_core(kind)
+    def make_train():
+        core = trainer._step_core(perturb_type, gated=True)
 
         def one_fork(trainable, opt_state, params, static, all_images_u8,
                      all_targets, idx_mat, valid_mat, dropout_epoch_key,
-                     base_pkey):
+                     base_pkey, in_win):
             def body(carry, xs):
                 trainable, opt_state = carry
                 batch_i, idx, valid = xs
@@ -111,7 +114,7 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
                 images = dthings.normalize_uint8(all_images_u8[idx])
                 trainable, opt_state, loss, ok = core(
                     trainable, opt_state, params, static, images,
-                    all_targets[idx], valid, pkey, dkey)
+                    all_targets[idx], valid, pkey, dkey, in_win)
                 return (trainable, opt_state), (loss, ok)
 
             n_b = idx_mat.shape[0]
@@ -122,7 +125,7 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
 
         return jax.jit(
             jax.vmap(one_fork,
-                     in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0)),
+                     in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0)),
             donate_argnums=(0, 1))
 
     def eval_one(trainable, params, static, all_images_u8, all_targets,
@@ -153,8 +156,7 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
         return rho, p
 
     return {
-        "perturbed": epoch_for(perturb_type),
-        "clean": epoch_for("none"),
+        "train": make_train(),
         "eval": jax.jit(jax.vmap(
             eval_one, in_axes=(0, None, None, None, None, None, None))),
         "rsa": jax.jit(jax.vmap(
@@ -163,21 +165,137 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
 
 
 class _ForkState:
-    """Host-side per-fork bookkeeping (paths, early-stop counters)."""
+    """Host-side per-fork bookkeeping (paths, window, early-stop counters).
 
-    def __init__(self, run: int, run_dir: str):
-        self.run = run                      # 1-indexed fork/perturb epoch N
-        self.start_epoch0 = run - 1         # first trained epoch, 0-indexed
-        self.dir = run_dir
-        self.res_path = os.path.join(run_dir, f"training_res_run{run}.csv")
-        self.dora_path = os.path.join(run_dir, f"dora_params_run{run}")
-        self.state_path = os.path.join(run_dir, f"random_states_run{run}")
+    `run` is the 1-indexed epoch the fork's perturbation window STARTS at
+    (the sweep's training_run N / the lengths grid's onset E) and
+    `window_len` its length — absolute window arithmetic (perturb/windows.py)
+    then covers sweep forks (len 1), lengths conditions (len L), and
+    cross-resumed conditions (start_epoch0 inside/past the window) alike."""
+
+    def __init__(self, run: int, window_len: int, start_epoch0: int,
+                 res_path: str, dora_path: str, state_path: str,
+                 prepop_csv: str | None = None):
+        self.run = run
+        self.window_len = window_len
+        self.start_epoch0 = start_epoch0    # first trained epoch, 0-indexed
+        self.res_path = res_path
+        self.dora_path = dora_path
+        self.state_path = state_path
+        self.prepop_csv = prepop_csv        # CSV to pre-populate rows from
         self.best_test_loss = 500000.0      # reference init (ref :790)
         self.no_improve = 0
         self.stopped = False
 
     def epoch0_at(self, t: int) -> int:
         return self.start_epoch0 + t
+
+    def in_window_at(self, t: int, perturb_type: str) -> bool:
+        return (perturb_type in windows.PERTURB_TYPES
+                and windows.in_window(self.epoch0_at(t), self.run,
+                                      self.window_len))
+
+
+class _Setup:
+    """Shared one-time setup for a batched run: assets, trainer, resident
+    datasets, the three vmapped programs, eval index matrices, optional mesh
+    replication. Paid ONCE per driver invocation (the sequential drivers pay
+    it per fork)."""
+
+    def __init__(self, base_config: dict, logger, mesh):
+        self.log = logger.info if logger else print
+        self.mesh = mesh
+        self.cfg = ClipRunConfig.from_dict({
+            **base_config, "training_run": 0,
+            "checkpoint_path": os.path.join(
+                base_config["output_base_directory"], "unused.ckpt"),
+            "training_res_path": "unused.csv",
+            "dora_parameters_path": "unused",
+            "random_state_path": os.path.join(
+                base_config["output_base_directory"],
+                "random_states_unused"),
+        })
+        cfg = self.cfg
+        self.assets = build_run_assets(cfg, logger or _PrintLogger())
+        self.trainer = ClipHBATrainer(
+            self.assets.clip_cfg, self.assets.params, self.assets.acfg,
+            self.assets.static, self.assets.prompts, lr=cfg.lr,
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32,
+            perturb_distribution=cfg.perturb_distribution,
+            dist_mean=self.assets.mean, dist_std=self.assets.std, mesh=None,
+            remat=cfg.remat)
+
+        a, trainer = self.assets, self.trainer
+        train_images = a.dataset.images_u8[a.train_idx]
+        train_targets = a.dataset.targets[a.train_idx]
+        test_images = a.dataset.images_u8[a.test_idx]
+        test_targets = a.dataset.targets[a.test_idx]
+        self.train_imgs_dev, self.train_tgts_dev = trainer.upload_dataset(
+            train_images, train_targets)
+        self.test_imgs_dev, self.test_tgts_dev = trainer.upload_dataset(
+            test_images, test_targets)
+        self.inf_imgs_dev, _ = trainer.upload_dataset(a.inference.images_u8)
+        self.rdm_dev = jnp.asarray(a.reference_rdm)
+        self.n_train, self.n_test = len(train_images), len(test_images)
+
+        self.programs = _build_batched_programs(trainer, cfg.perturb_type)
+
+        # eval batches are deterministic (arange); same matrices per fork
+        n_test = self.n_test
+        eval_bs = n_test if n_test * trainer.cfg.visual.seq_len <= 132_000 \
+            else cfg.batch_size
+        eval_batches = [np.arange(s, min(s + eval_bs, n_test))
+                        for s in range(0, n_test, eval_bs)]
+        self.eval_idx, self.eval_valid = trainer._prep_idx_mat(eval_batches,
+                                                               eval_bs)
+
+        if mesh is not None:
+            # shared (fork-unmapped) operands must live on the same mesh as
+            # the fork-sharded state: replicate them once
+            from ..parallel import mesh as vmesh
+            (trainer.params, trainer.static, self.train_imgs_dev,
+             self.train_tgts_dev, self.test_imgs_dev, self.test_tgts_dev,
+             self.inf_imgs_dev, self.rdm_dev, self.eval_idx,
+             self.eval_valid) = vmesh.replicate(
+                mesh, (trainer.params, trainer.static, self.train_imgs_dev,
+                       self.train_tgts_dev, self.test_imgs_dev,
+                       self.test_tgts_dev, self.inf_imgs_dev, self.rdm_dev,
+                       jnp.asarray(self.eval_idx),
+                       jnp.asarray(self.eval_valid)))
+            self.log(f"Fork axis sharded over {mesh.devices.size} devices "
+                     f"(zero-collective fork parallelism)")
+
+    def load_state(self, label: str, dora_file: str | None,
+                   rs_dir: str | None, rfe: int):
+        """One fork's initial (trainable, opt_state, data_seed) — the solo
+        semantics of run_behavioral_training (ref :1156-1201): strict=False
+        DoRA overlay from `dora_file` (fresh init if absent), AdamW-state +
+        data-seed restore from `rs_dir` at epoch `rfe` when rfe > 0."""
+        cfg, assets, log = self.cfg, self.assets, self.log
+        trainable = assets.trainable
+        if dora_file and os.path.exists(dora_file):
+            trainable = clip_ckpt.load_dora_parameters(dora_file, trainable,
+                                                       assets.spec)
+            log(f"  {label}: DoRA fork loaded from {dora_file}")
+        else:
+            log(f"  {label}: fresh DoRA init (no {dora_file})")
+
+        opt_state = self.trainer.init_opt_state(trainable)
+        data_seed = cfg.random_seed
+        if rfe > 0 and rs_dir:
+            state = clip_ckpt.load_random_states(rs_dir, rfe, logger=None)
+            if state is not None:
+                restored = jax.tree_util.tree_map(jnp.asarray,
+                                                  state["optimizer_state"])
+                if (jax.tree_util.tree_structure(restored)
+                        == jax.tree_util.tree_structure(opt_state)):
+                    opt_state = restored
+                else:
+                    log(f"  {label}: optimizer-state structure mismatch - "
+                        f"fresh AdamW state")
+                data_seed = state["data_seed"]
+        return trainable, opt_state, data_seed
 
 
 def run_batched_sweep(base_config: dict, training_order: list[int], *,
@@ -195,52 +313,9 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     same compiled program with no collectives (see _shard_forks). Groups
     whose fork count does not divide the mesh are padded with ballast
     copies of the last fork."""
-    log = logger.info if logger else print
-    cfg = ClipRunConfig.from_dict({
-        **base_config, "training_run": 0,
-        "checkpoint_path": os.path.join(
-            base_config["output_base_directory"], "unused.ckpt"),
-        "training_res_path": "unused.csv",
-        "dora_parameters_path": "unused",
-        "random_state_path": os.path.join(
-            base_config["output_base_directory"], "random_states_unused"),
-    })
-    if cfg.perturb_length != 1:
-        raise ValueError(
-            "batched fork mode requires perturb_length == 1 (the sweep's "
-            "contract; forks then align on relative epochs — see module "
-            "docstring). Use the sequential driver for longer windows.")
-
-    assets = build_run_assets(cfg, logger or _PrintLogger())
-    trainer = ClipHBATrainer(
-        assets.clip_cfg, assets.params, assets.acfg, assets.static,
-        assets.prompts, lr=cfg.lr,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32,
-        perturb_distribution=cfg.perturb_distribution,
-        dist_mean=assets.mean, dist_std=assets.std, mesh=None,
-        remat=cfg.remat)
-
-    train_images = assets.dataset.images_u8[assets.train_idx]
-    train_targets = assets.dataset.targets[assets.train_idx]
-    test_images = assets.dataset.images_u8[assets.test_idx]
-    test_targets = assets.dataset.targets[assets.test_idx]
-    train_imgs_dev, train_tgts_dev = trainer.upload_dataset(train_images,
-                                                            train_targets)
-    test_imgs_dev, test_tgts_dev = trainer.upload_dataset(test_images,
-                                                          test_targets)
-    inf_imgs_dev, _ = trainer.upload_dataset(assets.inference.images_u8)
-    rdm_dev = jnp.asarray(assets.reference_rdm)
-    n_train, n_test = len(train_images), len(test_images)
-
-    programs = _build_batched_programs(trainer, cfg.perturb_type)
-
-    # eval batches are deterministic (arange); same matrices for every fork
-    eval_bs = n_test if n_test * trainer.cfg.visual.seq_len <= 132_000 \
-        else cfg.batch_size
-    eval_batches = [np.arange(s, min(s + eval_bs, n_test))
-                    for s in range(0, n_test, eval_bs)]
-    eval_idx, eval_valid = trainer._prep_idx_mat(eval_batches, eval_bs)
+    su = _Setup(base_config, logger, mesh)
+    cfg, log = su.cfg, su.log
+    out_base = base_config["output_base_directory"]
 
     # ascending groups: co-grouped forks have similar remaining spans, so the
     # ride-along waste after a fork finishes is bounded by the group's spread
@@ -250,30 +325,107 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     log(f"Batched sweep: {len(order)} forks in {len(groups)} group(s) of "
         f"<= {group_size} (one vmapped program per group)")
 
-    if mesh is not None:
-        # shared (fork-unmapped) operands must live on the same mesh as the
-        # fork-sharded state: replicate them once
-        from ..parallel import mesh as vmesh
-        (trainer.params, trainer.static, train_imgs_dev, train_tgts_dev,
-         test_imgs_dev, test_tgts_dev, inf_imgs_dev, rdm_dev, eval_idx,
-         eval_valid) = vmesh.replicate(
-            mesh, (trainer.params, trainer.static, train_imgs_dev,
-                   train_tgts_dev, test_imgs_dev, test_tgts_dev, inf_imgs_dev,
-                   rdm_dev, jnp.asarray(eval_idx), jnp.asarray(eval_valid)))
-        log(f"Fork axis sharded over {mesh.devices.size} devices "
-            f"(zero-collective fork parallelism)")
-
     failed: list[int] = []
     for gi, runs in enumerate(groups):
         try:
-            _run_group(trainer, programs, cfg, runs, base_config, assets,
-                       train_imgs_dev, train_tgts_dev, test_imgs_dev,
-                       test_tgts_dev, inf_imgs_dev, rdm_dev, eval_idx,
-                       eval_valid, n_train, n_test, log, mesh=mesh)
+            forks, inits = [], []
+            for run in runs:
+                run_dir = os.path.join(out_base, f"training_run{run}")
+                os.makedirs(run_dir, exist_ok=True)
+                forks.append(_ForkState(
+                    run, cfg.perturb_length, run - 1,
+                    os.path.join(run_dir, f"training_res_run{run}.csv"),
+                    os.path.join(run_dir, f"dora_params_run{run}"),
+                    os.path.join(run_dir, f"random_states_run{run}")))
+                inits.append(su.load_state(
+                    f"run {run}",
+                    os.path.join(cfg.baseline_dora_directory,
+                                 f"epoch{run - 1}_dora_params.pth"),
+                    cfg.baseline_random_state_path, run - 1))
+            _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) completed")
         except Exception as e:
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e}")
             failed.extend(runs)
+    return failed
+
+
+def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
+                        group_size: int = 8, logger=None,
+                        mesh=None) -> list[str]:
+    """Train one length's (onset x L) conditions of the variable-length grid
+    as vmapped fork groups — the batched counterpart of cli/lengths.py
+    (reference clip_train_behavior_lengths.py trains its 136 conditions one
+    full process at a time).
+
+    Per condition the sequential CLI's resume ladder is preserved: in-place
+    resume from the condition's own CSV, else cross-run resume from the
+    longest shorter-length run at the same onset (CSV pre-population +
+    DoRA/AdamW restore from the previous run's epoch files), else a fresh
+    fork from the baseline at epoch onset-1. Conditions with different
+    onsets/resume points co-train in one group: the per-fork `in_win` gate
+    keys each fork's perturbation window off its ABSOLUTE epoch, so no
+    relative-time alignment is required. Returns the failed condition dir
+    names (e.g. 'random_target_e3_l2')."""
+    from ..cli.lengths import find_previous_run_dir
+    from ..core import csvio
+
+    su = _Setup(base_config, logger, mesh)
+    cfg, log = su.cfg, su.log
+    out_base = base_config["output_base_directory"]
+    ptype = cfg.perturb_type
+
+    conds = [(E, f"{ptype}_e{E}_l{length}") for E in sorted(onsets)]
+    groups = [conds[i:i + group_size]
+              for i in range(0, len(conds), group_size)]
+    log(f"Batched lengths: {len(conds)} conditions (length {length}) in "
+        f"{len(groups)} group(s) of <= {group_size}")
+
+    failed: list[str] = []
+    for gi, group in enumerate(groups):
+        names = [name for _, name in group]
+        try:
+            forks, inits = [], []
+            for E, name in group:
+                out_dir = os.path.join(out_base, name)
+                os.makedirs(out_dir, exist_ok=True)
+                res_path = os.path.join(out_dir, "training_res.csv")
+                dora_dir = os.path.join(out_dir, f"dora_params_{E}")
+                rs_dir = os.path.join(out_dir, f"random_states_{E}")
+
+                last = csvio.last_completed_epoch0(res_path)
+                if last >= 0:  # in-place resume (reference :141-160)
+                    rfe, prepop = last + 1, res_path
+                    src_dora, src_rs = dora_dir, rs_dir
+                    log(f"  {name}: in-place resume from epoch {rfe + 1}")
+                else:
+                    prev_dir, prev_len = find_previous_run_dir(
+                        out_base, ptype, E, length)
+                    if prev_dir and prev_len is not None:
+                        rfe = max(0, E - 1) + prev_len
+                        prepop = os.path.join(prev_dir, "training_res.csv")
+                        src_dora = os.path.join(prev_dir,
+                                                f"dora_params_{E}")
+                        src_rs = os.path.join(prev_dir,
+                                              f"random_states_{E}")
+                        log(f"  {name}: resuming from '{prev_dir}' "
+                            f"(length {prev_len}) at epoch {rfe + 1}")
+                    else:
+                        rfe, prepop = max(0, E - 1), None
+                        src_dora, src_rs = (cfg.baseline_dora_directory,
+                                            cfg.baseline_random_state_path)
+
+                dora_file = (os.path.join(src_dora,
+                                          f"epoch{rfe}_dora_params.pth")
+                             if rfe > 0 else None)
+                forks.append(_ForkState(E, length, rfe, res_path, dora_dir,
+                                        rs_dir, prepop_csv=prepop))
+                inits.append(su.load_state(name, dora_file, src_rs, rfe))
+            _run_group(su, forks, inits)
+            log(f"Group {gi + 1}/{len(groups)} ({names}) completed")
+        except Exception as e:
+            log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e}")
+            failed.extend(names)
     return failed
 
 
@@ -284,73 +436,33 @@ class _PrintLogger:
     warning = error = info
 
 
-def _load_fork(cfg: ClipRunConfig, run: int, trainer: ClipHBATrainer,
-               assets, log):
-    """One fork's initial (trainable, opt_state, data_seed) — the solo fork
-    semantics of run_behavioral_training: strict=False DoRA overlay from the
-    baseline's epoch run-1 file (fresh init if absent, ref :1156-1171) and
-    AdamW-state/data-seed restore from the baseline's random states."""
-    trainable = assets.trainable
-    dora_path = os.path.join(cfg.baseline_dora_directory,
-                             f"epoch{run - 1}_dora_params.pth")
-    if run >= 1 and os.path.exists(dora_path):
-        trainable = clip_ckpt.load_dora_parameters(dora_path, trainable,
-                                                   assets.spec)
-        log(f"  run {run}: DoRA fork loaded from {dora_path}")
-    else:
-        log(f"  run {run}: fresh DoRA init (no {dora_path})")
+def _run_group(su: _Setup, forks: list[_ForkState], inits):
+    """Train one group of forks to completion under the lock-step loop.
 
-    opt_state = trainer.init_opt_state(trainable)
-    data_seed = cfg.random_seed
-    if run - 1 > 0 and cfg.baseline_random_state_path:
-        state = clip_ckpt.load_random_states(
-            cfg.baseline_random_state_path, run - 1, logger=None)
-        if state is not None:
-            restored = jax.tree_util.tree_map(jnp.asarray,
-                                              state["optimizer_state"])
-            if (jax.tree_util.tree_structure(restored)
-                    == jax.tree_util.tree_structure(opt_state)):
-                opt_state = restored
-            else:
-                log(f"  run {run}: optimizer-state structure mismatch - "
-                    f"fresh AdamW state")
-            data_seed = state["data_seed"]
-    return trainable, opt_state, data_seed
-
-
-def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
-               base_config: dict, assets, train_imgs_dev, train_tgts_dev,
-               test_imgs_dev, test_tgts_dev, inf_imgs_dev, rdm_dev,
-               eval_idx, eval_valid, n_train: int, n_test: int, log,
-               mesh=None):
-    out_base = base_config["output_base_directory"]
-    forks: list[_ForkState] = []
-    trainables, opts, seeds = [], [], []
-    for run in runs:
-        run_dir = os.path.join(out_base, f"training_run{run}")
-        os.makedirs(run_dir, exist_ok=True)
-        fs = _ForkState(run, run_dir)
-        csvio.init_clip_csv(fs.res_path, fs.start_epoch0, None, None)
-        t, o, s = _load_fork(cfg, run, trainer, assets, log)
-        forks.append(fs)
-        trainables.append(t)
-        opts.append(o)
-        seeds.append(int(s))
+    `inits` holds each fork's (trainable, opt_state, data_seed) from
+    _Setup.load_state. Lock step t trains fork f's absolute epoch
+    f.start_epoch0 + t; the per-fork `in_win` gate (absolute window
+    arithmetic, _ForkState.in_window_at) selects perturbed vs clean inputs
+    inside the single compiled program."""
+    cfg, trainer, mesh, log = su.cfg, su.trainer, su.mesh, su.log
+    n_train, n_test = su.n_train, su.n_test
+    for f in forks:
+        csvio.init_clip_csv(f.res_path, f.start_epoch0, f.prepop_csv, None)
+    seeds = [int(s) for _, _, s in inits]
 
     R = len(forks)
     r_pad = 0 if mesh is None else (-R) % mesh.devices.size
-    trainable = _shard_forks(mesh, _pad_forks(_stack(trainables), r_pad))
-    opt_state = _shard_forks(mesh, _pad_forks(_stack(opts), r_pad))
+    trainable = _shard_forks(mesh, _pad_forks(
+        _stack([t for t, _, _ in inits]), r_pad))
+    opt_state = _shard_forks(mesh, _pad_forks(
+        _stack([o for _, o, _ in inits]), r_pad))
     shufflers = [dthings.EpochShuffler(n_train, cfg.batch_size, s)
                  for s in seeds]
-    n_b = shufflers[0].num_batches()
-    sizes = None  # per-epoch per-fork batch sizes, set below
     dropout_root = jax.random.PRNGKey(cfg.random_seed)
     base_pkeys = _shard_forks(mesh, _pad_forks(jnp.stack([
-        jax.random.PRNGKey(int(cfg.perturb_seed) + run * 1000)
-        for run in runs]), r_pad))
+        jax.random.PRNGKey(int(cfg.perturb_seed) + f.run * 1000)
+        for f in forks]), r_pad))
 
-    # relative-time lock step: t=0 is every fork's perturbed epoch
     t = 0
     while not all(f.stopped or f.epoch0_at(t) >= cfg.epochs for f in forks):
         idx_mats, valid_mats, dkeys, size_rows = [], [], [], []
@@ -367,25 +479,37 @@ def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
                                  _pad_forks(jnp.stack(valid_mats), r_pad))
         dkeys = _shard_forks(mesh, _pad_forks(jnp.stack(dkeys), r_pad))
         sizes = np.asarray(size_rows)
+        inw_host = [f.in_window_at(t, cfg.perturb_type) for f in forks]
+        in_win = _shard_forks(mesh, _pad_forks(
+            jnp.asarray(inw_host, dtype=bool), r_pad))
 
         if t == 0:
-            _log_injection_evidence(trainer, cfg, forks, idx_mat, valid_mat,
-                                    train_imgs_dev, train_tgts_dev, log)
+            _log_injection_evidence(su, forks, inw_host, idx_mat, valid_mat,
+                                    log)
 
-        program = programs["perturbed" if t == 0 else "clean"]
-        trainable, opt_state, losses, oks = program(
+        trainable, opt_state, losses, oks = su.programs["train"](
             trainable, opt_state, trainer.params, trainer.static,
-            train_imgs_dev, train_tgts_dev, idx_mat, valid_mat, dkeys,
-            base_pkeys)
-        losses = np.asarray(losses)          # [R, n_b]
+            su.train_imgs_dev, su.train_tgts_dev, idx_mat, valid_mat, dkeys,
+            base_pkeys, in_win)
+        losses = np.asarray(losses)          # [R(+pad), n_b]
         oks = np.asarray(oks)
 
-        totals = np.asarray(programs["eval"](
-            trainable, trainer.params, trainer.static, test_imgs_dev,
-            test_tgts_dev, eval_idx, eval_valid))
-        rhos, ps = programs["rsa"](trainable, trainer.params,
-                                   trainer.static, inf_imgs_dev, rdm_dev)
+        totals = np.asarray(su.programs["eval"](
+            trainable, trainer.params, trainer.static, su.test_imgs_dev,
+            su.test_tgts_dev, su.eval_idx, su.eval_valid))
+        rhos, ps = su.programs["rsa"](trainable, trainer.params,
+                                      trainer.static, su.inf_imgs_dev,
+                                      su.rdm_dev)
         rhos, ps = np.asarray(rhos), np.asarray(ps)
+
+        # one bulk d2h fetch of the whole stacked state, then numpy slicing
+        # per fork: per-fork per-leaf transfers cost ~60 round-trips per fork
+        # per lock step, which dominates on a high-latency link
+        live = [f for f in forks
+                if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
+        if live:
+            host_trainable = jax.device_get(trainable)
+            host_opt = jax.device_get(opt_state)
 
         for i, f in enumerate(forks):
             if f.stopped or f.epoch0_at(t) >= cfg.epochs:
@@ -396,23 +520,22 @@ def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
                     f"(epoch {e0 + 1})")
             train_loss = float(np.sum(losses[i] * sizes[i] * oks[i])) / n_train
             test_loss = float(totals[i]) / n_test
-            flags = windows.epoch_flags(e0, f.run, cfg.perturb_length,
+            flags = windows.epoch_flags(e0, f.run, f.window_len,
                                         cfg.perturb_type)
             log(f"  run {f.run} epoch {e0 + 1}: train {train_loss:.4f} "
                 f"test {test_loss:.4f} rsa {rhos[i]:.4f} (p={ps[i]:.4f})")
             csvio.append_clip_row(f.res_path, e0 + 1, train_loss, test_loss,
                                   float(rhos[i]), float(ps[i]), **flags)
-            fork_trainable = _slice_fork(trainable, i)
+            fork_trainable = _slice_fork(host_trainable, i)
             clip_ckpt.save_dora_parameters(fork_trainable, f.dora_path, e0)
             clip_ckpt.save_random_states(
-                _slice_fork(opt_state, i), e0, f.state_path, seeds[i],
+                _slice_fork(host_opt, i), e0, f.state_path, seeds[i],
                 {"dropout_seed": cfg.random_seed})
 
-            in_win = (t == 0 and cfg.perturb_type in windows.PERTURB_TYPES)
             if test_loss < f.best_test_loss:
                 f.best_test_loss = test_loss
                 f.no_improve = 0
-            elif not in_win:
+            elif not inw_host[i]:  # patience paused inside the window
                 f.no_improve += 1
             if f.no_improve == cfg.early_stopping_patience:
                 log(f"  run {f.run}: early stopping at epoch {e0 + 1}")
@@ -420,14 +543,17 @@ def _run_group(trainer, programs, cfg: ClipRunConfig, runs: list[int],
         t += 1
 
 
-def _log_injection_evidence(trainer, cfg: ClipRunConfig, forks, idx_mat,
-                            valid_mat, train_imgs_dev, train_tgts_dev, log):
+def _log_injection_evidence(su: _Setup, forks, inw_host, idx_mat, valid_mat,
+                            log):
     """Per-fork first-batch injector evidence (the reference's debug-print
-    verification, ref :886-982) — one small device call per fork."""
+    verification, ref :886-982) — one small device call per in-window fork."""
+    cfg, trainer = su.cfg, su.trainer
     for i, f in enumerate(forks):
+        if not inw_host[i]:
+            continue
         idx0 = idx_mat[i, 0]
-        img0 = dthings.normalize_uint8(train_imgs_dev[idx0])
-        tgt0 = train_tgts_dev[idx0]
+        img0 = dthings.normalize_uint8(su.train_imgs_dev[idx0])
+        tgt0 = su.train_tgts_dev[idx0]
         pk0 = batch_perturb_key(cfg.perturb_seed, f.run, 0)
         pi, pt = injectors.apply_clip_perturbation(
             cfg.perturb_type, pk0, img0, tgt0,
