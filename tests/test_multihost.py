@@ -133,6 +133,23 @@ class TestLoaderAbandonment:
         assert leftover == [], f"leaked threads: {leftover}"
 
 
+class TestProducerFailure:
+    def test_corrupt_image_raises_instead_of_hanging(self, folder, tmp_path):
+        """A decode failure in the producer thread must surface in the
+        consumer (re-raised from epoch()), not strand it in q.get()."""
+        import shutil
+        root = tmp_path / "corrupt"
+        shutil.copytree(folder, root)
+        bad = root / "a" / "0.png"
+        bad.write_bytes(b"not an image at all")
+        ld = ImageFolderLoader(str(root), 21, train=False, size=16, workers=2)
+        with pytest.raises(Exception) as ei:
+            for _ in ld.epoch(0):
+                pass
+        assert "image" in str(ei.value).lower() or "identify" in \
+            str(ei.value).lower() or isinstance(ei.value, OSError)
+
+
 class TestSetupDistributed:
     """Init-failure handling: multi-process intent must be loud (a swallowed
     rendezvous failure degrades a pod into N independent 'process 0' runs),
@@ -150,6 +167,18 @@ class TestSetupDistributed:
         monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
         with pytest.raises(RuntimeError, match="coordinator"):
             dist.setup_distributed()
+
+    def test_stale_coordinator_port_reraises(self, monkeypatch):
+        # "address already in use" contains "already" but is a REAL failure
+        # (stale coordinator holding the port), not an idempotent re-init.
+        import jax
+
+        def port_taken(**kw):
+            raise RuntimeError("bind failed: Address already in use")
+        monkeypatch.setattr(jax.distributed, "initialize", port_taken)
+        with pytest.raises(RuntimeError, match="already in use"):
+            dist.setup_distributed(coordinator_address="10.0.0.1:1234",
+                                   num_processes=2, process_id=0)
 
     def test_double_init_absorbed(self, monkeypatch):
         import jax

@@ -31,6 +31,43 @@ class TestOrders:
         assert sweep_cli.parse_order("midpoint")[:2] == [1, 98]
 
 
+class TestWorkerArgv:
+    def test_every_parser_option_propagates(self):
+        """_worker_argv is derived from the parser's actions: every option
+        except the dispatch-only set must round-trip to a worker (a silently
+        dropped flag makes worker runs differ from the requested config)."""
+        parser = sweep_cli.build_parser()
+        args = parser.parse_args(
+            ["--csv_file", "c", "--img_dir", "i", "--inference_csv_file", "v",
+             "--RDM48_triplet_dir", "r", "--baseline_dora_directory", "d",
+             "--baseline_random_state_path", "s",
+             "--baseline_split_indices_path", "x",
+             "--output_base_directory", "o", "--remat",
+             "--perturb_seed", "123", "--batched_forks", "4"])
+        argv = sweep_cli._worker_argv(args)
+        reparsed = parser.parse_args(
+            argv + ["--training_order", "1"])  # dispatcher always overrides
+        for action in parser._actions:
+            dest = action.dest
+            if dest == "help" or dest in sweep_cli._DISPATCH_ONLY:
+                continue
+            assert getattr(reparsed, dest) == getattr(args, dest), dest
+
+    def test_dispatch_only_flags_not_forwarded(self):
+        parser = sweep_cli.build_parser()
+        args = parser.parse_args(
+            ["--csv_file", "c", "--img_dir", "i", "--inference_csv_file", "v",
+             "--RDM48_triplet_dir", "r", "--baseline_dora_directory", "d",
+             "--baseline_random_state_path", "s",
+             "--baseline_split_indices_path", "x",
+             "--output_base_directory", "o",
+             "--workers", "4", "--fork_devices", "8"])
+        argv = sweep_cli._worker_argv(args)
+        assert "--workers" not in argv
+        assert "--fork_devices" not in argv
+        assert "--training_order" not in argv
+
+
 class TestLengthsPreviousRunScan:
     """Cross-run resume dir selection (reference
     clip_train_behavior_lengths.py:188-218 behavior)."""

@@ -124,23 +124,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# options the dispatcher itself consumes; everything else propagates to the
+# workers verbatim (the dispatcher overrides --workers/--training_order, a
+# worker is single-chip so the in-process fork-axis mesh makes no sense there)
+_DISPATCH_ONLY = frozenset(
+    {"workers", "worker_device_env", "training_order", "fork_devices"})
+
+
 def _worker_argv(args) -> list[str]:
-    """Re-serialize the parsed namespace into CLI args for a worker process."""
-    out = []
-    for name in ("csv_file", "img_dir", "inference_csv_file",
-                 "RDM48_triplet_dir", "backbone", "clip_weights", "bpe_vocab",
-                 "epochs", "batch_size", "lr", "early_stopping_patience",
-                 "random_seed", "vision_layers", "transformer_layers", "rank",
-                 "perturb_type", "perturb_length", "perturb_distribution",
-                 "perturb_seed", "baseline_dora_directory",
-                 "baseline_random_state_path", "baseline_split_indices_path",
-                 "output_base_directory", "compute_dtype", "batched_forks"):
-        v = getattr(args, name)
-        if v is not None:
-            out += [f"--{name}", str(v)]
-    for flag in ("allow_hash_tokenizer", "remat"):
-        if getattr(args, flag):
-            out.append(f"--{flag}")
+    """Re-serialize the parsed namespace into CLI args for a worker process.
+
+    Derived from the parser's registered actions (not a hand-kept list), so
+    a flag added to build_parser automatically reaches the workers instead of
+    silently falling back to its default in them."""
+    out: list[str] = []
+    for action in build_parser()._actions:
+        dest = action.dest
+        if dest == "help" or dest in _DISPATCH_ONLY \
+                or not action.option_strings:
+            continue
+        v = getattr(args, dest, None)
+        opt = action.option_strings[0]
+        if isinstance(v, bool):
+            if v:
+                out.append(opt)
+        elif v is not None:
+            out += [opt, str(v)]
     return out
 
 

@@ -203,6 +203,18 @@ class ImageFolderLoader:
             return False
 
         def produce():
+            # Any decode/IO failure is DELIVERED to the consumer (re-raised
+            # from epoch()) rather than dying silently in this thread — a
+            # dead producer with no sentinel would leave the consumer blocked
+            # in q.get() forever (e.g. one truncated JPEG mid-epoch).
+            try:
+                _produce_items()
+            except BaseException as e:  # noqa: BLE001 - forwarded, not dropped
+                put(e)
+                return
+            put(None)
+
+        def _produce_items():
             if self.use_native:
                 from . import fastimage as fim
                 mode = fim.MODE_RRC_FLIP if self.train else \
@@ -220,7 +232,6 @@ class ImageFolderLoader:
                                       np.int32)
                     if not put((imgs, lbls)):
                         return
-                put(None)
                 return
             with ThreadPoolExecutor(self.workers) as ex:
                 for s in range(0, end, self.batch_size):
@@ -239,7 +250,6 @@ class ImageFolderLoader:
                                       np.int32)
                     if not put((imgs, lbls)):
                         return
-            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -248,6 +258,8 @@ class ImageFolderLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 for _ in range(self.echo):
                     yield item
         finally:

@@ -26,7 +26,7 @@ def setup_distributed(coordinator_address: str | None = None,
     artifacts). Only the idempotent already-initialized case is absorbed.
     """
     multi_process_intent = coordinator_address is not None or _env_configured()
-    if multi_process_intent:
+    if multi_process_intent and not jax.distributed.is_initialized():
         try:
             if coordinator_address is not None:
                 jax.distributed.initialize(
@@ -37,9 +37,10 @@ def setup_distributed(coordinator_address: str | None = None,
                 jax.distributed.initialize()
         except RuntimeError as e:
             # jax raises "distributed.initialize should only be called once."
-            # on re-init; anything else is a real rendezvous failure
-            msg = str(e).lower()
-            if "only be called once" not in msg and "already" not in msg:
+            # on re-init. Match ONLY that sentence: a broader substring (e.g.
+            # "already") would also absorb real rendezvous failures such as
+            # "address already in use" from a stale coordinator.
+            if "only be called once" not in str(e).lower():
                 raise
     return jax.process_index(), jax.process_count()
 

@@ -359,14 +359,20 @@ class ClipHBATrainer:
         # (512 ViT-L/14@224 images = ~132k tokens ~= 1 GB of activations at
         # width 1024). whole_set=False makes the explicit batch_size a hard
         # memory bound (the widening would otherwise override it).
+        idx_mat, valid_mat = self.eval_idx_mats(n, batch_size, whole_set)
+        total = float(self._eval_scan(trainable, self.params, self.static,
+                                      imgs_dev, tgts_dev, idx_mat, valid_mat))
+        return total / n
+
+    def eval_idx_mats(self, n: int, batch_size: int, whole_set: bool = True):
+        """The deterministic eval index/valid matrices, widened to one
+        whole-set batch under the 132k-token cap above (single source of
+        the heuristic — the batched multi-fork eval reuses these)."""
         if whole_set and n * self.cfg.visual.seq_len <= 132_000:
             batch_size = n
         batch_list = [np.arange(s, min(s + batch_size, n))
                       for s in range(0, n, batch_size)]
-        idx_mat, valid_mat = self._prep_idx_mat(batch_list, batch_size)
-        total = float(self._eval_scan(trainable, self.params, self.static,
-                                      imgs_dev, tgts_dev, idx_mat, valid_mat))
-        return total / n
+        return self._prep_idx_mat(batch_list, batch_size)
 
     # -- jitted steps -------------------------------------------------------
 

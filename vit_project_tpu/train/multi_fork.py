@@ -49,6 +49,7 @@ from ..core import csvio
 from ..core.configs import ClipRunConfig
 from ..core.prng import batch_perturb_key
 from ..data import things as dthings
+from ..parallel import dist as pdist
 from ..models import clip as vclip
 from ..ops import rsa as vrsa
 from ..perturb import injectors, windows
@@ -186,6 +187,9 @@ class _ForkState:
         self.best_test_loss = 500000.0      # reference init (ref :790)
         self.no_improve = 0
         self.stopped = False
+        self.finished = False   # all epochs trained (or early-stopped) and
+        # final artifacts written — a group-level failure after this point
+        # must NOT report the fork as failed (its tree is complete)
 
     def epoch0_at(self, t: int) -> int:
         return self.start_epoch0 + t
@@ -242,13 +246,8 @@ class _Setup:
         self.programs = _build_batched_programs(trainer, cfg.perturb_type)
 
         # eval batches are deterministic (arange); same matrices per fork
-        n_test = self.n_test
-        eval_bs = n_test if n_test * trainer.cfg.visual.seq_len <= 132_000 \
-            else cfg.batch_size
-        eval_batches = [np.arange(s, min(s + eval_bs, n_test))
-                        for s in range(0, n_test, eval_bs)]
-        self.eval_idx, self.eval_valid = trainer._prep_idx_mat(eval_batches,
-                                                               eval_bs)
+        self.eval_idx, self.eval_valid = trainer.eval_idx_mats(
+            self.n_test, cfg.batch_size)
 
         if mesh is not None:
             # shared (fork-unmapped) operands must live on the same mesh as
@@ -327,8 +326,9 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
 
     failed: list[int] = []
     for gi, runs in enumerate(groups):
+        forks: list[_ForkState] = []
         try:
-            forks, inits = [], []
+            inits = []
             for run in runs:
                 run_dir = os.path.join(out_base, f"training_run{run}")
                 os.makedirs(run_dir, exist_ok=True)
@@ -345,8 +345,14 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
             _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) completed")
         except Exception as e:
-            log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e}")
-            failed.extend(runs)
+            # only forks whose trees are incomplete count as failed: a fork
+            # that already finished all its epochs has full artifacts, and
+            # reporting it failed would invite a re-run that truncates them
+            done = {f.run for f in forks if f.finished}
+            bad = [run for run in runs if run not in done]
+            log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e} "
+                f"(incomplete runs: {bad})")
+            failed.extend(bad)
     return failed
 
 
@@ -384,8 +390,9 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     failed: list[str] = []
     for gi, group in enumerate(groups):
         names = [name for _, name in group]
+        forks: list[_ForkState] = []
         try:
-            forks, inits = [], []
+            inits = []
             for E, name in group:
                 out_dir = os.path.join(out_base, name)
                 os.makedirs(out_dir, exist_ok=True)
@@ -424,8 +431,13 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
             _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} ({names}) completed")
         except Exception as e:
-            log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e}")
-            failed.extend(names)
+            done = {id(f) for f in forks if f.finished}
+            bad = [name for (E, name), f in
+                   zip(group, forks + [None] * (len(group) - len(forks)))
+                   if f is None or id(f) not in done]
+            log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e} "
+                f"(incomplete conditions: {bad})")
+            failed.extend(bad)
     return failed
 
 
@@ -446,8 +458,15 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
     inside the single compiled program."""
     cfg, trainer, mesh, log = su.cfg, su.trainer, su.mesh, su.log
     n_train, n_test = su.n_train, su.n_test
+    # host artifacts are process-0-owned, like the sequential loops: every
+    # pod process runs the same compiled group, but only one writes the
+    # shared-FS CSVs/checkpoints (P ungated writers = duplicated epoch rows)
+    primary = pdist.is_primary()
     for f in forks:
-        csvio.init_clip_csv(f.res_path, f.start_epoch0, f.prepop_csv, None)
+        f.finished = f.stopped or f.epoch0_at(0) >= cfg.epochs
+        if primary:
+            csvio.init_clip_csv(f.res_path, f.start_epoch0, f.prepop_csv,
+                                None)
     seeds = [int(s) for _, _, s in inits]
 
     R = len(forks)
@@ -507,7 +526,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         # per lock step, which dominates on a high-latency link
         live = [f for f in forks
                 if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
-        if live:
+        if live and primary:   # only the writer needs the host copy
             host_trainable = jax.device_get(trainable)
             host_opt = jax.device_get(opt_state)
 
@@ -524,13 +543,16 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
                                         cfg.perturb_type)
             log(f"  run {f.run} epoch {e0 + 1}: train {train_loss:.4f} "
                 f"test {test_loss:.4f} rsa {rhos[i]:.4f} (p={ps[i]:.4f})")
-            csvio.append_clip_row(f.res_path, e0 + 1, train_loss, test_loss,
-                                  float(rhos[i]), float(ps[i]), **flags)
-            fork_trainable = _slice_fork(host_trainable, i)
-            clip_ckpt.save_dora_parameters(fork_trainable, f.dora_path, e0)
-            clip_ckpt.save_random_states(
-                _slice_fork(host_opt, i), e0, f.state_path, seeds[i],
-                {"dropout_seed": cfg.random_seed})
+            if primary:
+                csvio.append_clip_row(f.res_path, e0 + 1, train_loss,
+                                      test_loss, float(rhos[i]),
+                                      float(ps[i]), **flags)
+                fork_trainable = _slice_fork(host_trainable, i)
+                clip_ckpt.save_dora_parameters(fork_trainable, f.dora_path,
+                                               e0)
+                clip_ckpt.save_random_states(
+                    _slice_fork(host_opt, i), e0, f.state_path, seeds[i],
+                    {"dropout_seed": cfg.random_seed})
 
             if test_loss < f.best_test_loss:
                 f.best_test_loss = test_loss
@@ -540,6 +562,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
             if f.no_improve == cfg.early_stopping_patience:
                 log(f"  run {f.run}: early stopping at epoch {e0 + 1}")
                 f.stopped = True
+            f.finished = f.stopped or f.epoch0_at(t + 1) >= cfg.epochs
         t += 1
 
 
