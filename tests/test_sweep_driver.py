@@ -217,6 +217,55 @@ def _read_rows(path):
         return list(csv.reader(f))
 
 
+class TestGroupFailureReporting:
+    """A group-level crash must report ONLY forks whose artifact trees are
+    incomplete: re-running a completed fork truncates its finished CSV."""
+
+    def _stub_setup(self, tmp_path):
+        import types
+
+        class StubSetup:
+            def __init__(self, base_config, logger, mesh):
+                self.cfg = types.SimpleNamespace(
+                    perturb_length=1, perturb_type="random_target",
+                    baseline_dora_directory=str(tmp_path),
+                    baseline_random_state_path=str(tmp_path), epochs=30)
+                self.log = lambda msg: None
+
+            def load_state(self, label, dora_file, rs_dir, rfe):
+                return (None, None, 0)
+
+        return StubSetup
+
+    def test_sweep_reports_only_unfinished_runs(self, tmp_path, monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+
+        def crash_after_first(su, forks, inits):
+            forks[0].finished = True   # run 2 completed all its epochs...
+            raise RuntimeError("boom")  # ...then the group died
+
+        monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
+        monkeypatch.setattr(mf, "_run_group", crash_after_first)
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [5, 2], group_size=8)
+        assert failed == [5]   # run 2 finished; only 5 is incomplete
+
+    def test_lengths_reports_only_unfinished_conditions(self, tmp_path,
+                                                        monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+
+        def crash_after_second(su, forks, inits):
+            forks[1].finished = True
+            raise RuntimeError("boom")
+
+        monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
+        monkeypatch.setattr(mf, "_run_group", crash_after_second)
+        failed = mf.run_batched_lengths(
+            {"output_base_directory": str(tmp_path)}, [3, 8], 1,
+            group_size=8)
+        assert failed == ["random_target_e3_l1"]
+
+
 @pytest.mark.slow
 class TestBatchedForks:
     """train/multi_fork.py: R sweep forks under one vmapped program."""
