@@ -240,12 +240,13 @@ class TestGroupFailureReporting:
     def test_sweep_reports_only_unfinished_runs(self, tmp_path, monkeypatch):
         from vit_project_tpu.train import multi_fork as mf
 
-        def crash_after_first(su, forks, inits):
-            forks[0].finished = True   # run 2 completed all its epochs...
-            raise RuntimeError("boom")  # ...then the group died
+        def crash_after_run2(su, forks, inits):
+            # run 2 completed all its epochs... then the group died
+            next(f for f in forks if f.run == 2).finished = True
+            raise RuntimeError("boom")
 
         monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
-        monkeypatch.setattr(mf, "_run_group", crash_after_first)
+        monkeypatch.setattr(mf, "_run_group", crash_after_run2)
         failed = mf.run_batched_sweep(
             {"output_base_directory": str(tmp_path)}, [5, 2], group_size=8)
         assert failed == [5]   # run 2 finished; only 5 is incomplete
@@ -254,16 +255,62 @@ class TestGroupFailureReporting:
                                                         monkeypatch):
         from vit_project_tpu.train import multi_fork as mf
 
-        def crash_after_second(su, forks, inits):
-            forks[1].finished = True
+        def crash_after_e8(su, forks, inits):
+            next(f for f in forks if f.run == 8).finished = True
             raise RuntimeError("boom")
 
         monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
-        monkeypatch.setattr(mf, "_run_group", crash_after_second)
+        monkeypatch.setattr(mf, "_run_group", crash_after_e8)
         failed = mf.run_batched_lengths(
             {"output_base_directory": str(tmp_path)}, [3, 8], 1,
             group_size=8)
         assert failed == ["random_target_e3_l1"]
+
+    def test_sweep_midbuild_crash_reports_every_run(self, tmp_path,
+                                                    monkeypatch):
+        """load_state raising while the group is still being assembled must
+        report every run in the group (none has a complete tree)."""
+        from vit_project_tpu.train import multi_fork as mf
+
+        Stub = self._stub_setup(tmp_path)
+
+        class CrashOnSecondLoad(Stub):
+            def load_state(self, label, dora_file, rs_dir, rfe):
+                if label == "run 5":
+                    raise RuntimeError("ckpt missing")
+                return super().load_state(label, dora_file, rs_dir, rfe)
+
+        monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
+        monkeypatch.setattr(
+            mf, "_run_group",
+            lambda *a: pytest.fail("_run_group must not be reached"))
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [5, 2], group_size=8)
+        assert failed == [2, 5]
+
+    def test_lengths_midbuild_crash_reports_every_condition(self, tmp_path,
+                                                            monkeypatch):
+        """The never-constructed-forks padding path: a crash during group
+        assembly leaves len(forks) < len(group); the handler must still
+        report the conditions whose forks were never built."""
+        from vit_project_tpu.train import multi_fork as mf
+
+        Stub = self._stub_setup(tmp_path)
+
+        class CrashOnSecondLoad(Stub):
+            def load_state(self, label, dora_file, rs_dir, rfe):
+                if label.startswith("random_target_e8"):
+                    raise RuntimeError("ckpt missing")
+                return super().load_state(label, dora_file, rs_dir, rfe)
+
+        monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
+        monkeypatch.setattr(
+            mf, "_run_group",
+            lambda *a: pytest.fail("_run_group must not be reached"))
+        failed = mf.run_batched_lengths(
+            {"output_base_directory": str(tmp_path)}, [3, 8], 1,
+            group_size=8)
+        assert failed == ["random_target_e3_l1", "random_target_e8_l1"]
 
 
 @pytest.mark.slow
