@@ -217,6 +217,80 @@ def _read_rows(path):
         return list(csv.reader(f))
 
 
+class TestWorkerCrashAccounting:
+    """_run_workers must reconstruct a hard-killed worker's outcome from its
+    done ledger — never from a previous dispatch's stale report, and never
+    from the presence of a (possibly partial) per-run CSV."""
+
+    class _Log:
+        def info(self, msg):
+            pass
+
+    def _args(self, out_base):
+        return sweep_cli.build_parser().parse_args([
+            "--csv_file", "c", "--img_dir", "i", "--inference_csv_file", "v",
+            "--RDM48_triplet_dir", "r", "--baseline_dora_directory", "d",
+            "--baseline_random_state_path", "s",
+            "--baseline_split_indices_path", "p",
+            "--output_base_directory", out_base,
+            "--workers", "1", "--worker_device_env", "none"])
+
+    def _fake_popen(self, monkeypatch, rc, side_effect=None):
+        import subprocess
+
+        class FakeProc:
+            def __init__(self, cmd, env=None, stdout=None, stderr=None):
+                self.env = env
+
+            def wait(self):
+                if side_effect is not None:
+                    side_effect(self.env)
+                return rc
+
+        monkeypatch.setattr(subprocess, "Popen", FakeProc)
+
+    def test_stale_reports_do_not_mask_a_crash(self, tmp_path, monkeypatch):
+        out = str(tmp_path)
+        # previous dispatch: all ok; partial CSV from the crashed attempt
+        with open(os.path.join(out, "worker0_failed.json"), "w") as f:
+            f.write("[]")
+        with open(os.path.join(out, "worker0_done.json"), "w") as f:
+            f.write("[2, 5]")
+        run_dir = os.path.join(out, "training_run5")
+        os.makedirs(run_dir)
+        with open(os.path.join(run_dir, "training_res_run5.csv"), "w") as f:
+            f.write("epoch,train_loss\n5,0.1\n")   # in-flight, truncated
+        self._fake_popen(monkeypatch, rc=137)      # OOM-killed, wrote nothing
+        failed = sweep_cli._run_workers(self._args(out), [2, 5], self._Log())
+        assert failed == [2, 5]
+
+    def test_crash_fallback_spares_ledgered_runs(self, tmp_path, monkeypatch):
+        out = str(tmp_path)
+
+        def record_then_die(env):
+            with open(env["VIT_SWEEP_DONE_JSON"], "w") as f:
+                f.write("[2]")   # run 2 completed before the kill
+
+        self._fake_popen(monkeypatch, rc=137, side_effect=record_then_die)
+        failed = sweep_cli._run_workers(self._args(out), [2, 5], self._Log())
+        assert failed == [5]
+
+    def test_report_done_accumulates_across_calls(self, tmp_path,
+                                                  monkeypatch):
+        ledger = str(tmp_path / "done.json")
+        monkeypatch.setenv("VIT_SWEEP_DONE_JSON", ledger)
+        sweep_cli._report_done([5])
+        sweep_cli._report_done([2])
+        import json
+        with open(ledger) as f:
+            assert json.load(f) == [2, 5]
+
+    def test_report_done_noop_without_env(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("VIT_SWEEP_DONE_JSON", raising=False)
+        sweep_cli._report_done([1])   # must not raise or write anywhere
+        assert os.listdir(tmp_path) == []
+
+
 class TestGroupFailureReporting:
     """A group-level crash must report ONLY forks whose artifact trees are
     incomplete: re-running a completed fork truncates its finished CSV."""

@@ -162,7 +162,10 @@ def _main_batched(args, timestamp: str):
         import jax
         from ..parallel import mesh as vmesh
         n = min(args.fork_devices, jax.local_device_count(), len(onsets))
-        fork_mesh = vmesh.make_mesh(n_data=n, devices=jax.devices()[:n])
+        # local_devices: on a pod each rank must shard onto its OWN
+        # addressable chips, not process 0's slice of the global order
+        fork_mesh = vmesh.make_mesh(n_data=n,
+                                    devices=jax.local_devices()[:n])
 
     os.makedirs(args.output_base_directory, exist_ok=True)
     logger = setup_main_logger(os.path.join(

@@ -153,13 +153,42 @@ def _worker_argv(args) -> list[str]:
     return out
 
 
+def _report_done(runs: list[int]) -> None:
+    """Append completed run numbers to the dispatcher's done ledger
+    (VIT_SWEEP_DONE_JSON), rewritten atomically per update, so a parent
+    _run_workers can tell finished runs from in-flight ones even after this
+    worker is hard-killed (SIGKILL/OOM) and never writes its failed.json."""
+    path = os.environ.get("VIT_SWEEP_DONE_JSON")
+    if not path or not runs:
+        return
+    import json
+    done: list[int] = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                done = json.load(f)
+        except Exception:
+            done = []
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(sorted(set(done) | set(runs)), f)
+    os.replace(tmp, path)
+
+
 def _run_workers(args, training_order: list[int], logger) -> list[int]:
     """Spawn N single-chip sweep subprocesses over round-robin slices of the
     training order (slice i = order[i::N], preserving each worker's
     coarse-to-fine coverage). The runs are independent — each forks from the
     baseline artifacts — and workers share the persistent compile cache, so
     the epoch-scan compiles are paid once across the fleet. Returns the
-    union of failed runs."""
+    union of failed runs.
+
+    Failure accounting: a worker that exits normally reports through its
+    failed.json; one that dies without reporting (OOM kill) is reconstructed
+    from its done ledger — every slice run NOT recorded done is failed. A
+    partial CSV is deliberately not treated as completion (the run in
+    progress at crash time has one), and completed runs are never re-queued
+    (a sweep re-run would truncate their finished artifact trees)."""
     import json
     import subprocess
     import sys
@@ -170,31 +199,40 @@ def _run_workers(args, training_order: list[int], logger) -> list[int]:
             continue
         fj = os.path.join(args.output_base_directory,
                           f"worker{i}_failed.json")
+        dj = os.path.join(args.output_base_directory,
+                          f"worker{i}_done.json")
+        for stale in (fj, dj):  # a previous dispatch's report must not mask
+            if os.path.exists(stale):  # this one's crash (stale [] = "all ok")
+                os.remove(stale)
         cmd = [sys.executable, "-m", "vit_project_tpu.cli.sweep",
                *_worker_argv(args), "--workers", "1",
                "--training_order", ",".join(map(str, part))]
         env = dict(os.environ)
         env["VIT_SWEEP_FAILED_JSON"] = fj
+        env["VIT_SWEEP_DONE_JSON"] = dj
         if args.worker_device_env.lower() != "none":
             env[args.worker_device_env] = str(i)
         log_path = os.path.join(args.output_base_directory, f"worker{i}.log")
         logger.info(f"worker {i}: runs {part} -> {log_path}")
         log = open(log_path, "w")
-        procs.append((i, part, fj, log,
+        procs.append((i, part, fj, dj, log,
                       subprocess.Popen(cmd, env=env, stdout=log,
                                        stderr=subprocess.STDOUT)))
     failed: set[int] = set()
-    for i, part, fj, log, p in procs:
+    for i, part, fj, dj, log, p in procs:
         rc = p.wait()
         log.close()
         if os.path.exists(fj):
             with open(fj) as f:
                 failed.update(json.load(f))
         elif rc != 0:
-            # crashed before reporting: fail its runs with no final CSV
-            failed.update(n for n in part if not os.path.exists(
-                os.path.join(args.output_base_directory, f"training_run{n}",
-                             f"training_res_run{n}.csv")))
+            # crashed before reporting: everything its done ledger does not
+            # vouch for is failed (incl. the partially-trained run in flight)
+            done: set[int] = set()
+            if os.path.exists(dj):
+                with open(dj) as f:
+                    done = set(json.load(f))
+            failed.update(set(part) - done)
         logger.info(f"worker {i} exited rc={rc}")
     return sorted(failed)
 
@@ -263,14 +301,17 @@ def main(argv=None):
             from ..parallel import mesh as vmesh
             n = min(args.fork_devices, jax.local_device_count(),
                     args.batched_forks)
-            fork_mesh = vmesh.make_mesh(n_data=n, devices=jax.devices()[:n])
+            # local_devices: on a pod each rank must shard onto its OWN
+            # addressable chips, not process 0's slice of the global order
+            fork_mesh = vmesh.make_mesh(n_data=n,
+                                        devices=jax.local_devices()[:n])
         logger.info(f"Batched-fork mode: {len(training_order)} runs in "
                     f"vmapped groups of {args.batched_forks}"
                     + (f" over {fork_mesh.devices.size} devices"
                        if fork_mesh is not None else ""))
         failed_run_list = run_batched_sweep(
             config, training_order, group_size=args.batched_forks,
-            logger=logger, mesh=fork_mesh)
+            logger=logger, mesh=fork_mesh, done_report=_report_done)
         if failed_run_list:
             logger.info(f"Failed runs: {failed_run_list}")
         report = os.environ.get("VIT_SWEEP_FAILED_JSON")
@@ -311,6 +352,7 @@ def main(argv=None):
         try:
             run_behavioral_training(dict(config))
             successful_runs += 1
+            _report_done([training_run])
             logger.info(f"  Training run {training_run} completed successfully")
         except Exception as e:
             failed_runs += 1

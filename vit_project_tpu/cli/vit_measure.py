@@ -162,8 +162,10 @@ def main(argv=None):
     baseline_df = pd.read_csv(args.baseline_metrics_csv)
     # batch_size is GLOBAL; each process loads its strided shard and feeds
     # its local block (same contract as run_vit_training)
-    assert args.batch_size % proc_count == 0, (
-        f"global batch {args.batch_size} must divide by {proc_count} processes")
+    if args.batch_size % proc_count != 0:  # not assert: survives python -O
+        raise SystemExit(
+            f"global batch {args.batch_size} must divide by {proc_count} "
+            f"processes")
     local_bs = args.batch_size // proc_count
     train_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/train", local_bs, train=True,

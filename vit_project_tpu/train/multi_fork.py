@@ -299,7 +299,7 @@ class _Setup:
 
 def run_batched_sweep(base_config: dict, training_order: list[int], *,
                       group_size: int = 8, logger=None,
-                      mesh=None) -> list[int]:
+                      mesh=None, done_report=None) -> list[int]:
     """Train the sweep's forks in vmapped groups of `group_size`.
 
     `base_config` is the sweep CLI's per-run config template WITHOUT the
@@ -311,7 +311,11 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     sharded over it — each chip trains group_size/n_devices forks of the
     same compiled program with no collectives (see _shard_forks). Groups
     whose fork count does not divide the mesh are padded with ballast
-    copies of the last fork."""
+    copies of the last fork.
+
+    `done_report`: optional callable receiving the list of run numbers whose
+    trees completed, invoked after every group (success or failure) — a
+    dispatcher's crash-survivable progress ledger."""
     su = _Setup(base_config, logger, mesh)
     cfg, log = su.cfg, su.log
     out_base = base_config["output_base_directory"]
@@ -344,6 +348,8 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
                     cfg.baseline_random_state_path, run - 1))
             _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) completed")
+            if done_report is not None:
+                done_report(list(runs))
         except Exception as e:
             # only forks whose trees are incomplete count as failed: a fork
             # that already finished all its epochs has full artifacts, and
@@ -353,6 +359,8 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e} "
                 f"(incomplete runs: {bad})")
             failed.extend(bad)
+            if done_report is not None and done:
+                done_report(sorted(done))
     return failed
 
 
@@ -374,7 +382,6 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     relative-time alignment is required. Returns the failed condition dir
     names (e.g. 'random_target_e3_l2')."""
     from ..cli.lengths import find_previous_run_dir
-    from ..core import csvio
 
     su = _Setup(base_config, logger, mesh)
     cfg, log = su.cfg, su.log
