@@ -288,9 +288,16 @@ def _main():
     # process can still race into the window — retry once with a fresh port
     for attempt in range(2):
         port = fixed_port or _free_port()
+        env = dict(os.environ)
+        # CPU-only workers: skip any remote-accelerator plugin the image
+        # registers at interpreter startup (its connection retries would
+        # serialize ahead of the worker's main)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
         procs = [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker", str(i), "2",
              str(port), root],
+            env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
             for i in range(2)]
         ok = True

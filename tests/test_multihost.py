@@ -216,6 +216,7 @@ class TestTwoProcessDistributed:
         env.pop("MH_DEMO_PORT", None)  # demo picks a free port itself
         env.pop("XLA_FLAGS", None)  # workers set their own device count
         env.pop("JAX_PLATFORMS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # skip remote-plugin startup
         out = subprocess.run([sys.executable, str(demo)], env=env,
                              capture_output=True, text=True, timeout=600)
         assert out.returncode == 0, out.stdout + out.stderr

@@ -383,3 +383,36 @@ class TestFlashMhaPackedQkv:
         b = attn.flash_mha_packed_qkv(
             jnp.concatenate([q * scale, k, v], axis=-1), num_heads=H)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestEntryPointGuards:
+    """Misuse must fail loudly, not return garbage lanes or NaN columns."""
+
+    def test_flash_packed_rejects_indivisible_heads(self):
+        q = jnp.zeros((1, 8, 20))
+        with pytest.raises(ValueError, match="not divisible"):
+            attn.flash_mha_packed(q, q, q, num_heads=3)
+
+    def test_flash_packed_qkv_rejects_misaligned_width(self):
+        with pytest.raises(ValueError, match="3\\*D"):
+            attn.flash_mha_packed_qkv(jnp.zeros((1, 8, 64)), num_heads=4)
+        with pytest.raises(ValueError, match="3\\*D"):
+            attn.flash_mha_packed_qkv(jnp.zeros((1, 8, 60)), num_heads=8)
+
+    def test_dora_init_zero_column_stays_finite(self):
+        w = np.random.RandomState(0).randn(16, 8).astype(np.float32)
+        w[:, 3] = 0.0   # pruned output column
+        tr, buf = vdora.dora_init(jax.random.PRNGKey(0), jnp.asarray(w), r=2)
+        assert np.isfinite(np.asarray(buf["D"])).all()
+        assert np.allclose(np.asarray(buf["D"])[:, 3], 0.0)
+        # nonzero columns keep their exact (epsilon-free) unit norm
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(buf["D"])[:, 0]), 1.0, rtol=1e-6)
+
+    def test_dora_weight_requires_dropout_key(self):
+        w = jnp.asarray(np.random.RandomState(1).randn(16, 8),
+                        dtype=jnp.float32)
+        tr, buf = vdora.dora_init(jax.random.PRNGKey(0), w, r=2)
+        with pytest.raises(ValueError, match="dropout_key"):
+            vdora.dora_weight(tr, buf["D"], alpha=16, r=2, dropout_p=0.1,
+                              deterministic=False)

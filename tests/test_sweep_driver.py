@@ -179,10 +179,16 @@ class TestSweepDriver:
                 if f.startswith("main_training_log_")]
         assert logs
 
-    def test_parallel_workers(self, sweep_fixture):
+    def test_parallel_workers(self, sweep_fixture, monkeypatch):
         """--workers 2 dispatches the runs to two subprocesses (on a TPU VM
         each pins its own chip via TPU_VISIBLE_DEVICES; 'none' here for the
         CPU test) and aggregates their failure reports."""
+        # conftest forces THIS process to cpu via jax.config, but the worker
+        # subprocesses inherit os.environ — without this they'd initialize
+        # the host's real accelerator backend and contend for it (and pay
+        # the remote plugin's interpreter-startup connection retries)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
         out_base = str(sweep_fixture["work"] / "sweep_workers")
         failed = sweep_cli.main(_sweep_argv(
             sweep_fixture, out_base,
@@ -193,13 +199,15 @@ class TestSweepDriver:
         assert os.path.exists(os.path.join(out_base, "worker0.log"))
         assert os.path.exists(os.path.join(out_base, "worker1.log"))
 
-    def test_worker_failure_aggregation(self, sweep_fixture):
+    def test_worker_failure_aggregation(self, sweep_fixture, monkeypatch):
         """A run that raises inside its worker is surfaced by the dispatcher
         while the healthy run (in the other worker) still completes.
 
         Failure trigger: training_run9 pre-created as a FILE, so the run's
         os.makedirs raises — a missing fork checkpoint is NOT an error (the
         loop falls back to fresh DoRA init, reference strict=False parity)."""
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")  # see test_parallel_workers
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
         out_base = str(sweep_fixture["work"] / "sweep_fail")
         os.makedirs(out_base)
         with open(os.path.join(out_base, "training_run9"), "w") as f:

@@ -49,7 +49,7 @@ def apply_dora(clip_params: dict, spec: dict, *, r: int, alpha: int = 16,
         for idx in indices:
             blk = towers[tower][idx]
             key, sub = jax.random.split(key)
-            tr, buf = vdora.dora_init(sub, blk["out_w"], r=r, alpha=alpha)
+            tr, buf = vdora.dora_init(sub, blk["out_w"], r=r)
             buf["bias"] = blk["out_b"]
             trainable[tower][idx] = tr
             static[tower][idx] = buf

@@ -97,6 +97,7 @@ def _mha_pallas_raw(q: jax.Array, k: jax.Array, v: jax.Array,
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B * H, Sp, Dp), q.dtype),
+        interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Sp * Sp * Dp,
             bytes_accessed=4 * B * H * Sp * Dp * q.dtype.itemsize,
@@ -166,6 +167,7 @@ def _mha_bwd_pallas(q, k, v, do, causal):
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
+        interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Sp * Sp * Dp,
             bytes_accessed=8 * B * H * Sp * Dp * q.dtype.itemsize,
@@ -278,10 +280,6 @@ def attention_core(q: jax.Array, k: jax.Array, v: jax.Array, *,
 # q-projection weights, saving an [B,S,D] elementwise pass).
 # ---------------------------------------------------------------------------
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def _attn_masks(Sq: int, S: int, dh: int, causal: bool):
     """In-kernel masks shared by every flash kernel below.
 
@@ -376,7 +374,7 @@ def _flash_calls(B: int, S: int, D: int, heads: int, causal: bool,
                  dtype_name: str, interpret: bool):
     dtype = jnp.dtype(dtype_name)
     sub = 16 if dtype == jnp.bfloat16 else 8
-    Sq = _round_up(S, sub)
+    Sq = _pad_to(S, sub)
     dh = D // heads
     spec = pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -444,6 +442,10 @@ def flash_mha_packed(q_scaled: jax.Array, k: jax.Array, v: jax.Array, *,
     q_scaled MUST already include the 1/sqrt(dh) score scale (fold it into
     the q-projection weight+bias). Returns [B, S, D]. Differentiable via a
     flash-style recompute backward (no [S,S] residual)."""
+    D = q_scaled.shape[-1]
+    if D % num_heads != 0:  # a partial head would leave output lanes unwritten
+        raise ValueError(f"flash_mha_packed: D={D} is not divisible by "
+                         f"num_heads={num_heads}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_mha_packed_fn(num_heads, causal, interpret)(q_scaled, k, v)
@@ -497,7 +499,7 @@ def _flash3_calls(B: int, S: int, D3: int, heads: int, causal: bool,
     dtype = jnp.dtype(dtype_name)
     D = D3 // 3
     sub = 16 if dtype == jnp.bfloat16 else 8
-    Sq = _round_up(S, sub)
+    Sq = _pad_to(S, sub)
     qkv_spec = pl.BlockSpec((1, Sq, D3), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, Sq, D), lambda b: (b, 0, 0),
@@ -569,6 +571,12 @@ def flash_mha_packed_qkv(qkv_scaled: jax.Array, *, num_heads: int,
     [D, 3D]-weight projection emits). Returns [B, S, D]. The backward emits
     one packed [B, S, 3D] cotangent, so the projection's weight gradient is
     a single matmul."""
+    D3 = qkv_scaled.shape[-1]
+    if D3 % 3 != 0 or (D3 // 3) % num_heads != 0:
+        # a misaligned packing shifts every k/v lane slice (or leaves
+        # output lanes unwritten) with no error — fail loudly instead
+        raise ValueError(f"flash_mha_packed_qkv: last dim {D3} must be "
+                         f"3*D with D divisible by num_heads={num_heads}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_mha_packed_qkv_fn(num_heads, causal, interpret)(qkv_scaled)
@@ -608,23 +616,3 @@ def attention_core_bshd(q: jax.Array, k: jax.Array, v: jax.Array, *,
                         v.transpose(0, 2, 1, 3), causal)
         return o.transpose(0, 2, 1, 3)
     return mha_fused_xla_bshd(q, k, v, causal=causal)
-
-
-def multi_head_attention(x: jax.Array, p: dict, num_heads: int, *,
-                         causal: bool = False,
-                         use_pallas: bool | None = None) -> jax.Array:
-    """Full MHSA block: fused QKV projection, attention core, output projection.
-
-    x: [B, S, D]. p: {qkv_w [D, 3D], qkv_b [3D], out_w [D, D], out_b [D]}.
-    The output projection may be DoRA-adapted, in which case p contains
-    'out_dora' handled by the caller (see adapters/dora.py) — this function
-    only consumes plain out_w/out_b.
-    """
-    B, S, D = x.shape
-    dh = D // num_heads
-    qkv = jnp.dot(x, p["qkv_w"].astype(x.dtype)) + p["qkv_b"].astype(x.dtype)
-    qkv = qkv.reshape(B, S, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    o = attention_core(q, k, v, causal=causal, use_pallas=use_pallas)
-    o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
-    return jnp.dot(o, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)

@@ -37,7 +37,7 @@ def _kaiming_uniform(key: jax.Array, shape: tuple[int, int]) -> jax.Array:
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
-def dora_init(key: jax.Array, w: jax.Array, r: int, alpha: int = 16):
+def dora_init(key: jax.Array, w: jax.Array, r: int):
     """Decompose a pretrained [in, out] weight into DoRA parameters.
 
     Returns (trainable, buffers):
@@ -47,7 +47,9 @@ def dora_init(key: jax.Array, w: jax.Array, r: int, alpha: int = 16):
     w = w.astype(jnp.float32)
     in_f, out_f = w.shape
     S = jnp.linalg.norm(w, axis=0)                # [out]
-    D = w / S                                     # unit-norm columns
+    # an all-zero column (pruned head) keeps D at 0 instead of NaN; nonzero
+    # columns divide by their exact norm (no epsilon -> torch-oracle parity)
+    D = w / jnp.where(S == 0.0, 1.0, S)           # unit-norm columns
     ka, kb = jax.random.split(key)
     trainable = {
         "m": S,
@@ -66,6 +68,10 @@ def dora_weight(trainable: dict, D: jax.Array, *, alpha: int, r: int,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST) * scaling
     if not deterministic and dropout_p > 0.0:
+        if dropout_key is None:
+            raise ValueError(
+                "dora_weight: deterministic=False with dropout_p > 0 "
+                "requires a dropout_key")
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_p, delta.shape)
         delta = jnp.where(keep, delta / (1.0 - dropout_p), 0.0)
     D_new = D + delta

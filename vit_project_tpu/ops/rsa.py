@@ -13,7 +13,6 @@ approximation as scipy.stats.spearmanr.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +75,7 @@ def spearman(x: jax.Array, y: jax.Array):
     return rho, p
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def behavioral_rsa(embeddings: jax.Array, reference_rdm: jax.Array):
     """Full per-epoch RSA in one device call.
 

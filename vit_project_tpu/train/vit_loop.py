@@ -267,8 +267,9 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     # Each process loads only its strided shard and feeds its local batch
     # (cfg.batch_size is GLOBAL); shard_batch assembles the global array
     # (reference DistributedSampler + per-rank loaders, train_vit_sgd.py:58-66)
-    assert cfg.batch_size % proc_count == 0, (
-        f"global batch {cfg.batch_size} must divide by {proc_count} processes")
+    if cfg.batch_size % proc_count != 0:  # not an assert: must survive -O
+        raise ValueError(f"global batch {cfg.batch_size} must divide by "
+                         f"{proc_count} processes")
     local_bs = cfg.batch_size // proc_count
     train_loader = dimg.ImageFolderLoader(
         f"{cfg.data_path}/train", local_bs, train=True,
