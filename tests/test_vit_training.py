@@ -3,6 +3,7 @@ RSA evaluation, and the single-epoch perturbation measurement grid — all on th
 8-device CPU data mesh with the test-tiny backbone and synthetic data."""
 import os
 
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -86,6 +87,46 @@ class TestViTTraining:
         assert list(df2["epoch"]) == [0, 1, 2]
         # rows 0-1 unchanged by the resume
         pd.testing.assert_frame_equal(df2.iloc[:2], df)
+
+    def test_pipelined_training_matches_dp(self, imagenet_fixture, tmp_path):
+        """pp_stages=2/pp_micro=2 over the ('data','stage') mesh trains the
+        same trajectory as plain dp (identical math in f32), writes flat-
+        layout checkpoints, and a dp run can auto-resume FROM them."""
+        import dataclasses
+        dp_out = str(tmp_path / "dp")
+        run_vit_training(tiny_cfg(imagenet_fixture, dp_out, epochs=2),
+                         vit_cfg=TINY)
+        pp_out = str(tmp_path / "pp")
+        cfg = dataclasses.replace(tiny_cfg(imagenet_fixture, pp_out,
+                                           epochs=2),
+                                  pp_stages=2, pp_micro=2)
+        run_vit_training(cfg, vit_cfg=TINY)
+
+        dp = pd.read_csv(os.path.join(dp_out, "training_metrics.csv"))
+        pp = pd.read_csv(os.path.join(pp_out, "training_metrics.csv"))
+        assert list(pp["epoch"]) == list(dp["epoch"])
+        np.testing.assert_allclose(pp["train_loss"], dp["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(pp["val_loss"], dp["val_loss"], rtol=1e-4)
+        np.testing.assert_allclose(pp["val_acc"], dp["val_acc"], atol=1e-6)
+
+        # flat-layout checkpoints: params equal to the dp run's
+        from vit_project_tpu.ckpt import vit_ckpt
+        ck_dp = vit_ckpt.load_checkpoint(
+            os.path.join(dp_out, "checkpoint_latest.pth"))
+        ck_pp = vit_ckpt.load_checkpoint(
+            os.path.join(pp_out, "checkpoint_latest.pth"))
+        for a, b in zip(jax.tree_util.tree_leaves(ck_pp["params"]),
+                        jax.tree_util.tree_leaves(ck_dp["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+        # the dp loop resumes a pipelined run's checkpoint (and vice versa:
+        # the pp run re-stages a flat checkpoint on its own resume)
+        run_vit_training(tiny_cfg(imagenet_fixture, pp_out, epochs=3),
+                         vit_cfg=TINY)
+        df3 = pd.read_csv(os.path.join(pp_out, "training_metrics.csv"))
+        assert list(df3["epoch"]) == [0, 1, 2]
 
     def test_rsa_eval_cli(self, imagenet_fixture, things48_fixture, tmp_path):
         from vit_project_tpu.cli import vit_rsa_eval

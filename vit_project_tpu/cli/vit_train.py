@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.checkpoint each transformer block (O(1)-block "
                         "activation memory for ~1/3 extra FLOPs) — for batch "
                         "sizes/models whose activations outgrow HBM")
+    p.add_argument("--pp_stages", type=int, default=1,
+                   help="partition the block depth over N pipeline stages "
+                        "of a ('data','stage') mesh (GPipe schedule, "
+                        "parallel/pipeline.py); 1 = plain data parallelism")
+    p.add_argument("--pp_micro", type=int, default=1,
+                   help="microbatches per pipelined step (with --pp_stages; "
+                        "bubble (S-1)/(M+S-1) — use >= 4*stages)")
     return p
 
 
@@ -66,7 +73,8 @@ def main(argv=None):
         num_classes=vit_cfg.num_classes or 1000,
         profile_dir=args.profile_dir,
         use_native_loader=args.use_native_loader, remat=args.remat,
-        data_echo=args.data_echo)
+        data_echo=args.data_echo,
+        pp_stages=args.pp_stages, pp_micro=args.pp_micro)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -128,6 +128,11 @@ class ViTTrainConfig:
                                        # feed the device step rate)
     remat: bool = False  # jax.checkpoint each block: O(1)-block activation
                          # memory for ~1/3 extra FLOPs (big-batch/model lever)
+    pp_stages: int = 1   # >1: GPipe pipeline over a ('data','stage') mesh —
+                         # block depth partitioned over pp_stages devices
+                         # (parallel/pipeline.py; single-process only)
+    pp_micro: int = 1    # microbatches per pipelined step (bubble fraction
+                         # (S-1)/(M+S-1); use >= 4*pp_stages in production)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

@@ -16,15 +16,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """1-D ('data',) mesh by default; ('data','model') if n_model > 1."""
+              n_stage: int = 1, devices=None) -> Mesh:
+    """1-D ('data',) mesh by default; ('data','model') if n_model > 1
+    (tensor parallelism, shard_vit_params_tp); ('data','stage') if
+    n_stage > 1 (GPipe pipeline, parallel/pipeline.py)."""
+    if n_model > 1 and n_stage > 1:
+        raise ValueError("combined tensor+pipeline meshes are not supported")
     devices = devices if devices is not None else jax.devices()
-    n = len(devices) if n_data is None else n_data * n_model
+    n = len(devices) if n_data is None else n_data * n_model * n_stage
     devices = devices[:n]
-    if n_model > 1:
-        arr = mesh_utils.create_device_mesh((n // n_model, n_model),
-                                            devices=devices)
-        return Mesh(arr, ("data", "model"))
+    for axis, size in (("model", n_model), ("stage", n_stage)):
+        if size > 1:
+            if n % size != 0:
+                raise ValueError(f"{axis} axis ({size}) must divide the "
+                                 f"device count ({n})")
+            arr = mesh_utils.create_device_mesh((n // size, size),
+                                                devices=devices)
+            return Mesh(arr, ("data", axis))
     arr = mesh_utils.create_device_mesh((len(devices),), devices=devices)
     return Mesh(arr, ("data",))
 

@@ -38,34 +38,59 @@ def sgd_init(params):
 
 
 class ViTTrainer:
+    """Jitted ViT train/eval/feature steps over a device mesh.
+
+    Two parallel modes share every step's signature and the epoch loops:
+    - dp (default): params replicated, batch sharded over 'data';
+    - pp (train_cfg.pp_stages > 1, mesh has a 'stage' axis): params are the
+      (rest, blocks_st) stage-stacked pair from parallel/pipeline.py and the
+      forward is the GPipe microbatch schedule — same math, so metrics and
+      checkpoints (converted back to the flat layout) match the dp run.
+    """
+
     def __init__(self, vit_cfg: vvit.ViTConfig, train_cfg: ViTTrainConfig,
                  mesh=None):
         self.vit_cfg = vit_cfg
         self.cfg = train_cfg
-        self.mesh = mesh if mesh is not None else vmesh.make_mesh()
+        self.pp = getattr(train_cfg, "pp_stages", 1) > 1
+        self.n_micro = getattr(train_cfg, "pp_micro", 1)
+        self.mesh = mesh if mesh is not None else vmesh.make_mesh(
+            n_stage=train_cfg.pp_stages if self.pp else 1)
+        if self.pp and "stage" not in self.mesh.axis_names:
+            raise ValueError("pp_stages > 1 needs a mesh with a 'stage' "
+                             f"axis, got {self.mesh.axis_names}")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
         self._train_steps: dict = {}
+
+    def _classify(self, params, images, *, input_norm):
+        """vit_classify in dp mode; the pipelined schedule in pp mode."""
+        if self.pp:
+            from ..parallel import pipeline as vpp
+            return vpp.pipeline_classify(
+                params[0], params[1], images, self.vit_cfg, self.mesh,
+                n_micro=self.n_micro, input_norm=input_norm,
+                compute_dtype=self.compute_dtype, remat=self.cfg.remat)
+        return vvit.vit_classify(params, images, self.vit_cfg,
+                                 input_norm=input_norm,
+                                 compute_dtype=self.compute_dtype,
+                                 remat=self.cfg.remat)
 
     # -- jitted steps -------------------------------------------------------
 
     def _make_train_step(self, perturbation_type: str | None):
         key = perturbation_type or "none"
         if key not in self._train_steps:
-            vit_cfg = self.vit_cfg
-            cdt = self.compute_dtype
             momentum = self.cfg.momentum
             wd = self.cfg.weight_decay
-            remat = self.cfg.remat
             epsilon_default = 0.1
 
             image_perturb = perturbation_type in ("gaussian", "uniform_gray")
 
             def loss_fn(params, images, labels, *, input_norm):
-                logits = vvit.vit_classify(params, images, vit_cfg,
-                                           input_norm=input_norm,
-                                           compute_dtype=cdt, remat=remat)
+                logits = self._classify(params, images,
+                                        input_norm=input_norm)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32))
                 ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
                 return jnp.mean(ce)
@@ -101,13 +126,10 @@ class ViTTrainer:
 
     @functools.cached_property
     def _eval_step(self):
-        vit_cfg, cdt = self.vit_cfg, self.compute_dtype
-
         def step(params, images_u8, labels, valid):
-            logits = vvit.vit_classify(
-                params, images_u8, vit_cfg,
-                input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD),
-                compute_dtype=cdt)
+            logits = self._classify(
+                params, images_u8,
+                input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD))
             logp = jax.nn.log_softmax(logits.astype(jnp.float32))
             ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             pred = jnp.argmax(logits, axis=-1)
@@ -119,12 +141,22 @@ class ViTTrainer:
     @functools.cached_property
     def _feature_step(self):
         vit_cfg, cdt = self.vit_cfg, self.compute_dtype
+        norm = (dimg.IMAGENET_MEAN, dimg.IMAGENET_STD)
 
-        def step(params, images_u8):
-            return vvit.forward_features(
-                params, images_u8, vit_cfg, pool="token",
-                input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD),
-                compute_dtype=cdt)
+        if self.pp:
+            from ..parallel import pipeline as vpp
+            mesh, n_micro = self.mesh, self.n_micro
+
+            def step(params, images_u8):
+                return vpp.pipeline_features(
+                    params[0], params[1], images_u8, vit_cfg, mesh,
+                    n_micro=n_micro, pool="token", input_norm=norm,
+                    compute_dtype=cdt)
+        else:
+            def step(params, images_u8):
+                return vvit.forward_features(
+                    params, images_u8, vit_cfg, pool="token",
+                    input_norm=norm, compute_dtype=cdt)
 
         return jax.jit(step)
 
@@ -181,6 +213,8 @@ class ViTTrainer:
         # device count (padding to the global count here would multiply the
         # all-padding rows by the process count)
         n_dev = max(self.mesh.devices.size // jax.process_count(), 1)
+        if self.pp:  # pipelined batches split further into n_micro microbatches
+            n_dev = self.mesh.shape["data"] * self.n_micro
         for images_u8, labels in loader.epoch(0):
             (images_u8, labels), real = vmesh.pad_to_multiple(
                 (images_u8, labels), n_dev)
@@ -221,8 +255,16 @@ class ViTTrainer:
             my_images = things_images_u8
         embs = []
         for s in range(0, len(my_images), batch_size):
+            chunk = my_images[s:s + batch_size]
+            real = len(chunk)
+            if self.pp and real < batch_size:
+                # the pipelined step needs its fixed microbatch split: pad
+                # the ragged tail and drop the padded rows after
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - real,) + chunk.shape[1:],
+                                     chunk.dtype)])
             embs.append(np.asarray(self._feature_step(
-                params, jnp.asarray(my_images[s:s + batch_size]))))
+                params, jnp.asarray(chunk)))[:real])
         emb = dist.ordered_allgather_strided(np.concatenate(embs), n)[:48]
         rho, p, _ = vrsa.behavioral_rsa(jnp.asarray(emb),
                                         jnp.asarray(reference_rdm))
@@ -243,12 +285,25 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         image_size=cfg.image_size, num_classes=cfg.num_classes)
 
     proc_id, proc_count = dist.setup_distributed()
-    mesh = vmesh.make_mesh()
+    pp = cfg.pp_stages > 1
+    if pp and proc_count > 1:
+        raise ValueError("pipeline parallelism (pp_stages > 1) is "
+                         "single-process: one host drives all stages")
+    mesh = vmesh.make_mesh(n_stage=cfg.pp_stages if pp else 1)
     n_dev = mesh.devices.size
     log("=" * 60)
     log("ViT-Base ImageNet Training (SGD)")
     log("=" * 60)
     log(f"Devices (data mesh): {n_dev}  processes: {proc_count}")
+    if pp:
+        log(f"Pipeline: {cfg.pp_stages} stages x "
+            f"{mesh.shape['data']} data shards, {cfg.pp_micro} microbatches "
+            f"(bubble {(cfg.pp_stages - 1)}/"
+            f"{cfg.pp_micro + cfg.pp_stages - 1})")
+        unit = mesh.shape["data"] * cfg.pp_micro
+        if cfg.batch_size % unit != 0:
+            raise ValueError(f"global batch {cfg.batch_size} must divide by "
+                             f"data_shards*pp_micro = {unit}")
     log(f"Global batch size: {cfg.batch_size}")
     log(f"Total epochs: {cfg.epochs}")
     log(f"Optimizer: SGD lr={cfg.lr} momentum={cfg.momentum} "
@@ -294,8 +349,15 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         start_epoch = ckpt["epoch"] + 1
         log(f"Resumed from epoch {ckpt['epoch']}")
 
-    params = vmesh.replicate(mesh, params)
-    momentum_buf = vmesh.replicate(mesh, momentum_buf)
+    if pp:
+        from ..parallel import pipeline as vpp
+        # (rest, blocks_st) stage-stacked state; checkpoints stay in the
+        # flat reference layout via unstage_blocks below
+        params = vpp.shard_params_pp(mesh, params)
+        momentum_buf = vpp.shard_params_pp(mesh, momentum_buf)
+    else:
+        params = vmesh.replicate(mesh, params)
+        momentum_buf = vmesh.replicate(mesh, momentum_buf)
 
     from ..core.profiling import trace
     for epoch in range(start_epoch, cfg.epochs):
@@ -310,7 +372,12 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         # a collective (each host writes its own shards + global barrier) and
         # would deadlock behind a primary-only gate; the single-host pickle
         # path gates non-primary writes internally.
-        vit_ckpt.save_checkpoint(epoch, params, momentum_buf,
+        if pp:  # persist in the flat solo layout (dp runs can resume it)
+            save_p = vpp.unstage_blocks(*params)
+            save_m = vpp.unstage_blocks(*momentum_buf)
+        else:
+            save_p, save_m = params, momentum_buf
+        vit_ckpt.save_checkpoint(epoch, save_p, save_m,
                                  scheduler.state_dict(), train_loss,
                                  val_loss, val_acc, cfg.output_dir,
                                  logger=logger if dist.is_primary() else None)
