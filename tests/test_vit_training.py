@@ -128,6 +128,38 @@ class TestViTTraining:
         df3 = pd.read_csv(os.path.join(pp_out, "training_metrics.csv"))
         assert list(df3["epoch"]) == [0, 1, 2]
 
+    def test_grad_accum_matches_unsplit(self, imagenet_fixture, tmp_path):
+        """grad_accum=2 (two scanned gradient microbatches per step) trains
+        the same trajectory as the unsplit step — CE is a mean over the
+        batch, so summed-then-halved microbatch grads equal the full-batch
+        grad up to reduction order. Composes with remat (scan replays each
+        microbatch's forward in its own backward)."""
+        import dataclasses
+        base_out = str(tmp_path / "base")
+        run_vit_training(tiny_cfg(imagenet_fixture, base_out, epochs=2),
+                         vit_cfg=TINY)
+        ga_out = str(tmp_path / "ga")
+        cfg = dataclasses.replace(tiny_cfg(imagenet_fixture, ga_out,
+                                           epochs=2),
+                                  grad_accum=2, remat=True)
+        run_vit_training(cfg, vit_cfg=TINY)
+
+        base = pd.read_csv(os.path.join(base_out, "training_metrics.csv"))
+        ga = pd.read_csv(os.path.join(ga_out, "training_metrics.csv"))
+        np.testing.assert_allclose(ga["train_loss"], base["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(ga["val_loss"], base["val_loss"],
+                                   rtol=1e-4)
+        from vit_project_tpu.ckpt import vit_ckpt
+        ck_b = vit_ckpt.load_checkpoint(
+            os.path.join(base_out, "checkpoint_latest.pth"))
+        ck_g = vit_ckpt.load_checkpoint(
+            os.path.join(ga_out, "checkpoint_latest.pth"))
+        for a, b in zip(jax.tree_util.tree_leaves(ck_g["params"]),
+                        jax.tree_util.tree_leaves(ck_b["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
     def test_rsa_eval_cli(self, imagenet_fixture, things48_fixture, tmp_path):
         from vit_project_tpu.cli import vit_rsa_eval
         out = str(tmp_path / "run2")

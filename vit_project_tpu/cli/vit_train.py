@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pp_micro", type=int, default=1,
                    help="microbatches per pipelined step (with --pp_stages; "
                         "bubble (S-1)/(M+S-1) — use >= 4*stages)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N gradient microbatches "
+                        "inside one jitted step (lax.scan): peak activation "
+                        "memory = one microbatch, same numbers as the "
+                        "unsplit step — the big-batch lever when remat "
+                        "alone is not enough")
     return p
 
 
@@ -74,7 +80,8 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         use_native_loader=args.use_native_loader, remat=args.remat,
         data_echo=args.data_echo,
-        pp_stages=args.pp_stages, pp_micro=args.pp_micro)
+        pp_stages=args.pp_stages, pp_micro=args.pp_micro,
+        grad_accum=args.grad_accum)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -133,6 +133,10 @@ class ViTTrainConfig:
                          # (parallel/pipeline.py; single-process only)
     pp_micro: int = 1    # microbatches per pipelined step (bubble fraction
                          # (S-1)/(M+S-1); use >= 4*pp_stages in production)
+    grad_accum: int = 1  # >1: split each batch into N grad microbatches
+                         # inside ONE jitted step (lax.scan) — peak activation
+                         # memory drops to one microbatch's; numerically equal
+                         # to the unsplit step (CE is a mean over the batch)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

@@ -95,6 +95,41 @@ class ViTTrainer:
                 ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
                 return jnp.mean(ce)
 
+            G = getattr(self.cfg, "grad_accum", 1)
+
+            def batch_grads(params, images, labels, *, input_norm):
+                """value_and_grad of the batch loss; with grad_accum > 1 the
+                batch is split into G microbatches and a lax.scan sums their
+                grads — peak activation memory drops to one microbatch's
+                (the backward of microbatch g replays before g+1's forward
+                starts), and the result is numerically the unsplit step's
+                (CE is a mean over equal-sized microbatches)."""
+                if G == 1:
+                    return jax.value_and_grad(loss_fn)(
+                        params, images, labels, input_norm=input_norm)
+                B = images.shape[0]
+                if B % G != 0:
+                    raise ValueError(f"grad_accum ({G}) must divide the "
+                                     f"global batch ({B})")
+                xs = (images.reshape((G, B // G) + images.shape[1:]),
+                      labels.reshape(G, B // G))
+
+                def body(acc, xs_g):
+                    imgs_g, lbls_g = xs_g
+                    l, g = jax.value_and_grad(loss_fn)(
+                        params, imgs_g, lbls_g, input_norm=input_norm)
+                    acc_l, acc_g = acc
+                    return (acc_l + l, jax.tree_util.tree_map(
+                        jnp.add, acc_g, g)), None
+
+                zero = (jnp.zeros((), jnp.float32),
+                        jax.tree_util.tree_map(
+                            lambda p: jnp.zeros(p.shape, jnp.float32),
+                            params))
+                (loss, grads), _ = jax.lax.scan(body, zero, xs)
+                return loss / G, jax.tree_util.tree_map(
+                    lambda g: g / G, grads)
+
             def step(params, momentum_buf, images_u8, labels, lr, pkey,
                      epsilon=epsilon_default):
                 if image_perturb:
@@ -102,15 +137,17 @@ class ViTTrainer:
                     # (reference GaussianNoiseTransform / UniformGrayTransform,
                     # measure...effect.py:36-60) — keep the explicit
                     # normalize pass so their semantics are byte-identical.
+                    # Perturbation covers the WHOLE loader batch (one pkey per
+                    # batch, reference semantics) before any accum split.
                     images = dimg.normalize_imagenet(images_u8)
                     images, labels2 = injectors.apply_vit_perturbation(
                         perturbation_type, pkey, images, labels,
                         epsilon=epsilon)
-                    loss, grads = jax.value_and_grad(loss_fn)(
-                        params, images, labels2, input_norm=None)
+                    loss, grads = batch_grads(params, images, labels2,
+                                              input_norm=None)
                 else:
                     # hot path: normalization folded into the patch matrix
-                    loss, grads = jax.value_and_grad(loss_fn)(
+                    loss, grads = batch_grads(
                         params, images_u8, labels,
                         input_norm=(dimg.IMAGENET_MEAN, dimg.IMAGENET_STD))
                 # torch SGD: g += wd*p ; buf = m*buf + g ; p -= lr*buf
