@@ -114,6 +114,11 @@ class TestPipelineTraining:
 
     @pytest.mark.parametrize("remat", [False, True])
     def test_train_step_matches_oracle(self, setup, remat):
+        """ViTTrainer in pp mode (the ONE pipelined train-step
+        implementation, vit_loop.py:_make_train_step routing through
+        _classify) reproduces the flat-tree SGD oracle."""
+        from vit_project_tpu.core.configs import ViTTrainConfig
+        from vit_project_tpu.train.vit_loop import ViTTrainer
         params, images, labels = setup
         # oracle FIRST: the pipelined step donates state whose replicated
         # leaves alias `params` (device_put-to-replicated is zero-copy), so
@@ -127,9 +132,14 @@ class TestPipelineTraining:
         mesh = _mesh((2, 2), ("data", "stage"))
         state = pp.shard_params_pp(mesh, params)
         mom = jax.tree_util.tree_map(jnp.zeros_like, state)
-        step = pp.make_pp_train_step(
-            CFG, mesh, n_micro=2, momentum=0.9, weight_decay=1e-4,
-            input_norm=(IMAGENET_MEAN, IMAGENET_STD), remat=remat)
+        trainer = ViTTrainer(CFG, ViTTrainConfig(
+            momentum=0.9, weight_decay=1e-4, compute_dtype="float32",
+            pp_stages=2, pp_micro=2, remat=remat), mesh)
+        raw_step = trainer._make_train_step(None)
+
+        def step(state, mom, images, labels, lr):
+            return raw_step(state, mom, images, labels, lr,
+                            jax.random.PRNGKey(0))
         state2, mom2, loss = step(state, mom, images, labels, 0.1)
         np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
         got_flat = pp.unstage_blocks(state2[0], state2[1])
@@ -141,11 +151,6 @@ class TestPipelineTraining:
         state3, _, loss3 = step(state2, mom2, images, labels, 0.1)
         np.testing.assert_allclose(float(loss3), float(want_loss3),
                                    rtol=1e-5)
-        got_flat3 = pp.unstage_blocks(state3[0], state3[1])
-        for a, b in zip(jax.tree_util.tree_leaves(got_flat3),
-                        jax.tree_util.tree_leaves(want_p3)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       atol=5e-5)
         got_flat3 = pp.unstage_blocks(state3[0], state3[1])
         for a, b in zip(jax.tree_util.tree_leaves(got_flat3),
                         jax.tree_util.tree_leaves(want_p3)):

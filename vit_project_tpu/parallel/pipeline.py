@@ -25,8 +25,8 @@ is sharded over 'data' (XLA inserts the gradient all-reduce exactly as in
 the dp-only path), block parameters over 'stage'. Differentiation goes
 straight through `shard_map` (ppermute transposes to the inverse ring
 shift), so `jax.grad` of a pipelined loss yields stage-sharded block
-gradients with no extra code; `make_pp_train_step` packages the same
-SGD+momentum+wd update as train/vit_loop.py over the pipelined forward.
+gradients with no extra code; train/vit_loop.py's ViTTrainer is the
+training surface (`pp_stages`/`pp_micro` config, `cli.vit_train` flags).
 
 This is forward-looking capability beyond the reference (which has no
 model parallelism of any kind) for trunks whose parameters or activations
@@ -138,6 +138,13 @@ def pipeline_features(rest: dict, blocks_st, images, cfg: vvit.ViTConfig,
     if B % (n_data * n_micro) != 0:
         raise ValueError(f"batch {B} must divide by n_data*n_micro = "
                          f"{n_data}*{n_micro}")
+    st = jax.tree_util.tree_leaves(blocks_st)[0].shape[0]
+    if st != n_stages:
+        # a larger multiple would pass the in_specs divisibility check but
+        # the per-device [k, lp, ...] slice is squeezed to its FIRST stage —
+        # silently skipping blocks — so reject any mismatch loudly
+        raise ValueError(f"blocks_st has {st} stages but the mesh 'stage' "
+                         f"axis is {n_stages} (use shard_params_pp)")
     has_data = "data" in mesh.axis_names
 
     blk = vvit._block_fn(cfg, None, True, use_pallas, remat)
@@ -149,7 +156,7 @@ def pipeline_features(rest: dict, blocks_st, images, cfg: vvit.ViTConfig,
         return x
 
     # `rest` goes through in_specs (replicated), not closure: shard_map does
-    # not differentiate closed-over tracers, and make_pp_train_step needs
+    # not differentiate closed-over tracers, and the pipelined train step needs
     # d(loss)/d(rest) to flow through the stem and the final norm
     def body(blocks_local, images_local, rest):
         # blocks_local: this stage's [1, lp, ...] slice; images_local: this
@@ -223,37 +230,9 @@ def pipeline_classify(rest: dict, blocks_st, images, cfg: vvit.ViTConfig,
     return logits.astype(jnp.float32)
 
 
-def make_pp_train_step(cfg: vvit.ViTConfig, mesh, *, n_micro: int,
-                       momentum: float = 0.9, weight_decay: float = 1e-4,
-                       input_norm: tuple | None = None,
-                       compute_dtype=jnp.float32,
-                       use_pallas: bool | None = None,
-                       remat: bool = False):
-    """Jitted pipelined SGD step with the exact update of
-    train/vit_loop.py:91-96 (torch SGD: g += wd*p; buf = m*buf + g;
-    p -= lr*buf), over ((rest, blocks_st), momentum_buf) state.
-
-    Block gradients come back stage-sharded from the shard_map transpose;
-    the data-axis gradient all-reduce is inserted by XLA from the sharded
-    loss, exactly like the dp-only step."""
-
-    def loss_fn(state, images, labels):
-        rest, blocks_st = state
-        logits = pipeline_classify(rest, blocks_st, images, cfg, mesh,
-                                   n_micro=n_micro, input_norm=input_norm,
-                                   compute_dtype=compute_dtype,
-                                   use_pallas=use_pallas, remat=remat)
-        logp = jax.nn.log_softmax(logits)
-        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None],
-                                             axis=1)[:, 0])
-
-    def step(state, momentum_buf, images, labels, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(state, images, labels)
-        new_buf = jax.tree_util.tree_map(
-            lambda p, g, b: momentum * b + (g + weight_decay * p),
-            state, grads, momentum_buf)
-        new_state = jax.tree_util.tree_map(
-            lambda p, b: p - lr * b, state, new_buf)
-        return new_state, new_buf, loss
-
-    return jax.jit(step, donate_argnums=(0, 1))
+# Training over the pipelined forward lives in train/vit_loop.py:
+# ViTTrainer routes its train/eval/feature steps through pipeline_classify /
+# pipeline_features when its config sets pp_stages > 1 (ONE implementation
+# of the SGD update for dp and pp; block gradients come back stage-sharded
+# from the shard_map transpose, the data-axis gradient all-reduce is
+# inserted by XLA from the sharded loss).

@@ -290,13 +290,18 @@ class ViTTrainer:
             my_images = things_images_u8[idx]
         else:
             my_images = things_images_u8
+        if self.pp:
+            # the pipelined step needs every chunk to divide into its fixed
+            # (data-shard x microbatch) split — round the chunk size UP to
+            # the unit (batch_size itself may not be a multiple of it)
+            unit = self.mesh.shape["data"] * self.n_micro
+            batch_size = ((batch_size + unit - 1) // unit) * unit
         embs = []
         for s in range(0, len(my_images), batch_size):
             chunk = my_images[s:s + batch_size]
             real = len(chunk)
             if self.pp and real < batch_size:
-                # the pipelined step needs its fixed microbatch split: pad
-                # the ragged tail and drop the padded rows after
+                # pad the ragged tail; padded rows are dropped after
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - real,) + chunk.shape[1:],
                                      chunk.dtype)])
@@ -337,10 +342,17 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
             f"{mesh.shape['data']} data shards, {cfg.pp_micro} microbatches "
             f"(bubble {(cfg.pp_stages - 1)}/"
             f"{cfg.pp_micro + cfg.pp_stages - 1})")
-        unit = mesh.shape["data"] * cfg.pp_micro
-        if cfg.batch_size % unit != 0:
+        if cfg.batch_size % cfg.grad_accum != 0:
             raise ValueError(f"global batch {cfg.batch_size} must divide by "
-                             f"data_shards*pp_micro = {unit}")
+                             f"grad_accum = {cfg.grad_accum}")
+        unit = mesh.shape["data"] * cfg.pp_micro
+        # grad_accum splits the batch BEFORE it reaches the pipeline, so the
+        # per-accum-microbatch size is what the pipeline's split must divide
+        if (cfg.batch_size // cfg.grad_accum) % unit != 0:
+            raise ValueError(
+                f"per-grad-accum batch {cfg.batch_size}//{cfg.grad_accum} = "
+                f"{cfg.batch_size // cfg.grad_accum} must divide by "
+                f"data_shards*pp_micro = {unit}")
     log(f"Global batch size: {cfg.batch_size}")
     log(f"Total epochs: {cfg.epochs}")
     log(f"Optimizer: SGD lr={cfg.lr} momentum={cfg.momentum} "
