@@ -201,6 +201,25 @@ class TestSetupDistributed:
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         assert dist.setup_distributed()[1] >= 1
 
+    def test_is_primary_single_process_avoids_backend_init(self, monkeypatch):
+        """is_primary() in a plain single process must answer True WITHOUT
+        jax.process_index(): that call forces accelerator-backend init, which
+        the sweep --workers dispatcher must avoid (on a TPU VM the parent
+        would acquire every chip its workers are about to pin)."""
+        import jax
+
+        def forbidden():
+            raise AssertionError("process_index() forces backend init")
+        monkeypatch.setattr(jax, "process_index", forbidden)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+        assert dist.is_primary() is True
+        # with jax.distributed initialized, the real rank decides
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+        monkeypatch.setattr(jax, "process_index", lambda: 3)
+        assert dist.is_primary() is False
+
 
 class TestTwoProcessDistributed:
     def test_multihost_cpu_demo_end_to_end(self):

@@ -299,6 +299,134 @@ class TestWorkerCrashAccounting:
         assert os.listdir(tmp_path) == []
 
 
+class TestLengthsResumeLadderIntegrity:
+    """A CSV with rows but no matching checkpoint is a TORN tree (a previous
+    attempt died between CSV pre-population and its first checkpoint): the
+    in-place resume must fall through to the cross-run/fresh ladder instead
+    of silently continuing a mid-lineage CSV from a fresh adapter."""
+
+    def _stub(self, tmp_path, calls):
+        import types
+
+        class StubSetup:
+            def __init__(self, base_config, logger, mesh):
+                self.cfg = types.SimpleNamespace(
+                    perturb_length=2, perturb_type="random_target",
+                    baseline_dora_directory=str(tmp_path / "base_dora"),
+                    baseline_random_state_path=str(tmp_path / "base_rs"),
+                    epochs=30)
+                self.log = lambda msg: None
+
+            def load_state(self, label, dora_file, rs_dir, rfe, *,
+                           require=False):
+                calls.append({"label": label, "dora_file": dora_file,
+                              "rfe": rfe, "require": require})
+                return (None, None, 0)
+
+        return StubSetup
+
+    def test_torn_tree_falls_through_to_cross_resume(self, tmp_path,
+                                                     monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+        # torn: CSV has rows through epoch 3, own dora dir has NO epoch3 file
+        cond = tmp_path / "random_target_e3_l2"
+        os.makedirs(cond / "dora_params_3")
+        with open(cond / "training_res.csv", "w") as f:
+            f.write("epoch,train_loss\n3,0.5\n")
+        # shorter sibling at the same onset: the correct resume source
+        prev = tmp_path / "random_target_e3_l1"
+        os.makedirs(prev / "dora_params_3")
+        with open(prev / "training_res.csv", "w") as f:
+            f.write("epoch,train_loss\n3,0.4\n")
+
+        calls = []
+        monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
+        monkeypatch.setattr(mf, "_run_group",
+                            lambda su, forks, inits: [setattr(f, "finished",
+                                                              True)
+                                                      for f in forks])
+        failed = mf.run_batched_lengths(
+            {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
+        assert failed == []
+        assert len(calls) == 1
+        # cross-resume from the l1 sibling at epoch 3 (= onset-1 + prev_len),
+        # strict (require=True) because it continues an existing trajectory
+        assert calls[0]["rfe"] == 3
+        assert calls[0]["require"] is True
+        assert calls[0]["dora_file"] == str(
+            prev / "dora_params_3" / "epoch3_dora_params.pth")
+
+    def test_intact_tree_resumes_in_place(self, tmp_path, monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+        cond = tmp_path / "random_target_e3_l2"
+        os.makedirs(cond / "dora_params_3")
+        with open(cond / "training_res.csv", "w") as f:
+            f.write("epoch,train_loss\n3,0.5\n")
+        with open(cond / "dora_params_3" / "epoch3_dora_params.pth",
+                  "w") as f:
+            f.write("x")   # checkpoint OF the last completed epoch (1-idx 3)
+
+        calls = []
+        monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
+        monkeypatch.setattr(mf, "_run_group",
+                            lambda su, forks, inits: [setattr(f, "finished",
+                                                              True)
+                                                      for f in forks])
+        failed = mf.run_batched_lengths(
+            {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
+        assert failed == []
+        assert calls[0]["rfe"] == 3 and calls[0]["require"] is True
+        assert calls[0]["dora_file"].endswith(
+            "random_target_e3_l2/dora_params_3/epoch3_dora_params.pth")
+
+    def test_required_load_raises_on_missing_checkpoint(self, tmp_path):
+        """The real _Setup.load_state refuses a strict resume whose
+        checkpoint file is gone, instead of silently fresh-initializing."""
+        import types
+        from vit_project_tpu.train import multi_fork as mf
+        fake = types.SimpleNamespace(
+            cfg=None, assets=types.SimpleNamespace(trainable=None),
+            log=lambda msg: None, trainer=None)
+        with pytest.raises(FileNotFoundError, match="torn artifact tree"):
+            mf._Setup.load_state(fake, "run 5",
+                                 str(tmp_path / "nope.pth"), None, 4,
+                                 require=True)
+
+
+class TestBatchedOrderDedup:
+    """Duplicate run numbers share artifact paths — inside one vmapped group
+    they would interleave duplicate CSV rows, so the batched driver dedups."""
+
+    def test_duplicate_runs_collapse_to_one_fork(self, tmp_path, monkeypatch):
+        import types
+        from vit_project_tpu.train import multi_fork as mf
+        seen_groups = []
+
+        class StubSetup:
+            def __init__(self, base_config, logger, mesh):
+                self.cfg = types.SimpleNamespace(
+                    perturb_length=1, perturb_type="random_target",
+                    baseline_dora_directory=str(tmp_path),
+                    baseline_random_state_path=str(tmp_path), epochs=30)
+                self.log = lambda msg: None
+
+            def load_state(self, label, dora_file, rs_dir, rfe, **kw):
+                return (None, None, 0)
+
+        def record_group(su, forks, inits):
+            seen_groups.append([f.run for f in forks])
+            for f in forks:
+                f.finished = True
+
+        monkeypatch.setattr(mf, "_Setup", StubSetup)
+        monkeypatch.setattr(mf, "_run_group", record_group)
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [5, 2, 5, 2],
+            group_size=8)
+        assert failed == []
+        assert seen_groups == [[2, 5]]
+
+
 class TestGroupFailureReporting:
     """A group-level crash must report ONLY forks whose artifact trees are
     incomplete: re-running a completed fork truncates its finished CSV."""
@@ -314,7 +442,7 @@ class TestGroupFailureReporting:
                     baseline_random_state_path=str(tmp_path), epochs=30)
                 self.log = lambda msg: None
 
-            def load_state(self, label, dora_file, rs_dir, rfe):
+            def load_state(self, label, dora_file, rs_dir, rfe, **kw):
                 return (None, None, 0)
 
         return StubSetup
@@ -357,7 +485,7 @@ class TestGroupFailureReporting:
         Stub = self._stub_setup(tmp_path)
 
         class CrashOnSecondLoad(Stub):
-            def load_state(self, label, dora_file, rs_dir, rfe):
+            def load_state(self, label, dora_file, rs_dir, rfe, **kw):
                 if label == "run 5":
                     raise RuntimeError("ckpt missing")
                 return super().load_state(label, dora_file, rs_dir, rfe)
@@ -380,7 +508,7 @@ class TestGroupFailureReporting:
         Stub = self._stub_setup(tmp_path)
 
         class CrashOnSecondLoad(Stub):
-            def load_state(self, label, dora_file, rs_dir, rfe):
+            def load_state(self, label, dora_file, rs_dir, rfe, **kw):
                 if label.startswith("random_target_e8"):
                     raise RuntimeError("ckpt missing")
                 return super().load_state(label, dora_file, rs_dir, rfe)

@@ -117,15 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _main_batched(args, timestamp: str):
-    """--onsets mode: every (onset, perturb_length) condition of one length
-    trained as vmapped fork groups (train/multi_fork.run_batched_lengths).
-    Returns the list of failed condition dir names (empty = all good)."""
-    if args.perturb_type == "baseline":
-        build_parser().error("--onsets batching is for perturbed conditions; "
-                             "run the baseline mode per condition")
-    onsets = [int(x) for x in args.onsets.split(",") if x.strip()]
-    config = {
+def _base_config(args) -> dict:
+    """The run-config template shared by the solo and --onsets modes —
+    ONE home, so a flag added to the parser cannot silently train with its
+    default in one of the two modes."""
+    return {
         "csv_file": args.csv_file,
         "img_dir": args.img_dir,
         "inference_csv_file": args.inference_csv_file,
@@ -154,18 +150,21 @@ def _main_batched(args, timestamp: str):
         "perturb_type": args.perturb_type,
         "perturb_distribution": args.perturb_distribution,
         "perturb_seed": args.perturb_seed,
-        "perturb_length": args.perturb_length,
         "output_base_directory": args.output_base_directory,
     }
-    fork_mesh = None
-    if args.fork_devices > 1:
-        import jax
-        from ..parallel import mesh as vmesh
-        n = min(args.fork_devices, jax.local_device_count(), len(onsets))
-        # local_devices: on a pod each rank must shard onto its OWN
-        # addressable chips, not process 0's slice of the global order
-        fork_mesh = vmesh.make_mesh(n_data=n,
-                                    devices=jax.local_devices()[:n])
+
+
+def _main_batched(args, timestamp: str):
+    """--onsets mode: every (onset, perturb_length) condition of one length
+    trained as vmapped fork groups (train/multi_fork.run_batched_lengths).
+    Returns the list of failed condition dir names (empty = all good)."""
+    if args.perturb_type == "baseline":
+        build_parser().error("--onsets batching is for perturbed conditions; "
+                             "run the baseline mode per condition")
+    onsets = [int(x) for x in args.onsets.split(",") if x.strip()]
+    config = {**_base_config(args), "perturb_length": args.perturb_length}
+    from ..train.multi_fork import make_fork_mesh, run_batched_lengths
+    fork_mesh = make_fork_mesh(args.fork_devices, len(onsets))
 
     os.makedirs(args.output_base_directory, exist_ok=True)
     logger = setup_main_logger(os.path.join(
@@ -173,7 +172,6 @@ def _main_batched(args, timestamp: str):
         f"lengths_batched_log_{timestamp}.txt"))
     logger.info(f"Batched lengths mode: type={args.perturb_type} "
                 f"length={args.perturb_length} onsets={onsets}")
-    from ..train.multi_fork import run_batched_lengths
     failed = run_batched_lengths(
         config, onsets, args.perturb_length,
         group_size=args.batched_forks, logger=logger, mesh=fork_mesh)
@@ -201,37 +199,9 @@ def main(argv=None):
             "(or pass --onsets for the batched multi-condition mode)")
 
     config = {
-        "csv_file": args.csv_file,
-        "img_dir": args.img_dir,
-        "inference_csv_file": args.inference_csv_file,
-        "RDM48_triplet_dir": args.RDM48_triplet_dir,
-        "backbone": args.backbone,
-        "clip_weights": args.clip_weights,
-        "bpe_vocab": args.bpe_vocab,
-        "allow_hash_tokenizer": args.allow_hash_tokenizer,
-        "epochs": args.epochs,
-        "batch_size": args.batch_size,
-        "train_portion": 0.8,
-        "lr": args.lr,
-        "logger": None,
-        "early_stopping_patience": args.early_stopping_patience,
-        "random_seed": args.random_seed,
-        "vision_layers": args.vision_layers,
-        "transformer_layers": args.transformer_layers,
-        "rank": args.rank,
-        "criterion": "mse",
-        "cuda": args.cuda,
-        "compute_dtype": args.compute_dtype,
-        "remat": args.remat,
-        "baseline_dora_directory": args.baseline_dora_directory,
-        "baseline_random_state_path": args.baseline_random_state_path,
-        "baseline_split_indices_path": args.baseline_split_indices_path,
-        "perturb_type": args.perturb_type,
-        "perturb_distribution": args.perturb_distribution,
-        "perturb_seed": args.perturb_seed,
+        **_base_config(args),
         "training_run": args.perturb_epoch,
         "resume_from_epoch": max(0, args.perturb_epoch - 1),
-        "output_base_directory": args.output_base_directory,
     }
 
     out_dir = os.path.join(args.output_base_directory, args.output_dir)
@@ -315,4 +285,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    # --onsets mode returns the failed-condition list (solo mode re-raises
+    # and returns None): exit nonzero so grid automation can detect and
+    # retry failed conditions instead of treating them as complete
+    sys.exit(1 if main() else 0)

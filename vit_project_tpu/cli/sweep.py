@@ -175,6 +175,17 @@ def _report_done(runs: list[int]) -> None:
     os.replace(tmp, path)
 
 
+def _report_failed(failed: list[int]) -> None:
+    """Write the structured per-run outcome for a parent worker dispatcher
+    (VIT_SWEEP_FAILED_JSON), if one requested it. Shared by every exit path
+    of main() so a new mode cannot forget the dispatcher's accounting."""
+    report = os.environ.get("VIT_SWEEP_FAILED_JSON")
+    if report:
+        import json
+        with open(report, "w") as f:
+            json.dump(failed, f)
+
+
 def _run_workers(args, training_order: list[int], logger) -> list[int]:
     """Spawn N single-chip sweep subprocesses over round-robin slices of the
     training order (slice i = order[i::N], preserving each worker's
@@ -238,15 +249,31 @@ def _run_workers(args, training_order: list[int], logger) -> list[int]:
 
 
 def main(argv=None):
-    from ..parallel import dist
     args = build_parser().parse_args(argv)
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    main_log = os.path.join(args.output_base_directory,
+                            f"main_training_log_{timestamp}.txt")
+    logger = setup_main_logger(main_log)
+    training_order = parse_order(args.training_order)
+
+    if args.workers > 1:
+        # Dispatch is pure host work — the parent must NOT initialize jax
+        # here: on a TPU VM jax init acquires every local chip, and the
+        # workers (pinned one chip each via worker_device_env) would then
+        # fail to claim theirs. Each worker runs its own setup_distributed.
+        logger.info(f"Dispatching {len(training_order)} runs across "
+                    f"{args.workers} single-chip workers")
+        failed_run_list = _run_workers(args, training_order, logger)
+        logger.info(f"All workers done. Failed runs: {failed_run_list}")
+        return failed_run_list
+
+    from ..parallel import dist
     # no-op single-process; on a pod launcher (env rendezvous) this
     # initializes jax.distributed so the process-0 write gates and
     # global batch assembly in the training loop see real ranks
     from ..core.compile_cache import enable_persistent_cache
     enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
 
     config = {
         "csv_file": args.csv_file,
@@ -281,30 +308,9 @@ def main(argv=None):
         "output_base_directory": args.output_base_directory,
     }
 
-    main_log = os.path.join(args.output_base_directory,
-                            f"main_training_log_{timestamp}.txt")
-    logger = setup_main_logger(main_log)
-    training_order = parse_order(args.training_order)
-
-    if args.workers > 1:
-        logger.info(f"Dispatching {len(training_order)} runs across "
-                    f"{args.workers} single-chip workers")
-        failed_run_list = _run_workers(args, training_order, logger)
-        logger.info(f"All workers done. Failed runs: {failed_run_list}")
-        return failed_run_list
-
     if args.batched_forks > 1:
-        from ..train.multi_fork import run_batched_sweep
-        fork_mesh = None
-        if args.fork_devices > 1:
-            import jax
-            from ..parallel import mesh as vmesh
-            n = min(args.fork_devices, jax.local_device_count(),
-                    args.batched_forks)
-            # local_devices: on a pod each rank must shard onto its OWN
-            # addressable chips, not process 0's slice of the global order
-            fork_mesh = vmesh.make_mesh(n_data=n,
-                                        devices=jax.local_devices()[:n])
+        from ..train.multi_fork import run_batched_sweep, make_fork_mesh
+        fork_mesh = make_fork_mesh(args.fork_devices, args.batched_forks)
         logger.info(f"Batched-fork mode: {len(training_order)} runs in "
                     f"vmapped groups of {args.batched_forks}"
                     + (f" over {fork_mesh.devices.size} devices"
@@ -314,11 +320,7 @@ def main(argv=None):
             logger=logger, mesh=fork_mesh, done_report=_report_done)
         if failed_run_list:
             logger.info(f"Failed runs: {failed_run_list}")
-        report = os.environ.get("VIT_SWEEP_FAILED_JSON")
-        if report:
-            import json
-            with open(report, "w") as f:
-                json.dump(failed_run_list, f)
+        _report_failed(failed_run_list)
         return failed_run_list
 
     logger.info("=" * 80)
@@ -369,11 +371,7 @@ def main(argv=None):
     if failed_run_list:
         logger.info(f"Failed runs: {failed_run_list}")
     logger.info("=" * 80)
-    report = os.environ.get("VIT_SWEEP_FAILED_JSON")
-    if report:  # structured per-run outcome for a parent worker dispatcher
-        import json
-        with open(report, "w") as f:
-            json.dump(failed_run_list, f)
+    _report_failed(failed_run_list)
     return failed_run_list
 
 

@@ -52,7 +52,15 @@ def _env_configured() -> bool:
 
 
 def is_primary() -> bool:
-    """rank-0 gating for checkpoint/CSV writes (reference local_rank==0)."""
+    """rank-0 gating for checkpoint/CSV writes (reference local_rank==0).
+
+    Single-process (no coordinator env, jax.distributed uninitialized)
+    answers True WITHOUT calling jax.process_index(): that call forces
+    accelerator-backend initialization, which a host-side dispatcher
+    (cli/sweep.py --workers) must avoid — on a TPU VM the parent process
+    would acquire every chip its workers are about to pin."""
+    if not jax.distributed.is_initialized() and not _env_configured():
+        return True
     return jax.process_index() == 0
 
 

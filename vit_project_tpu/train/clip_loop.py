@@ -598,10 +598,10 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 _dump_embeddings(nod_dump_dir, epoch + 1, nod_emb, nod_names,
                                  prefix="nod")
 
-            csvio.append_clip_row(training_res_path, epoch + 1,
-                                  avg_train_loss, avg_test_loss, rho, p_value,
-                                  **flags)
-
+            # checkpoints BEFORE the CSV row: a crash between the two then
+            # leaves "checkpoint without row" (the epoch is retrained
+            # benignly on resume) instead of "row without checkpoint" (a
+            # torn tree whose in-place resume cannot find its state)
             clip_ckpt.save_dora_parameters(trainable, dora_parameters_path,
                                            epoch, logger=logger)
             log(f"DoRA parameters saved for epoch {epoch + 1}")
@@ -609,6 +609,9 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                                          data_seed,
                                          {"dropout_seed": dropout_seed},
                                          logger=logger)
+            csvio.append_clip_row(training_res_path, epoch + 1,
+                                  avg_train_loss, avg_test_loss, rho, p_value,
+                                  **flags)
 
         in_win = windows.in_window(epoch, training_run, perturb_length) \
             and perturb_type in windows.PERTURB_TYPES

@@ -56,6 +56,20 @@ from ..perturb import injectors, windows
 from .clip_loop import ClipHBATrainer, build_run_assets
 
 
+def make_fork_mesh(n_requested: int, n_items: int):
+    """1-D pod-local mesh for the fork axis, or None for no sharding.
+
+    Clamped to min(requested, this process's addressable chips, items).
+    local_devices: on a pod each rank must shard onto its OWN addressable
+    chips, not process 0's slice of the global device order. Shared by the
+    sweep and lengths CLIs (one home for the pod-local clamp logic)."""
+    if n_requested <= 1:
+        return None
+    from ..parallel import mesh as vmesh
+    n = min(n_requested, jax.local_device_count(), n_items)
+    return vmesh.make_mesh(n_data=n, devices=jax.local_devices()[:n])
+
+
 def _stack(trees):
     """Stack a list of identically-structured pytrees along a new axis 0."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
@@ -266,17 +280,27 @@ class _Setup:
                      f"(zero-collective fork parallelism)")
 
     def load_state(self, label: str, dora_file: str | None,
-                   rs_dir: str | None, rfe: int):
+                   rs_dir: str | None, rfe: int, *, require: bool = False):
         """One fork's initial (trainable, opt_state, data_seed) — the solo
         semantics of run_behavioral_training (ref :1156-1201): strict=False
         DoRA overlay from `dora_file` (fresh init if absent), AdamW-state +
-        data-seed restore from `rs_dir` at epoch `rfe` when rfe > 0."""
+        data-seed restore from `rs_dir` at epoch `rfe` when rfe > 0.
+
+        `require=True` (resume of an EXISTING trajectory — in-place or
+        cross-run) turns a missing `dora_file` into an error: silently
+        continuing a mid-lineage CSV from a fresh adapter would produce a
+        scientifically meaningless trajectory that looks continuous."""
         cfg, assets, log = self.cfg, self.assets, self.log
         trainable = assets.trainable
         if dora_file and os.path.exists(dora_file):
             trainable = clip_ckpt.load_dora_parameters(dora_file, trainable,
                                                        assets.spec)
             log(f"  {label}: DoRA fork loaded from {dora_file}")
+        elif require:
+            raise FileNotFoundError(
+                f"{label}: resume checkpoint {dora_file} is missing — "
+                "refusing to continue an existing trajectory from a fresh "
+                "adapter (torn artifact tree)")
         else:
             log(f"  {label}: fresh DoRA init (no {dora_file})")
 
@@ -321,8 +345,11 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     out_base = base_config["output_base_directory"]
 
     # ascending groups: co-grouped forks have similar remaining spans, so the
-    # ride-along waste after a fork finishes is bounded by the group's spread
-    order = sorted(training_order)
+    # ride-along waste after a fork finishes is bounded by the group's spread.
+    # Deduped: two forks with the same run number share artifact paths and
+    # would interleave duplicate CSV rows inside one group (the sequential
+    # driver retrains duplicates benignly; the batched one cannot)
+    order = sorted(set(training_order))
     groups = [order[i:i + group_size]
               for i in range(0, len(order), group_size)]
     log(f"Batched sweep: {len(order)} forks in {len(groups)} group(s) of "
@@ -388,7 +415,7 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     out_base = base_config["output_base_directory"]
     ptype = cfg.perturb_type
 
-    conds = [(E, f"{ptype}_e{E}_l{length}") for E in sorted(onsets)]
+    conds = [(E, f"{ptype}_e{E}_l{length}") for E in sorted(set(onsets))]
     groups = [conds[i:i + group_size]
               for i in range(0, len(conds), group_size)]
     log(f"Batched lengths: {len(conds)} conditions (length {length}) in "
@@ -408,11 +435,25 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
                 rs_dir = os.path.join(out_dir, f"random_states_{E}")
 
                 last = csvio.last_completed_epoch0(res_path)
-                if last >= 0:  # in-place resume (reference :141-160)
+                # in-place resume (reference :141-160) needs the condition's
+                # OWN checkpoint of the last completed epoch. A CSV with rows
+                # but no checkpoint is a torn tree (a previous attempt died
+                # between CSV pre-population and its first checkpoint) —
+                # fall through to the cross-run/fresh ladder, whose
+                # init_clip_csv rebuilds the CSV from the correct source.
+                own_ckpt = os.path.join(dora_dir,
+                                        f"epoch{last + 1}_dora_params.pth")
+                resuming = False
+                if last >= 0 and os.path.exists(own_ckpt):
                     rfe, prepop = last + 1, res_path
                     src_dora, src_rs = dora_dir, rs_dir
+                    resuming = True
                     log(f"  {name}: in-place resume from epoch {rfe + 1}")
                 else:
+                    if last >= 0:
+                        log(f"  {name}: CSV has epochs through {last + 1} "
+                            f"but {own_ckpt} is missing (torn tree) - "
+                            f"restarting from the resume ladder")
                     prev_dir, prev_len = find_previous_run_dir(
                         out_base, ptype, E, length)
                     if prev_dir and prev_len is not None:
@@ -422,6 +463,7 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
                                                 f"dora_params_{E}")
                         src_rs = os.path.join(prev_dir,
                                               f"random_states_{E}")
+                        resuming = True
                         log(f"  {name}: resuming from '{prev_dir}' "
                             f"(length {prev_len}) at epoch {rfe + 1}")
                     else:
@@ -434,7 +476,11 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
                              if rfe > 0 else None)
                 forks.append(_ForkState(E, length, rfe, res_path, dora_dir,
                                         rs_dir, prepop_csv=prepop))
-                inits.append(su.load_state(name, dora_file, src_rs, rfe))
+                # resuming an existing trajectory must find its checkpoint;
+                # only the fresh-from-baseline fork keeps the reference's
+                # strict=False fallback
+                inits.append(su.load_state(name, dora_file, src_rs, rfe,
+                                           require=resuming))
             _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} ({names}) completed")
         except Exception as e:
@@ -551,15 +597,19 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
             log(f"  run {f.run} epoch {e0 + 1}: train {train_loss:.4f} "
                 f"test {test_loss:.4f} rsa {rhos[i]:.4f} (p={ps[i]:.4f})")
             if primary:
-                csvio.append_clip_row(f.res_path, e0 + 1, train_loss,
-                                      test_loss, float(rhos[i]),
-                                      float(ps[i]), **flags)
+                # checkpoints BEFORE the CSV row: a crash between the two
+                # then leaves "checkpoint without row" (retrained benignly on
+                # resume) instead of "row without checkpoint" (a torn tree
+                # the resume ladder must refuse)
                 fork_trainable = _slice_fork(host_trainable, i)
                 clip_ckpt.save_dora_parameters(fork_trainable, f.dora_path,
                                                e0)
                 clip_ckpt.save_random_states(
                     _slice_fork(host_opt, i), e0, f.state_path, seeds[i],
                     {"dropout_seed": cfg.random_seed})
+                csvio.append_clip_row(f.res_path, e0 + 1, train_loss,
+                                      test_loss, float(rhos[i]),
+                                      float(ps[i]), **flags)
 
             if test_loss < f.best_test_loss:
                 f.best_test_loss = test_loss
