@@ -128,6 +128,43 @@ class TestViTTraining:
         df3 = pd.read_csv(os.path.join(pp_out, "training_metrics.csv"))
         assert list(df3["epoch"]) == [0, 1, 2]
 
+    def test_device_prefetch_equivalent_and_clean(self, imagenet_fixture,
+                                                  tmp_path):
+        """The h2d feeder thread changes WHEN transfers happen, never what
+        trains: prefetch off reproduces the default run exactly. Abandoning
+        the iterator mid-epoch must not leak the feeder thread."""
+        import dataclasses
+        import threading
+        from vit_project_tpu.train.vit_loop import _device_prefetch
+
+        on_out = str(tmp_path / "on")   # default device_prefetch=2
+        run_vit_training(tiny_cfg(imagenet_fixture, on_out, epochs=2),
+                         vit_cfg=TINY)
+        off_out = str(tmp_path / "off")
+        run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, off_out, epochs=2),
+            device_prefetch=0), vit_cfg=TINY)
+        on = pd.read_csv(os.path.join(on_out, "training_metrics.csv"))
+        off = pd.read_csv(os.path.join(off_out, "training_metrics.csv"))
+        pd.testing.assert_frame_equal(on, off)
+
+        # unit: order/value passthrough, exception propagation, abandonment
+        items = [(np.full((2,), i), np.full((2,), -i)) for i in range(6)]
+        got = list(_device_prefetch(iter(items),
+                                    lambda a, b: (a + 1, b - 1), depth=2))
+        assert [int(a[0]) for a, _ in got] == [1, 2, 3, 4, 5, 6]
+
+        def boom(a, b):
+            raise RuntimeError("shard failed")
+        with pytest.raises(RuntimeError, match="shard failed"):
+            list(_device_prefetch(iter(items), boom, depth=2))
+
+        before = threading.active_count()
+        it = _device_prefetch(iter(items), lambda a, b: (a, b), depth=1)
+        next(it)
+        it.close()   # abandon mid-epoch: feeder must exit, not block on put
+        assert threading.active_count() <= before + 1
+
     def test_grad_accum_matches_unsplit(self, imagenet_fixture, tmp_path):
         """grad_accum=2 (two scanned gradient microbatches per step) trains
         the same trajectory as the unsplit step — CE is a mean over the

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pp_micro", type=int, default=1,
                    help="microbatches per pipelined step (with --pp_stages; "
                         "bubble (S-1)/(M+S-1) — use >= 4*stages)")
+    p.add_argument("--device_prefetch", type=int, default=2,
+                   help="h2d lookahead depth: device-place batch k+1 on a "
+                        "feeder thread while batch k trains; 0 disables")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into N gradient microbatches "
                         "inside one jitted step (lax.scan): peak activation "
@@ -81,7 +84,7 @@ def main(argv=None):
         use_native_loader=args.use_native_loader, remat=args.remat,
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
-        grad_accum=args.grad_accum)
+        grad_accum=args.grad_accum, device_prefetch=args.device_prefetch)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -137,6 +137,10 @@ class ViTTrainConfig:
                          # inside ONE jitted step (lax.scan) — peak activation
                          # memory drops to one microbatch's; numerically equal
                          # to the unsplit step (CE is a mean over the batch)
+    device_prefetch: int = 2  # h2d lookahead: a feeder thread device-places
+                              # batch k+1 while batch k trains (transfers are
+                              # host-synchronous on remote backends); 0 = off.
+                              # Same batches in the same order either way.
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":
