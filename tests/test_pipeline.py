@@ -76,6 +76,23 @@ class TestPipelineForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
 
+    def test_pallas_attention_inside_shard_map(self, setup):
+        """On a real TPU slice block_forward takes the flash-pallas path
+        inside the shard_map body; exercise that composition here in
+        interpret mode (same kernels, reference semantics) against the
+        plain XLA trunk."""
+        params, images, _ = setup
+        mesh = _mesh((2, 2), ("data", "stage"))
+        rest, blocks_st = pp.shard_params_pp(mesh, params)
+        norm = (IMAGENET_MEAN, IMAGENET_STD)
+        got = pp.pipeline_features(rest, blocks_st, images, CFG, mesh,
+                                   n_micro=2, input_norm=norm,
+                                   use_pallas=True)
+        want = vvit.forward_features(params, images, CFG, input_norm=norm,
+                                     use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
     def test_batch_divisibility_guard(self, setup):
         params, images, _ = setup
         mesh = _mesh((4,), ("stage",))
