@@ -85,6 +85,19 @@ class TestLengthsPreviousRunScan:
         assert find_previous_run_dir(str(tmp_path), "image_noise", 2, 5) == (None, None)
         assert find_previous_run_dir(str(tmp_path / "nope"), "random_target", 2, 5) == (None, None)
 
+    def test_rollback_to_checkpoint(self, tmp_path):
+        """The in-place resume anchor (solo AND batched lengths): newest
+        1-indexed epoch <= last+1 whose DoRA checkpoint file exists."""
+        from vit_project_tpu.cli.lengths import rollback_to_checkpoint
+        d = tmp_path / "dora"
+        os.makedirs(d)
+        for e in (2, 3):
+            (d / f"epoch{e}_dora_params.pth").touch()
+        assert rollback_to_checkpoint(str(d), 2) == 3   # intact: last+1
+        assert rollback_to_checkpoint(str(d), 4) == 3   # torn rows 4,5
+        assert rollback_to_checkpoint(str(tmp_path / "none"), 4) == 0
+        assert rollback_to_checkpoint(str(d), -1) == 0
+
 
 @pytest.fixture(scope="module")
 def sweep_fixture(tmp_path_factory):
@@ -379,6 +392,32 @@ class TestLengthsResumeLadderIntegrity:
         assert calls[0]["dora_file"].endswith(
             "random_target_e3_l2/dora_params_3/epoch3_dora_params.pth")
 
+    def test_partially_torn_tree_rolls_back_one_epoch(self, tmp_path,
+                                                      monkeypatch):
+        """A legacy CSV-first tree whose LAST row has no checkpoint (crash
+        between row N and checkpoint N) resumes from the newest intact
+        epoch instead of discarding the whole in-place tree."""
+        from vit_project_tpu.train import multi_fork as mf
+        cond = tmp_path / "random_target_e3_l2"
+        os.makedirs(cond / "dora_params_3")
+        with open(cond / "training_res.csv", "w") as f:
+            f.write("epoch,train_loss\n3,0.5\n4,0.45\n")   # rows 3 and 4
+        with open(cond / "dora_params_3" / "epoch3_dora_params.pth",
+                  "w") as f:
+            f.write("x")   # ...but only epoch 3's checkpoint exists
+
+        calls = []
+        monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
+        monkeypatch.setattr(mf, "_run_group",
+                            lambda su, forks, inits: [setattr(f, "finished",
+                                                              True)
+                                                      for f in forks])
+        failed = mf.run_batched_lengths(
+            {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
+        assert failed == []
+        assert calls[0]["rfe"] == 3 and calls[0]["require"] is True
+        assert calls[0]["dora_file"].endswith("epoch3_dora_params.pth")
+
     def test_required_load_raises_on_missing_checkpoint(self, tmp_path):
         """The real _Setup.load_state refuses a strict resume whose
         checkpoint file is gone, instead of silently fresh-initializing."""
@@ -476,10 +515,11 @@ class TestGroupFailureReporting:
             group_size=8)
         assert failed == ["random_target_e3_l1"]
 
-    def test_sweep_midbuild_crash_reports_every_run(self, tmp_path,
-                                                    monkeypatch):
-        """load_state raising while the group is still being assembled must
-        report every run in the group (none has a complete tree)."""
+    def test_sweep_init_failure_isolates_to_that_run(self, tmp_path,
+                                                     monkeypatch):
+        """load_state raising for one run must report ONLY that run; the
+        healthy co-grouped runs still train (a 64-hour-scale grid must not
+        burn an invocation on one corrupt fork state)."""
         from vit_project_tpu.train import multi_fork as mf
 
         Stub = self._stub_setup(tmp_path)
@@ -490,19 +530,24 @@ class TestGroupFailureReporting:
                     raise RuntimeError("ckpt missing")
                 return super().load_state(label, dora_file, rs_dir, rfe)
 
+        trained = []
         monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
-        monkeypatch.setattr(
-            mf, "_run_group",
-            lambda *a: pytest.fail("_run_group must not be reached"))
+
+        def run_group(su, forks, inits):
+            trained.extend(f.run for f in forks)
+            for f in forks:
+                f.finished = True
+
+        monkeypatch.setattr(mf, "_run_group", run_group)
         failed = mf.run_batched_sweep(
             {"output_base_directory": str(tmp_path)}, [5, 2], group_size=8)
-        assert failed == [2, 5]
+        assert failed == [5]
+        assert trained == [2]
 
-    def test_lengths_midbuild_crash_reports_every_condition(self, tmp_path,
-                                                            monkeypatch):
-        """The never-constructed-forks padding path: a crash during group
-        assembly leaves len(forks) < len(group); the handler must still
-        report the conditions whose forks were never built."""
+    def test_lengths_init_failure_isolates_to_that_condition(self, tmp_path,
+                                                             monkeypatch):
+        """Same isolation for the lengths grid: a condition whose resume
+        source is unreadable fails alone; the rest of its group trains."""
         from vit_project_tpu.train import multi_fork as mf
 
         Stub = self._stub_setup(tmp_path)
@@ -513,14 +558,20 @@ class TestGroupFailureReporting:
                     raise RuntimeError("ckpt missing")
                 return super().load_state(label, dora_file, rs_dir, rfe)
 
+        trained = []
         monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
-        monkeypatch.setattr(
-            mf, "_run_group",
-            lambda *a: pytest.fail("_run_group must not be reached"))
+
+        def run_group(su, forks, inits):
+            trained.extend(f.label for f in forks)
+            for f in forks:
+                f.finished = True
+
+        monkeypatch.setattr(mf, "_run_group", run_group)
         failed = mf.run_batched_lengths(
             {"output_base_directory": str(tmp_path)}, [3, 8], 1,
             group_size=8)
-        assert failed == ["random_target_e3_l1", "random_target_e8_l1"]
+        assert failed == ["random_target_e8_l1"]
+        assert trained == ["random_target_e3_l1"]
 
 
 @pytest.mark.slow

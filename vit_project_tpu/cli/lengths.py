@@ -52,6 +52,21 @@ def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
     return (None, None) if best is None else (best[1], best[0])
 
 
+def rollback_to_checkpoint(dora_dir: str, last_epoch0: int) -> int:
+    """Newest 1-indexed epoch <= last_epoch0+1 whose DoRA checkpoint exists
+    (0 = none). In-place resume must anchor on an epoch whose state is
+    actually on disk: pointing run_behavioral_training at a missing
+    epoch{N} file silently falls back to a FRESH adapter (the reference's
+    strict=False load), continuing a mid-lineage CSV with meaningless
+    numbers. With the checkpoint-before-CSV write order at most the final
+    row is uncovered; legacy CSV-first trees may need a deeper walk."""
+    rfe = last_epoch0 + 1
+    while rfe > 0 and not os.path.exists(
+            os.path.join(dora_dir, f"epoch{rfe}_dora_params.pth")):
+        rfe -= 1
+    return rfe
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="CLIP-HBA variable-length "
                                             "perturbation run (TPU-native)")
@@ -213,10 +228,14 @@ def main(argv=None):
     config["random_state_path"] = os.path.join(
         out_dir, f"random_states_{args.perturb_epoch}")
 
-    # in-place resume scan (reference :141-160)
+    # in-place resume scan (reference :141-160), anchored on the newest
+    # epoch whose checkpoint actually exists — a CSV row without its
+    # checkpoint (torn tree) must not resume into a fresh adapter
     last_completed_epoch = csvio.last_completed_epoch0(
         config["training_res_path"])
-    resume_from_existing = last_completed_epoch >= 0
+    resume_epoch = rollback_to_checkpoint(config["dora_parameters_path"],
+                                          last_completed_epoch)
+    resume_from_existing = last_completed_epoch >= 0 and resume_epoch > 0
 
     os.makedirs(out_dir, exist_ok=True)
     logger = setup_main_logger(
@@ -235,11 +254,15 @@ def main(argv=None):
         config["perturb_length"] = 0
         config["training_run"] = 0
         if resume_from_existing:
-            config["resume_from_epoch"] = last_completed_epoch + 1
+            config["resume_from_epoch"] = resume_epoch
             config["previous_training_res_path"] = config["training_res_path"]
             config["resume_random_state_path"] = config["random_state_path"]
             config["resume_dora_parameters_path"] = \
                 config["dora_parameters_path"]
+            if resume_epoch <= last_completed_epoch:
+                logger.info(f"CSV reaches epoch {last_completed_epoch + 1} "
+                            f"but the newest checkpoint is epoch "
+                            f"{resume_epoch} - rolled back (torn tree)")
             logger.info(f"Resuming existing baseline run from epoch "
                         f"{config['resume_from_epoch'] + 1}")
         else:
@@ -247,11 +270,15 @@ def main(argv=None):
     else:
         config["perturb_length"] = args.perturb_length
         if resume_from_existing:
-            config["resume_from_epoch"] = last_completed_epoch + 1
+            config["resume_from_epoch"] = resume_epoch
             config["previous_training_res_path"] = config["training_res_path"]
             config["resume_random_state_path"] = config["random_state_path"]
             config["resume_dora_parameters_path"] = \
                 config["dora_parameters_path"]
+            if resume_epoch <= last_completed_epoch:
+                logger.info(f"CSV reaches epoch {last_completed_epoch + 1} "
+                            f"but the newest checkpoint is epoch "
+                            f"{resume_epoch} - rolled back (torn tree)")
             logger.info(f"Resuming existing run from epoch "
                         f"{config['resume_from_epoch'] + 1}")
         else:

@@ -254,7 +254,10 @@ def main(argv=None):
     main_log = os.path.join(args.output_base_directory,
                             f"main_training_log_{timestamp}.txt")
     logger = setup_main_logger(main_log)
-    training_order = parse_order(args.training_order)
+    # stable dedup BEFORE any dispatch: duplicate run numbers share one
+    # artifact dir — split across workers (or co-batched) they would write
+    # it concurrently; sequentially they just retrain it for nothing
+    training_order = list(dict.fromkeys(parse_order(args.training_order)))
 
     if args.workers > 1:
         # Dispatch is pure host work — the parent must NOT initialize jax
@@ -265,6 +268,7 @@ def main(argv=None):
                     f"{args.workers} single-chip workers")
         failed_run_list = _run_workers(args, training_order, logger)
         logger.info(f"All workers done. Failed runs: {failed_run_list}")
+        _report_failed(failed_run_list)
         return failed_run_list
 
     from ..parallel import dist
@@ -376,4 +380,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    # nonzero exit when any run failed, so grid automation (launchers,
+    # retry wrappers) can detect incomplete sweeps — same contract as the
+    # lengths CLI
+    sys.exit(1 if main() else 0)

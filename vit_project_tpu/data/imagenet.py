@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import math
 import os
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -187,84 +185,44 @@ class ImageFolderLoader:
             order = order[self.shard_id::self.num_shards]
             n = len(order)
         end = n - n % self.batch_size if self.drop_last else n
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        # decode runs on a feeder thread so it overlaps training; failures
+        # re-raise here and an abandoned epoch cannot leak the thread
+        # (core/feeder.py holds the shared discipline)
+        from ..core.feeder import feed
+        for item in feed(self._batch_iter(order, end, epoch), self.prefetch):
+            for _ in range(self.echo):
+                yield item
 
-        def put(item) -> bool:
-            # bounded put that keeps watching `stop`: an abandoned consumer
-            # (generator closed mid-epoch) must not leave this thread blocked
-            # forever on a full queue
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.05)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def produce():
-            # Any decode/IO failure is DELIVERED to the consumer (re-raised
-            # from epoch()) rather than dying silently in this thread — a
-            # dead producer with no sentinel would leave the consumer blocked
-            # in q.get() forever (e.g. one truncated JPEG mid-epoch).
-            try:
-                _produce_items()
-            except BaseException as e:  # noqa: BLE001 - forwarded, not dropped
-                put(e)
-                return
-            put(None)
-
-        def _produce_items():
-            if self.use_native:
-                from . import fastimage as fim
-                mode = fim.MODE_RRC_FLIP if self.train else \
-                    fim.MODE_CENTER_CROP
-                for s in range(0, end, self.batch_size):
-                    if stop.is_set():
-                        return
-                    idx = order[s:s + self.batch_size]
-                    seeds = [(hash((self.seed, epoch, int(i)))
-                              & 0xFFFFFFFFFFFFFFFF) for i in idx]
-                    imgs = fim.transform_batch(
-                        [self.paths[i] for i in idx], mode, self.size,
-                        self.size, seeds, threads=self.workers)
-                    lbls = np.asarray([self._label(int(i)) for i in idx],
-                                      np.int32)
-                    if not put((imgs, lbls)):
-                        return
-                return
-            with ThreadPoolExecutor(self.workers) as ex:
-                for s in range(0, end, self.batch_size):
-                    if stop.is_set():
-                        return
-                    idx = order[s:s + self.batch_size]
-                    if self.train:
-                        futs = [ex.submit(_load_train, self.paths[i],
-                                          (self.seed, epoch, int(i)), self.size)
-                                for i in idx]
-                    else:
-                        futs = [ex.submit(_load_val, self.paths[i], self.size)
-                                for i in idx]
-                    imgs = np.stack([f.result() for f in futs])
-                    lbls = np.asarray([self._label(int(i)) for i in idx],
-                                      np.int32)
-                    if not put((imgs, lbls)):
-                        return
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                for _ in range(self.echo):
-                    yield item
-        finally:
-            stop.set()
-            t.join(timeout=10.0)
+    def _batch_iter(self, order, end: int, epoch: int):
+        """Decode one epoch's batches in order (runs on the feeder thread)."""
+        if self.use_native:
+            from . import fastimage as fim
+            mode = fim.MODE_RRC_FLIP if self.train else fim.MODE_CENTER_CROP
+            for s in range(0, end, self.batch_size):
+                idx = order[s:s + self.batch_size]
+                seeds = [(hash((self.seed, epoch, int(i)))
+                          & 0xFFFFFFFFFFFFFFFF) for i in idx]
+                imgs = fim.transform_batch(
+                    [self.paths[i] for i in idx], mode, self.size,
+                    self.size, seeds, threads=self.workers)
+                lbls = np.asarray([self._label(int(i)) for i in idx],
+                                  np.int32)
+                yield imgs, lbls
+            return
+        with ThreadPoolExecutor(self.workers) as ex:
+            for s in range(0, end, self.batch_size):
+                idx = order[s:s + self.batch_size]
+                if self.train:
+                    futs = [ex.submit(_load_train, self.paths[i],
+                                      (self.seed, epoch, int(i)), self.size)
+                            for i in idx]
+                else:
+                    futs = [ex.submit(_load_val, self.paths[i], self.size)
+                            for i in idx]
+                imgs = np.stack([f.result() for f in futs])
+                lbls = np.asarray([self._label(int(i)) for i in idx],
+                                  np.int32)
+                yield imgs, lbls
 
 
 def normalize_imagenet(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD,

@@ -193,6 +193,7 @@ class _ForkState:
                  prepop_csv: str | None = None):
         self.run = run
         self.window_len = window_len
+        self.label = str(run)   # reporting unit (lengths sets the dir name)
         self.start_epoch0 = start_epoch0    # first trained epoch, 0-indexed
         self.res_path = res_path
         self.dora_path = dora_path
@@ -357,37 +358,50 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
 
     failed: list[int] = []
     for gi, runs in enumerate(groups):
+        # per-fork init isolation: one run's unreadable fork state must not
+        # take down its co-grouped (healthy) runs — it alone is reported
+        # failed and the group trains without it
         forks: list[_ForkState] = []
-        try:
-            inits = []
-            for run in runs:
+        inits = []
+        for run in runs:
+            try:
                 run_dir = os.path.join(out_base, f"training_run{run}")
                 os.makedirs(run_dir, exist_ok=True)
-                forks.append(_ForkState(
+                fk = _ForkState(
                     run, cfg.perturb_length, run - 1,
                     os.path.join(run_dir, f"training_res_run{run}.csv"),
                     os.path.join(run_dir, f"dora_params_run{run}"),
-                    os.path.join(run_dir, f"random_states_run{run}")))
-                inits.append(su.load_state(
+                    os.path.join(run_dir, f"random_states_run{run}"))
+                init = su.load_state(
                     f"run {run}",
                     os.path.join(cfg.baseline_dora_directory,
                                  f"epoch{run - 1}_dora_params.pth"),
-                    cfg.baseline_random_state_path, run - 1))
+                    cfg.baseline_random_state_path, run - 1)
+            except Exception as e:
+                log(f"  run {run}: init FAILED: {e}")
+                failed.append(run)
+                continue
+            forks.append(fk)
+            inits.append(init)
+        if not forks:
+            continue
+        try:
             _run_group(su, forks, inits)
-            log(f"Group {gi + 1}/{len(groups)} (runs {runs}) completed")
+            log(f"Group {gi + 1}/{len(groups)} (runs "
+                f"{[f.run for f in forks]}) completed")
             if done_report is not None:
-                done_report(list(runs))
+                done_report([f.run for f in forks])
         except Exception as e:
             # only forks whose trees are incomplete count as failed: a fork
             # that already finished all its epochs has full artifacts, and
             # reporting it failed would invite a re-run that truncates them
-            done = {f.run for f in forks if f.finished}
-            bad = [run for run in runs if run not in done]
+            done = sorted(f.run for f in forks if f.finished)
+            bad = [f.run for f in forks if not f.finished]
             log(f"Group {gi + 1}/{len(groups)} (runs {runs}) FAILED: {e} "
                 f"(incomplete runs: {bad})")
             failed.extend(bad)
             if done_report is not None and done:
-                done_report(sorted(done))
+                done_report(done)
     return failed
 
 
@@ -424,74 +438,88 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     failed: list[str] = []
     for gi, group in enumerate(groups):
         names = [name for _, name in group]
+        # per-condition init isolation: one condition's torn sibling or
+        # unreadable checkpoint must not take down its co-grouped (healthy)
+        # conditions — it alone is reported failed
         forks: list[_ForkState] = []
+        inits = []
+        for E, name in group:
+            try:
+                fk, init = _init_length_condition(su, out_base, ptype, E,
+                                                  name, length)
+            except Exception as e:
+                log(f"  {name}: init FAILED: {e}")
+                failed.append(name)
+                continue
+            forks.append(fk)
+            inits.append(init)
+        if not forks:
+            continue
         try:
-            inits = []
-            for E, name in group:
-                out_dir = os.path.join(out_base, name)
-                os.makedirs(out_dir, exist_ok=True)
-                res_path = os.path.join(out_dir, "training_res.csv")
-                dora_dir = os.path.join(out_dir, f"dora_params_{E}")
-                rs_dir = os.path.join(out_dir, f"random_states_{E}")
-
-                last = csvio.last_completed_epoch0(res_path)
-                # in-place resume (reference :141-160) needs the condition's
-                # OWN checkpoint of the last completed epoch. A CSV with rows
-                # but no checkpoint is a torn tree (a previous attempt died
-                # between CSV pre-population and its first checkpoint) —
-                # fall through to the cross-run/fresh ladder, whose
-                # init_clip_csv rebuilds the CSV from the correct source.
-                own_ckpt = os.path.join(dora_dir,
-                                        f"epoch{last + 1}_dora_params.pth")
-                resuming = False
-                if last >= 0 and os.path.exists(own_ckpt):
-                    rfe, prepop = last + 1, res_path
-                    src_dora, src_rs = dora_dir, rs_dir
-                    resuming = True
-                    log(f"  {name}: in-place resume from epoch {rfe + 1}")
-                else:
-                    if last >= 0:
-                        log(f"  {name}: CSV has epochs through {last + 1} "
-                            f"but {own_ckpt} is missing (torn tree) - "
-                            f"restarting from the resume ladder")
-                    prev_dir, prev_len = find_previous_run_dir(
-                        out_base, ptype, E, length)
-                    if prev_dir and prev_len is not None:
-                        rfe = max(0, E - 1) + prev_len
-                        prepop = os.path.join(prev_dir, "training_res.csv")
-                        src_dora = os.path.join(prev_dir,
-                                                f"dora_params_{E}")
-                        src_rs = os.path.join(prev_dir,
-                                              f"random_states_{E}")
-                        resuming = True
-                        log(f"  {name}: resuming from '{prev_dir}' "
-                            f"(length {prev_len}) at epoch {rfe + 1}")
-                    else:
-                        rfe, prepop = max(0, E - 1), None
-                        src_dora, src_rs = (cfg.baseline_dora_directory,
-                                            cfg.baseline_random_state_path)
-
-                dora_file = (os.path.join(src_dora,
-                                          f"epoch{rfe}_dora_params.pth")
-                             if rfe > 0 else None)
-                forks.append(_ForkState(E, length, rfe, res_path, dora_dir,
-                                        rs_dir, prepop_csv=prepop))
-                # resuming an existing trajectory must find its checkpoint;
-                # only the fresh-from-baseline fork keeps the reference's
-                # strict=False fallback
-                inits.append(su.load_state(name, dora_file, src_rs, rfe,
-                                           require=resuming))
             _run_group(su, forks, inits)
             log(f"Group {gi + 1}/{len(groups)} ({names}) completed")
         except Exception as e:
-            done = {id(f) for f in forks if f.finished}
-            bad = [name for (E, name), f in
-                   zip(group, forks + [None] * (len(group) - len(forks)))
-                   if f is None or id(f) not in done]
+            bad = [f.label for f in forks if not f.finished]
             log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e} "
                 f"(incomplete conditions: {bad})")
             failed.extend(bad)
     return failed
+
+
+def _init_length_condition(su: _Setup, out_base: str, ptype: str, E: int,
+                           name: str, length: int):
+    """One condition's fork state + initial (trainable, opt, seed) via the
+    full resume ladder: in-place (anchored on the newest epoch whose OWN
+    checkpoint exists — a CSV row without its checkpoint is a torn tree and
+    rolls back rather than resuming into a fresh adapter), else cross-run
+    from the longest shorter sibling, else fresh from the baseline."""
+    from ..cli.lengths import find_previous_run_dir, rollback_to_checkpoint
+    cfg, log = su.cfg, su.log
+    out_dir = os.path.join(out_base, name)
+    os.makedirs(out_dir, exist_ok=True)
+    res_path = os.path.join(out_dir, "training_res.csv")
+    dora_dir = os.path.join(out_dir, f"dora_params_{E}")
+    rs_dir = os.path.join(out_dir, f"random_states_{E}")
+
+    last = csvio.last_completed_epoch0(res_path)
+    anchored = rollback_to_checkpoint(dora_dir, last) if last >= 0 else 0
+    resuming = False
+    if last >= 0 and anchored > 0:
+        rfe, prepop = anchored, res_path
+        src_dora, src_rs = dora_dir, rs_dir
+        resuming = True
+        if anchored <= last:
+            log(f"  {name}: CSV reaches epoch {last + 1} but the newest "
+                f"checkpoint is epoch {anchored} - rolled back (torn tree)")
+        log(f"  {name}: in-place resume from epoch {rfe + 1}")
+    else:
+        if last >= 0:
+            log(f"  {name}: CSV has epochs through {last + 1} but NO own "
+                f"checkpoints (torn tree) - restarting from the ladder")
+        prev_dir, prev_len = find_previous_run_dir(out_base, ptype, E,
+                                                   length)
+        if prev_dir and prev_len is not None:
+            rfe = max(0, E - 1) + prev_len
+            prepop = os.path.join(prev_dir, "training_res.csv")
+            src_dora = os.path.join(prev_dir, f"dora_params_{E}")
+            src_rs = os.path.join(prev_dir, f"random_states_{E}")
+            resuming = True
+            log(f"  {name}: resuming from '{prev_dir}' "
+                f"(length {prev_len}) at epoch {rfe + 1}")
+        else:
+            rfe, prepop = max(0, E - 1), None
+            src_dora, src_rs = (cfg.baseline_dora_directory,
+                                cfg.baseline_random_state_path)
+
+    dora_file = (os.path.join(src_dora, f"epoch{rfe}_dora_params.pth")
+                 if rfe > 0 else None)
+    fk = _ForkState(E, length, rfe, res_path, dora_dir, rs_dir,
+                    prepop_csv=prepop)
+    fk.label = name
+    # resuming an existing trajectory must find its checkpoint; only the
+    # fresh-from-baseline fork keeps the reference's strict=False fallback
+    init = su.load_state(name, dora_file, src_rs, rfe, require=resuming)
+    return fk, init
 
 
 class _PrintLogger:

@@ -40,54 +40,16 @@ def sgd_init(params):
 def _device_prefetch(batches, shard_fn, depth: int):
     """Overlap the h2d transfer of batch k+1 with the device step on batch k.
 
-    The loader's own producer thread overlaps DECODE with training; this
+    The loader's own feeder thread overlaps DECODE with training; this
     second stage moves the device placement (`shard_fn` = device_put /
     global-array assembly, which is synchronous on the host for remote or
     tunneled backends) off the consumer thread too, so the chip never waits
-    on a transfer that could have happened during the previous step. Same
-    stop-aware bounded-put discipline as ImageFolderLoader.epoch
-    (data/imagenet.py:193-215): an abandoned consumer cannot leave the
-    thread blocked on a full queue, and a failure inside shard_fn is
-    re-raised at the consumer instead of dying silently."""
-    import queue
-    import threading
-    q: queue.Queue = queue.Queue(maxsize=depth)
-    stop = threading.Event()
-
-    def put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.05)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def produce():
-        try:
-            for images_u8, labels in batches:
-                if stop.is_set():
-                    return
-                if not put(shard_fn(images_u8, labels)):
-                    return
-        except BaseException as e:  # noqa: BLE001 - forwarded, not dropped
-            put(e)
-            return
-        put(None)
-
-    t = threading.Thread(target=produce, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
-        t.join(timeout=10.0)
+    on a transfer that could have happened during the previous step.
+    core/feeder.py holds the shared thread discipline (stop-aware puts,
+    exception delivery, join on abandonment)."""
+    from ..core.feeder import feed
+    return feed((shard_fn(images_u8, labels)
+                 for images_u8, labels in batches), depth)
 
 
 class ViTTrainer:
