@@ -56,26 +56,35 @@ def make_synthetic_things(root: str, n_train: int, n_val: int = 48,
     for i in range(max(n_train, n_val)):
         n = f"object_{i:04d}.png"
         p = os.path.join(img_dir, n)
+        # draw UNCONDITIONALLY so the RandomState stream position is the
+        # same on every invocation — a resumed run must regenerate
+        # byte-identical targets/RDM or the forks would silently resume
+        # baseline checkpoints trained on different data
+        arr = rs.randint(0, 255, (src_px, src_px, 3), dtype=np.uint8)
         if not os.path.exists(p):  # idempotent re-runs
-            Image.fromarray(rs.randint(0, 255, (src_px, src_px, 3),
-                                       dtype=np.uint8)).save(p)
+            Image.fromarray(arr).save(p)
         names.append(n)
 
     df = pd.DataFrame({"image_name": names[:n_train]})
     for j in range(66):
         df[f"dim{j}"] = (rs.rand(n_train) * 2).astype(np.float32)
-    df.to_csv(os.path.join(root, "spose_train.csv"))
+    train_csv = os.path.join(root, "spose_train.csv")
+    if not os.path.exists(train_csv):
+        df.to_csv(train_csv)
 
     inf = pd.DataFrame({"image_name": names[:n_val]})
     for j in range(66):
         inf[f"dim{j}"] = (rs.rand(n_val) * 2).astype(np.float32)
-    inf.to_csv(os.path.join(root, "spose_val.csv"))
+    val_csv = os.path.join(root, "spose_val.csv")
+    if not os.path.exists(val_csv):
+        inf.to_csv(val_csv)
 
     rdm = rs.rand(n_val, n_val)
     rdm = (rdm + rdm.T) / 2
     np.fill_diagonal(rdm, 0)
-    scipy.io.savemat(os.path.join(root, "RDM48_triplet.mat"),
-                     {"RDM48_triplet": rdm})
+    rdm_path = os.path.join(root, "RDM48_triplet.mat")
+    if not os.path.exists(rdm_path):
+        scipy.io.savemat(rdm_path, {"RDM48_triplet": rdm})
     return {
         "csv_file": os.path.join(root, "spose_train.csv"),
         "img_dir": img_dir,
@@ -159,13 +168,35 @@ def main(argv=None):
     print(f"== 1/4 baseline ({args.epochs} epochs, {args.backbone}, "
           f"batch {args.batch_size})")
     t0 = time.time()
-    run_behavioral_training({
+    base_cfg = {
         **common, "perturb_type": "baseline", "perturb_length": 0,
         "training_run": 0,
         "checkpoint_path": f"{base}/model.ckpt",
         "training_res_path": f"{base}/training_res.csv",
         "dora_parameters_path": f"{base}/dora_params",
-        "random_state_path": f"{base}/random_states"})
+        "random_state_path": f"{base}/random_states"}
+    if args.sweep_workers > 1:
+        # the worker dispatch requires THIS process to never initialize
+        # jax (the parent would acquire every chip the pinned workers
+        # need — cli/sweep.py:_run_workers), so the baseline trains in a
+        # subprocess that owns the chip and exits before the dispatch
+        import subprocess
+        os.makedirs(base, exist_ok=True)
+        cfg_path = f"{base}/baseline_config.json"
+        with open(cfg_path, "w") as f:
+            json.dump(base_cfg, f)
+        code = ("import json,sys;"
+                "from vit_project_tpu.train.clip_loop import "
+                "run_behavioral_training;"
+                "run_behavioral_training(json.load(open(sys.argv[1])))")
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + repo
+                             ).lstrip(os.pathsep)
+        subprocess.run([sys.executable, "-c", code, cfg_path], env=env,
+                       check=True)
+    else:
+        run_behavioral_training(base_cfg)
     times["baseline"] = time.time() - t0
     print(f"   baseline wall: {times['baseline']:.1f}s "
           f"(reference: ~43 s/epoch on its lab GPU)")
@@ -201,11 +232,13 @@ def main(argv=None):
           f"+ image_noise forks {in_order}")
     t0 = time.time()
     failed = sweep_cli.main(sweep_args("random_target", rt_order, sweep_rt))
-    assert not failed, f"sweep failures: {failed}"
+    if failed:  # not assert: must abort under python -O too
+        raise RuntimeError(f"sweep failures: {failed}")
     times["sweep_random_target"] = time.time() - t0
     t0 = time.time()
     failed = sweep_cli.main(sweep_args("image_noise", in_order, sweep_in))
-    assert not failed, f"sweep failures: {failed}"
+    if failed:
+        raise RuntimeError(f"sweep failures: {failed}")
     times["sweep_image_noise"] = time.time() - t0
     n_forks = len(rt_order) + len(in_order)
     print(f"   {n_forks} forks wall: "
@@ -244,7 +277,8 @@ def main(argv=None):
                 + ["--onsets", ",".join(map(str, onsets)),
                    "--perturb_length", str(L),
                    "--fork_devices", str(args.sweep_fork_devices)])
-            assert not failed, f"lengths failures: {failed}"
+            if failed:
+                raise RuntimeError(f"lengths failures: {failed}")
         else:
             for E in onsets:
                 lengths_cli.main(

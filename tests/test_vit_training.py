@@ -261,7 +261,7 @@ class TestViTTraining:
         assert len(summ) == len(df)
         # a missing checkpoint epoch is skipped, not fatal
         r = vit_measure.measure_perturbation_effect(
-            99, "gaussian", None, None, out,
+            99, "gaussian", None, out,
             pd.read_csv(baseline_csv), None, None, None, None, {}, 0.1)
         assert r is None
 

@@ -41,7 +41,7 @@ def load_things_for_vit(things_csv: str, things_img_dir: str, size: int = 224):
 
 def measure_perturbation_effect(
         perturb_epoch: int, perturbation_type: str, trainer: ViTTrainer,
-        vit_cfg, baseline_checkpoint_dir: str, baseline_df: pd.DataFrame,
+        baseline_checkpoint_dir: str, baseline_df: pd.DataFrame,
         train_loader, val_loader, things_images_u8, reference_rdm,
         scheduler_cfg: dict, epsilon: float, shuffle_seed: int = 42,
         logger=None):
@@ -68,14 +68,14 @@ def measure_perturbation_effect(
     scheduler.load_state_dict(ckpt["scheduler_state"])
 
     # label-table perturbations wrap the dataset (reference :180-184)
-    num_classes = trainer.cfg.num_classes
     if perturbation_type == "label_shuffle":
         table = injectors.shuffled_label_table(train_loader.num_samples(),
                                                shuffle_seed)
         train_loader.label_table = train_loader.labels[table]
     elif perturbation_type == "target_noise":
         train_loader.label_table = injectors.random_target_table(
-            train_loader.num_samples(), num_classes, shuffle_seed)
+            train_loader.num_samples(), trainer.cfg.num_classes,
+            shuffle_seed)
     else:
         train_loader.label_table = None
 
@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--total_epochs", type=int, default=100)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--random_seed", type=int, default=0,
+                   help="MUST match the baseline training run's "
+                        "--random_seed: the forked perturbed epoch replays "
+                        "the baseline's per-epoch shuffle/augmentation "
+                        "stream, so a different seed confounds the measured "
+                        "deltas with a data-order change")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--backbone", default="vit_base_patch16_224",
                    help="model config name (see models.vit.VIT_CONFIGS)")
@@ -169,6 +175,7 @@ def main(argv=None):
     local_bs = args.batch_size // proc_count
     train_loader = dimg.ImageFolderLoader(
         f"{args.data_path}/train", local_bs, train=True,
+        seed=args.random_seed,  # replay the BASELINE's shuffle/aug stream
         size=vit_cfg.image_size, workers=args.num_workers, drop_last=True,
         use_native=args.use_native_loader,
         num_shards=proc_count, shard_id=proc_id)
@@ -192,7 +199,7 @@ def main(argv=None):
             continue
         for ptype in args.perturbation_types:
             r = measure_perturbation_effect(
-                perturb_epoch, ptype, trainer, vit_cfg,
+                perturb_epoch, ptype, trainer,
                 args.baseline_checkpoint_dir, baseline_df, train_loader,
                 val_loader, things_images, reference_rdm, scheduler_cfg,
                 args.epsilon)

@@ -72,8 +72,15 @@ def main(argv=None):
     reference_rdm = np.asarray(
         scipy.io.loadmat(args.things_rdm_path)["RDM48_triplet"], np.float32)
 
+    checkpoints = list_epoch_checkpoints(args.checkpoint_dir)
+    if not checkpoints:
+        # a wrong --checkpoint_dir would otherwise yield a headerless empty
+        # CSV and a success message; the downstream measurement grid then
+        # dies far from the actual mistake
+        raise SystemExit(f"no checkpoint_epoch_* entries found in "
+                         f"{args.checkpoint_dir}")
     rows = []
-    for epoch, path in list_epoch_checkpoints(args.checkpoint_dir):
+    for epoch, path in checkpoints:
         ckpt = vit_ckpt.load_checkpoint(path)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         rho, _ = trainer.compute_rsa_score(params, things_images,

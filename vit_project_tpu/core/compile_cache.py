@@ -35,7 +35,9 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache even fast compiles: a 98-fork sweep amortizes everything
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # (jax's default threshold is 1.0s, which would skip the small
+        # eval/feature/shard programs entirely)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         return None
     return cache_dir
