@@ -165,6 +165,52 @@ class TestViTTraining:
         it.close()   # abandon mid-epoch: feeder must exit, not block on put
         assert threading.active_count() <= before + 1
 
+    def test_zero1_matches_replicated_and_shards_state(self,
+                                                       imagenet_fixture,
+                                                       tmp_path):
+        """ZeRO-1 momentum sharding changes WHERE the optimizer state lives
+        (1/N per chip + a per-step all-gather), never the numbers: the
+        trajectory and final checkpoint equal the replicated run's, and the
+        live momentum leaves really are sharded over 'data'."""
+        import dataclasses
+        base_out = str(tmp_path / "base")
+        run_vit_training(tiny_cfg(imagenet_fixture, base_out, epochs=2),
+                         vit_cfg=TINY)
+        z_out = str(tmp_path / "z1")
+        res = run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, z_out, epochs=2), zero1=True),
+            vit_cfg=TINY)
+
+        base = pd.read_csv(os.path.join(base_out, "training_metrics.csv"))
+        z1 = pd.read_csv(os.path.join(z_out, "training_metrics.csv"))
+        np.testing.assert_allclose(z1["train_loss"], base["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(z1["val_loss"], base["val_loss"],
+                                   rtol=1e-4)
+        from vit_project_tpu.ckpt import vit_ckpt
+        ck_b = vit_ckpt.load_checkpoint(
+            os.path.join(base_out, "checkpoint_latest.pth"))
+        ck_z = vit_ckpt.load_checkpoint(
+            os.path.join(z_out, "checkpoint_latest.pth"))
+        for a, b in zip(jax.tree_util.tree_leaves(ck_z["params"]),
+                        jax.tree_util.tree_leaves(ck_b["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+        # the live state is genuinely sharded: every leaf whose leading axis
+        # divides the 8-device data mesh holds 1/8 per device
+        sharded = [x for x in jax.tree_util.tree_leaves(res["momentum_buf"])
+                   if x.ndim >= 1 and x.shape[0] % 8 == 0]
+        assert sharded and all(not x.sharding.is_fully_replicated
+                               for x in sharded)
+
+    def test_zero1_rejects_pp(self, imagenet_fixture):
+        import dataclasses
+        with pytest.raises(ValueError, match="zero1"):
+            from vit_project_tpu.train.vit_loop import ViTTrainer
+            ViTTrainer(TINY, dataclasses.replace(
+                tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1),
+                zero1=True, pp_stages=2, pp_micro=2))
+
     def test_grad_accum_matches_unsplit(self, imagenet_fixture, tmp_path):
         """grad_accum=2 (two scanned gradient microbatches per step) trains
         the same trajectory as the unsplit step — CE is a mean over the

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_prefetch", type=int, default=2,
                    help="h2d lookahead depth: device-place batch k+1 on a "
                         "feeder thread while batch k trains; 0 disables")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the SGD momentum over the data axis (ZeRO-1):"
+                        " ~Nx less optimizer memory per chip for one "
+                        "all-gather per step; numbers unchanged")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into N gradient microbatches "
                         "inside one jitted step (lax.scan): peak activation "
@@ -84,7 +88,8 @@ def main(argv=None):
         use_native_loader=args.use_native_loader, remat=args.remat,
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
-        grad_accum=args.grad_accum, device_prefetch=args.device_prefetch)
+        grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
+        zero1=args.zero1)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -141,6 +141,10 @@ class ViTTrainConfig:
                               # batch k+1 while batch k trains (transfers are
                               # host-synchronous on remote backends); 0 = off.
                               # Same batches in the same order either way.
+    zero1: bool = False  # shard the SGD momentum over the 'data' axis
+                         # (ZeRO-1): per-chip optimizer state drops ~Nx for
+                         # one all-gather per step; numbers unchanged.
+                         # dp-only (not with pp_stages).
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

@@ -137,6 +137,25 @@ def shard_vit_params_tp(mesh: Mesh, params: dict,
     return out
 
 
+def zero1_sharding(mesh: Mesh, x) -> NamedSharding:
+    """ZeRO-1 placement for one optimizer-state leaf: leading axis sharded
+    over 'data' when it divides (each chip stores 1/N of the buffer),
+    replicated otherwise (tiny biases/scales — not worth a ragged split)."""
+    if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+        return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P())
+
+
+def shard_opt_state(mesh: Mesh, tree):
+    """Place an optimizer-state pytree with ZeRO-1 shardings (see
+    zero1_sharding). The reference replicates optimizer state per GPU (DDP);
+    sharding it over the data axis cuts per-chip state memory ~Nx for one
+    all-gather's worth of traffic per step (inserted by XLA from the
+    sharding constraint in the train step)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, zero1_sharding(mesh, x)), tree)
+
+
 def pad_to_multiple(batch_tree, multiple: int):
     """Pad the leading axis to a multiple (for even data sharding); returns
     (padded_tree, real_count). Loss/metric code weights by real_count."""

@@ -74,6 +74,10 @@ class ViTTrainer:
         if self.pp and "stage" not in self.mesh.axis_names:
             raise ValueError("pp_stages > 1 needs a mesh with a 'stage' "
                              f"axis, got {self.mesh.axis_names}")
+        self.zero1 = getattr(train_cfg, "zero1", False)
+        if self.zero1 and self.pp:
+            raise ValueError("zero1 shards over the 'data' axis of the dp "
+                             "mesh; it does not compose with pp_stages")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
@@ -169,8 +173,21 @@ class ViTTrainer:
                 new_buf = jax.tree_util.tree_map(
                     lambda p, g, b: momentum * b + (g + wd * p),
                     params, grads, momentum_buf)
+                if self.zero1:
+                    # pin the buffer SHARDED and the params REPLICATED: the
+                    # p - lr*buf contraction then lowers to exactly ZeRO-1's
+                    # per-step all-gather of the update, and each chip keeps
+                    # only its 1/N slice of the momentum between steps
+                    new_buf = jax.tree_util.tree_map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, vmesh.zero1_sharding(self.mesh, x)), new_buf)
                 new_params = jax.tree_util.tree_map(
                     lambda p, b: p - lr * b, params, new_buf)
+                if self.zero1:
+                    rep = vmesh.replicated(self.mesh)
+                    new_params = jax.tree_util.tree_map(
+                        lambda x: jax.lax.with_sharding_constraint(x, rep),
+                        new_params)
                 return new_params, new_buf, loss
 
             self._train_steps[key] = jax.jit(step, donate_argnums=(0, 1))
@@ -426,7 +443,9 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         momentum_buf = vpp.shard_params_pp(mesh, momentum_buf)
     else:
         params = vmesh.replicate(mesh, params)
-        momentum_buf = vmesh.replicate(mesh, momentum_buf)
+        momentum_buf = (vmesh.shard_opt_state(mesh, momentum_buf)
+                        if cfg.zero1
+                        else vmesh.replicate(mesh, momentum_buf))
 
     from ..core.profiling import trace
     for epoch in range(start_epoch, cfg.epochs):
