@@ -107,6 +107,24 @@ class TestPipelineForward:
         with pytest.raises(ValueError, match="stage"):
             pp.shard_params_pp(mesh, params, 4)
 
+    def test_make_mesh_stage_axis_and_guards(self):
+        from vit_project_tpu.parallel import mesh as vmesh
+        m = vmesh.make_mesh(n_stage=2)
+        assert m.axis_names == ("data", "stage") and m.shape["stage"] == 2
+        with pytest.raises(ValueError, match="not supported"):
+            vmesh.make_mesh(n_model=2, n_stage=2)
+
+    def test_stage_count_mismatch_rejected(self, setup):
+        """A blocks_st whose stage axis is a larger multiple of the mesh
+        would silently drop layers — pipeline_features must refuse it."""
+        params, images, _ = setup
+        mesh2 = _mesh((2,), ("stage",))
+        _, blocks_st4 = pp.stage_blocks(params, 4)  # bypass shard_params_pp
+        rest, _ = pp.stage_blocks(params, 2)
+        with pytest.raises(ValueError, match="stages"):
+            pp.pipeline_features(rest, blocks_st4, images, CFG, mesh2,
+                                 n_micro=2)
+
 
 class TestPipelineTraining:
     def _oracle_step(self, params, momentum_buf, images, labels, lr):
