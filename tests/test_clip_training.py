@@ -253,3 +253,30 @@ class TestEarlyStopping:
         # epoch1 sets best; epochs 2,3 no improve (ties are not improvements)
         assert len(rows) - 1 == 3
         assert result["last_epoch0"] == 2
+
+
+class TestNanBatchSkipAggregation:
+    def test_epoch_loss_stays_finite_when_a_batch_is_skipped(
+            self, things_fixture, tmp_path):
+        """A skipped (non-finite) batch's loss entry is NaN; the epoch
+        aggregation must mask it BEFORE multiplying (NaN * 0 = NaN would
+        write a NaN Training Loss to the CSV — the exact failure the
+        ok-mask exists to prevent)."""
+        import pandas as pd
+        from vit_project_tpu.data import things as dthings
+        out = str(tmp_path / "nan_run")
+        df = pd.read_csv(things_fixture["csv_file"], index_col=0)
+        df.loc[df.index[0], "d3"] = np.nan   # poison one target row
+        bad_csv = str(tmp_path / "poisoned.csv")
+        df.to_csv(bad_csv)
+        # pin the poisoned row into the TRAIN split (the test side has no
+        # NaN guard — reference parity)
+        split_path = str(tmp_path / "dataset_split_indices.pth")
+        dthings.save_split_indices(split_path, np.arange(0, 48),
+                                   np.arange(48, 60), 1)
+        cfg = base_config(things_fixture, out, epochs=1, csv_file=bad_csv,
+                          baseline_split_indices_path=split_path)
+        clip_loop.run_behavioral_training(cfg)
+        rows = read_csv_rows(os.path.join(out, "training_res.csv"))
+        assert np.isfinite(float(rows[1][1])), rows[1]   # train loss
+        assert np.isfinite(float(rows[1][2]))            # test loss

@@ -23,15 +23,22 @@ def fold(key: jax.Array, *data: int) -> jax.Array:
     return key
 
 
+def perturb_base_key(perturb_seed: int, training_run: int) -> jax.Array:
+    """Per-run perturbation base key — THE single home of the reference's
+    seed arithmetic ``perturb_seed + training_run * 1000`` (reference
+    new_cvpr_train_behavior_things_pipeline.py:882,920,939). Every consumer
+    (the solo epoch scan, the batched multi-fork programs, and
+    batch_perturb_key below) derives from this one function, so the
+    fork-replay determinism contract cannot drift between them."""
+    return key_from_seed(int(perturb_seed) + int(training_run) * 1000)
+
+
 def batch_perturb_key(perturb_seed: int, training_run: int, batch_idx) -> jax.Array:
-    """Per-batch perturbation key.
+    """Per-batch perturbation key: fold_in(perturb_base_key, batch_idx).
 
-    Mirrors the reference's per-batch seed arithmetic
-    ``perturb_seed + training_run * 1000 + batch_idx`` (reference
-    new_cvpr_train_behavior_things_pipeline.py:882,920,939): the perturbation applied
-    to a given (run, batch) pair is identical across resumes and forks.
-
-    `batch_idx` may be a traced integer so this works inside jit.
+    The perturbation applied to a given (run, batch) pair is identical
+    across resumes and forks. `batch_idx` may be a traced integer so this
+    works inside jit.
     """
-    base = key_from_seed(int(perturb_seed) + int(training_run) * 1000)
-    return jax.random.fold_in(base, batch_idx)
+    return jax.random.fold_in(perturb_base_key(perturb_seed, training_run),
+                              batch_idx)

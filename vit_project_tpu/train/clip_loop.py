@@ -34,7 +34,7 @@ from ..ckpt import clip_ckpt, serialization as ser
 from ..core import csvio
 from ..core.configs import ClipRunConfig
 from ..core.logs import setup_logger
-from ..core.prng import batch_perturb_key
+from ..core.prng import batch_perturb_key, perturb_base_key
 from ..data import things as dthings
 from ..data.spose66 import classnames66
 from ..models import clip as vclip
@@ -137,6 +137,11 @@ class ClipHBATrainer:
         P = jax.process_count()
         if P == 1:
             return x
+        if len(x) % P != 0:
+            # a silent floor-division here would DROP the remainder rows
+            # from the assembled global batch (torn data, no error)
+            raise ValueError(f"global batch width {len(x)} must divide by "
+                             f"{P} processes")
         per = len(x) // P
         k = jax.process_index()
         return x[k * per:(k + 1) * per]
@@ -162,15 +167,21 @@ class ClipHBATrainer:
         return img, tgt
 
     def _prep_idx(self, idx: np.ndarray, batch_size: int):
-        """Index batch -> (device idx padded to batch_size, valid mask).
+        """Index batch -> (device idx padded, valid mask).
 
         Padding to the FULL batch size (not just the device count) keeps one
-        compiled step shape for every batch including the final partial one.
+        compiled step shape for every batch including the final partial one;
+        the width is additionally rounded up to a multiple of the device
+        count so a batch_size that does not divide the mesh still shards
+        (same convention as _prep_idx_mat / pad_to_multiple).
         """
         n = len(idx)
-        pad = batch_size - n
-        idx_p = np.pad(np.asarray(idx, np.int32), (0, pad))
-        valid = (np.arange(batch_size) < n).astype(np.float32)
+        width = batch_size
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            width = ((batch_size + n_dev - 1) // n_dev) * n_dev
+        idx_p = np.pad(np.asarray(idx, np.int32), (0, width - n))
+        valid = (np.arange(width) < n).astype(np.float32)
         if self.mesh is not None:
             from ..parallel import mesh as vmesh
             # multihost: pass only this process's block (see _prep_batch)
@@ -440,6 +451,29 @@ class ClipHBATrainer:
                                             self.static, bi, bt, valid)
         return float(total) / n
 
+    def infer_in_chunks(self, trainable, imgs_dev, n_real: int,
+                        chunk: int = 256) -> np.ndarray:
+        """Embed a possibly-large resident image set in fixed-size chunks of
+        `_infer_step` — bounds activation memory the way eval_idx_mats caps
+        the eval scan (a single whole-set forward of an arbitrary-size NOD
+        set would OOM HBM at ViT-L activation scale). The chunk width is
+        rounded up to the device count and the last chunk padded, so every
+        call shares ONE compiled shape."""
+        n = imgs_dev.shape[0]
+        if self.mesh is not None:
+            nd = self.mesh.devices.size
+            chunk = ((chunk + nd - 1) // nd) * nd
+        outs = []
+        for s in range(0, n, chunk):
+            part = imgs_dev[s:s + chunk]
+            short = chunk - part.shape[0]
+            if short > 0:
+                part = jnp.pad(
+                    part, ((0, short),) + ((0, 0),) * (part.ndim - 1))
+            outs.append(np.asarray(self._infer_step(
+                trainable, self.params, self.static, part)))
+        return np.concatenate(outs)[:n_real]
+
     def behavioral_rsa(self, trainable, inference_images_u8,
                        reference_rdm):
         """One device call: 48-image inference + RDM + Spearman (reference
@@ -549,8 +583,7 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         # a per-step oracle by examples/multihost_cpu_demo.py section 5).
         idx_mat, valid_mat = trainer._prep_idx_mat(batch_list, batch_size)
         epoch_fn = trainer._epoch_scan(kind)
-        base_pkey = jax.random.PRNGKey(
-            int(perturb_seed) + int(training_run) * 1000)
+        base_pkey = perturb_base_key(perturb_seed, training_run)
         trainable, opt_state, losses, oks = epoch_fn(
             trainable, opt_state, trainer.params, trainer.static,
             train_imgs_dev, train_tgts_dev, idx_mat,
@@ -560,7 +593,9 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         for bi in np.nonzero(~oks)[0]:
             log(f"WARNING: non-finite batch {bi} skipped "
                 f"(epoch {epoch + 1})")
-        total_loss = float(np.sum(losses * sizes * oks))
+        # mask BEFORE multiplying: a skipped batch's loss is NaN/inf, and
+        # NaN * 0 = NaN would poison the sum the ok-mask exists to protect
+        total_loss = float(np.sum(np.where(oks, losses, 0.0) * sizes))
         # reference divides by the full dataset size regardless of skips
         avg_train_loss = total_loss / n_train
 
@@ -581,9 +616,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             # device computation runs on EVERY process (the jit spans the
             # pod mesh — gating it would deadlock the SPMD program); only
             # the file write below is process-0.
-            nod_emb = np.asarray(trainer._infer_step(
-                trainable, trainer.params, trainer.static,
-                nod_imgs_dev))[:len(nod_images)]
+            nod_emb = trainer.infer_in_chunks(trainable, nod_imgs_dev,
+                                              len(nod_images))
 
         # host-side artifacts (CSV rows, pickles, dumps) are written by
         # process 0 only: on a pod every process holds the same replicated
@@ -613,8 +647,10 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                                   avg_train_loss, avg_test_loss, rho, p_value,
                                   **flags)
 
-        in_win = windows.in_window(epoch, training_run, perturb_length) \
-            and perturb_type in windows.PERTURB_TYPES
+        # patience freezes on PURE window arithmetic (reference :1044-1056
+        # checks only the epoch range, not whether the type actually
+        # injects) — the injection gate itself stays type-checked
+        in_win = windows.in_window(epoch, training_run, perturb_length)
         if avg_test_loss < best_test_loss:
             best_test_loss = avg_test_loss
             epochs_no_improve = 0
@@ -660,8 +696,13 @@ def build_run_assets(cfg: ClipRunConfig, logger):
     # model config first: the datasets decode at the tower's native input
     # resolution (224 for every reference run; converted checkpoints such as
     # ViT-L/14@336px carry their own size in the inferred config)
-    loaded_pretrained = bool(cfg.clip_weights and
-                             os.path.exists(cfg.clip_weights))
+    if cfg.clip_weights and not os.path.exists(cfg.clip_weights):
+        # a mistyped/unmounted weights path must not silently degrade into
+        # random towers (which would also skip the HashTokenizer guard and
+        # let a multi-hour run produce scientifically void RSA)
+        raise FileNotFoundError(
+            f"clip_weights path does not exist: {cfg.clip_weights}")
+    loaded_pretrained = bool(cfg.clip_weights)
     if loaded_pretrained:
         from ..models import convert
         sd = convert.load_torch_state_dict(cfg.clip_weights)
@@ -714,8 +755,9 @@ def build_run_assets(cfg: ClipRunConfig, logger):
         size=clip_cfg.visual.image_size)
     reference_rdm = inference.load_reference_rdm()
 
-    pos_embedding = cfg.backbone != "RN50"
-    logger.info(f"pos_embedding is {pos_embedding}")
+    # (the reference's pos_embedding=False case is RN50-only, which the
+    # backbone guard above rejects — ViT towers always use it, so the knob
+    # is not plumbed through ClipHBATrainer)
 
     tok = vtok.default_tokenizer(cfg.bpe_vocab)
     if loaded_pretrained and isinstance(tok, vtok.HashTokenizer):

@@ -47,7 +47,7 @@ from ..adapters import dora as adora
 from ..ckpt import clip_ckpt
 from ..core import csvio
 from ..core.configs import ClipRunConfig
-from ..core.prng import batch_perturb_key
+from ..core.prng import batch_perturb_key, perturb_base_key
 from ..data import things as dthings
 from ..parallel import dist as pdist
 from ..models import clip as vclip
@@ -560,7 +560,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
                  for s in seeds]
     dropout_root = jax.random.PRNGKey(cfg.random_seed)
     base_pkeys = _shard_forks(mesh, _pad_forks(jnp.stack([
-        jax.random.PRNGKey(int(cfg.perturb_seed) + f.run * 1000)
+        perturb_base_key(cfg.perturb_seed, f.run)
         for f in forks]), r_pad))
 
     t = 0
@@ -580,6 +580,10 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         dkeys = _shard_forks(mesh, _pad_forks(jnp.stack(dkeys), r_pad))
         sizes = np.asarray(size_rows)
         inw_host = [f.in_window_at(t, cfg.perturb_type) for f in forks]
+        # patience freezes on PURE window arithmetic (reference :1044-1056);
+        # inw_host (type-checked) gates the actual injection only
+        win_host = [windows.in_window(f.epoch0_at(t), f.run, f.window_len)
+                    for f in forks]
         in_win = _shard_forks(mesh, _pad_forks(
             jnp.asarray(inw_host, dtype=bool), r_pad))
 
@@ -618,7 +622,9 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
             for bi in np.nonzero(~oks[i])[0]:
                 log(f"  run {f.run}: WARNING non-finite batch {bi} skipped "
                     f"(epoch {e0 + 1})")
-            train_loss = float(np.sum(losses[i] * sizes[i] * oks[i])) / n_train
+            # mask BEFORE multiplying: NaN * 0 = NaN (see clip_loop solo)
+            train_loss = float(np.sum(
+                np.where(oks[i], losses[i], 0.0) * sizes[i])) / n_train
             test_loss = float(totals[i]) / n_test
             flags = windows.epoch_flags(e0, f.run, f.window_len,
                                         cfg.perturb_type)
@@ -642,7 +648,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
             if test_loss < f.best_test_loss:
                 f.best_test_loss = test_loss
                 f.no_improve = 0
-            elif not inw_host[i]:  # patience paused inside the window
+            elif not win_host[i]:  # patience paused inside the window
                 f.no_improve += 1
             if f.no_improve == cfg.early_stopping_patience:
                 log(f"  run {f.run}: early stopping at epoch {e0 + 1}")
