@@ -25,6 +25,11 @@ def _is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+def _primary() -> bool:
+    from ..parallel import dist
+    return dist.is_primary()
+
+
 def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
                     train_loss: float, val_loss: float, val_acc: float,
                     output_dir: str, logger=None,
@@ -48,23 +53,27 @@ def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
         ser.save_sharded(path, ckpt)
         ser.save_sharded(os.path.join(output_dir, "checkpoint_latest.orbax"),
                          ckpt)
+        wrote = True
     else:
         path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.pth")
-        if not _is_multiprocess() or _process_index() == 0:
+        wrote = _primary()
+        if wrote:
             ser.save(path, ckpt)
-            ser.save(os.path.join(output_dir, "checkpoint_latest.pth"), ckpt)
-    if logger:
+            # 'latest' is a byte copy of the epoch file, not a second full
+            # serialization (halves the per-epoch d2h transfer + write);
+            # temp + rename keeps the replace atomic like ser.save
+            import shutil
+            latest = os.path.join(output_dir, "checkpoint_latest.pth")
+            tmp = f"{latest}.tmp.{os.getpid()}"
+            shutil.copyfile(path, tmp)
+            os.replace(tmp, latest)
+    if logger and wrote:  # non-writers must not claim a save they skipped
         logger.info(f"Saved checkpoint: {os.path.basename(path)}")
     # metrics CSV is tiny host data: process 0 only (ref rank-0 gate :92)
-    if not _is_multiprocess() or _process_index() == 0:
+    if _primary():
         csvio.append_vit_row(os.path.join(output_dir, "training_metrics.csv"),
                              epoch, train_loss, val_loss, val_acc)
     return path
-
-
-def _process_index() -> int:
-    import jax
-    return jax.process_index()
 
 
 def load_checkpoint(path: str, template=None):

@@ -1,9 +1,11 @@
 """THINGS data pipeline.
 
 Reference contract (ThingsDataset / ThingsInferenceDataset,
-new_cvpr_train_behavior_things_pipeline.py:180-248): a CSV whose first column is the
-image filename and columns 1..66 are the SPoSE target embedding; images resized to
-224x224 and normalized with THINGS statistics.
+new_cvpr_train_behavior_things_pipeline.py:180-248): the CSV is read with
+index_col=0 (the shipped spose CSVs carry a leading pandas index column), after
+which column 0 is the image filename and the remaining 66 columns are the SPoSE
+target embedding (ref :191-197 reads `iloc[index, 0]` the same way); images
+resized to 224x224 and normalized with THINGS statistics.
 
 TPU-first design: the whole dataset (1,806 train + 48 inference images) is decoded
 and resized ONCE into a pinned uint8 host array (~270 MB) by a thread pool, then
@@ -44,8 +46,17 @@ class ThingsDataset:
         ann = pd.read_csv(csv_file, index_col=0)
         self.names = ann.iloc[:, 0].tolist()
         self.targets = ann.iloc[:, 1:].values.astype(np.float32)
+        if cache_file and not cache_file.endswith(".npz"):
+            cache_file += ".npz"   # np.savez appends it; look where it writes
+        cached = None
         if cache_file and os.path.exists(cache_file):
-            self.images_u8 = np.load(cache_file, mmap_mode=None)["images"]
+            arr = np.load(cache_file, mmap_mode=None)["images"]
+            # a cache built for a different image list or resolution must
+            # re-decode, not silently pair wrong pixels with the targets
+            if arr.shape[0] == len(self.names) and arr.shape[1] == size:
+                cached = arr
+        if cached is not None:
+            self.images_u8 = cached
         else:
             self.images_u8 = decode_images(img_dir, self.names, size)
             if cache_file:

@@ -102,25 +102,33 @@ def encode_text(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
                 adapters: dict | None = None, adapter_cfg: dict | None = None,
                 dropout_key: jax.Array | None = None, deterministic: bool = True,
                 use_pallas: bool | None = None,
-                compute_dtype=jnp.float32) -> jax.Array:
+                compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
     """tokens [N, context] int32 -> [N, embed_dim].
 
     Causal transformer; features taken at the EOT position (argmax of token ids,
     since EOT is the largest id) then projected — OpenAI CLIP semantics.
+    `remat` checkpoints each block like the visual tower (small next to the
+    image tower at 66x77 tokens, but the flag covers BOTH towers).
     """
     tp = params["text"]
     x = tp["token_embedding"][tokens].astype(compute_dtype)
     x = x + tp["pos"].astype(x.dtype)
     adapters = adapters or {}
+
+    def _block(bp, x, ad, dk):
+        return vvit.block_forward(bp, x, cfg.text.heads, quick_gelu=True,
+                                  causal=True, adapter=ad,
+                                  adapter_cfg=adapter_cfg,
+                                  dropout_key=dk, deterministic=deterministic,
+                                  use_pallas=use_pallas)
+
+    blk = jax.checkpoint(_block) if remat else _block
     for i, bp in enumerate(tp["blocks"]):
         ad = adapters.get(i)
         dk = None
         if ad is not None and dropout_key is not None:
             dk = jax.random.fold_in(dropout_key, i)
-        x = vvit.block_forward(bp, x, cfg.text.heads, quick_gelu=True,
-                               causal=True, adapter=ad, adapter_cfg=adapter_cfg,
-                               dropout_key=dk, deterministic=deterministic,
-                               use_pallas=use_pallas)
+        x = blk(bp, x, ad, dk)
     x = vnn.layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
     eot = jnp.argmax(tokens, axis=-1)
     feats = x[jnp.arange(x.shape[0]), eot]
@@ -168,7 +176,7 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
     txt = encode_text(params, prompt_tokens, cfg, adapters=adapters.get("text"),
                       adapter_cfg=adapter_cfg, dropout_key=kt,
                       deterministic=deterministic, use_pallas=use_pallas,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, remat=remat)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
     txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
     scale = jnp.exp(params["logit_scale"])

@@ -117,8 +117,14 @@ def _timm_block(sd, prefix):
     }
 
 
-def vit_params_from_timm_state_dict(sd: dict, layers: int = 12) -> dict:
-    """timm vit_base_patch16_224 -> our classifier param tree."""
+def vit_params_from_timm_state_dict(sd: dict, layers: int | None = None) -> dict:
+    """timm ViT classifier state dict -> our param tree.
+
+    `layers` is inferred from the block keys by default — a hardcoded count
+    would silently truncate a deeper model (vit_large has 24 blocks)."""
+    if layers is None:
+        layers = len({k.split(".")[1] for k in sd
+                      if k.startswith("blocks.")})
     p = {
         "patch_w": conv_kernel_to_patch_matrix(sd["patch_embed.proj.weight"]),
         "patch_b": sd["patch_embed.proj.bias"],
