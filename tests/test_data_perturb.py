@@ -50,6 +50,18 @@ class TestThingsData:
         ds2 = dthings.ThingsDataset(str(csv), str(d), size=32,
                                     cache_file=str(cache))
         np.testing.assert_array_equal(ds.images_u8, ds2.images_u8)
+        # an extension-less cache name still round-trips (np.savez appends
+        # .npz — the lookup must follow it, or the cache never hits)
+        ds3 = dthings.ThingsDataset(str(csv), str(d), size=32,
+                                    cache_file=str(tmp_path / "bare"))
+        assert (tmp_path / "bare.npz").exists()
+        ds4 = dthings.ThingsDataset(str(csv), str(d), size=32,
+                                    cache_file=str(tmp_path / "bare"))
+        np.testing.assert_array_equal(ds3.images_u8, ds4.images_u8)
+        # a cache built at another resolution is re-decoded, not reused
+        ds5 = dthings.ThingsDataset(str(csv), str(d), size=16,
+                                    cache_file=str(cache))
+        assert ds5.images_u8.shape == (20, 16, 16, 3)
 
     def test_normalize_on_device(self):
         u8 = jnp.asarray(np.full((2, 4, 4, 3), 128, np.uint8))
