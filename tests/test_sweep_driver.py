@@ -4,9 +4,12 @@ worker dispatch."""
 import csv
 import os
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from vit_project_tpu.ckpt import serialization as ser
 from vit_project_tpu.cli import sweep as sweep_cli
 from vit_project_tpu.train import clip_loop
 
@@ -651,6 +654,51 @@ class TestBatchedForks:
                 np.testing.assert_allclose(
                     [float(x) for x in rb[1:3]],
                     [float(x) for x in rs[1:3]], rtol=1e-4)
+
+    def test_host_prefetch_is_value_neutral(self, sweep_fixture):
+        """--host_prefetch enqueues async d2h copies of the checkpoint trees
+        (core/hostcopy.py) — a scheduling hint only: the batched run's CSV
+        rows and checkpoints must be byte-identical with and without it."""
+        work = sweep_fixture["work"]
+        plain = str(work / "sweep_noprefetch")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, plain,
+            ["--training_order", "2,3", "--batched_forks", "2"]))
+        assert failed == []
+
+        pref = str(work / "sweep_prefetch")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, pref,
+            ["--training_order", "2,3", "--batched_forks", "2",
+             "--host_prefetch"]))
+        assert failed == []
+
+        for run in (2, 3):
+            rel = os.path.join(f"training_run{run}",
+                               f"training_res_run{run}.csv")
+            assert _read_rows(os.path.join(pref, rel)) == \
+                _read_rows(os.path.join(plain, rel))
+            ep1 = int(_read_rows(os.path.join(plain, rel))[1][0])
+            a = ser.load(os.path.join(
+                plain, f"training_run{run}", f"dora_params_run{run}",
+                f"epoch{ep1}_dora_params.pth"))
+            b = ser.load(os.path.join(
+                pref, f"training_run{run}", f"dora_params_run{run}",
+                f"epoch{ep1}_dora_params.pth"))
+            ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            assert len(ja) == len(jb) and all(
+                np.array_equal(x, y) for x, y in zip(ja, jb))
+
+
+def test_prefetch_to_host_tolerates_mixed_leaves():
+    """core/hostcopy.prefetch_to_host: numpy / scalar / None leaves are
+    skipped, jax leaves are hinted, values unchanged."""
+    from vit_project_tpu.core import hostcopy
+    dev = jnp.arange(6.0).reshape(2, 3)
+    tree = {"a": dev, "b": np.ones(3), "c": 1.5, "d": None}
+    hostcopy.prefetch_to_host(tree, dev * 2)
+    np.testing.assert_array_equal(np.asarray(dev), np.arange(6.0).reshape(2, 3))
+
 
 def _lengths_argv(fx, out_base, extra):
     work, base = fx["work"], fx["base"]

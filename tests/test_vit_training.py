@@ -165,6 +165,27 @@ class TestViTTraining:
         it.close()   # abandon mid-epoch: feeder must exit, not block on put
         assert threading.active_count() <= before + 1
 
+    def test_host_prefetch_equivalent(self, imagenet_fixture, tmp_path):
+        """--host_prefetch only moves WHEN the checkpoint trees' d2h starts
+        (core/hostcopy.py): metrics and checkpoints are unchanged."""
+        import dataclasses
+        from vit_project_tpu.ckpt import vit_ckpt
+        base_out = str(tmp_path / "hp_off")
+        run_vit_training(tiny_cfg(imagenet_fixture, base_out, epochs=2),
+                         vit_cfg=TINY)
+        hp_out = str(tmp_path / "hp_on")
+        run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, hp_out, epochs=2),
+            host_prefetch=True), vit_cfg=TINY)
+        off = pd.read_csv(os.path.join(base_out, "training_metrics.csv"))
+        on = pd.read_csv(os.path.join(hp_out, "training_metrics.csv"))
+        pd.testing.assert_frame_equal(on, off)
+        a = vit_ckpt.load_checkpoint(vit_ckpt.latest_checkpoint(base_out))
+        b = vit_ckpt.load_checkpoint(vit_ckpt.latest_checkpoint(hp_out))
+        for x, y in zip(jax.tree_util.tree_leaves(a["params"]),
+                        jax.tree_util.tree_leaves(b["params"])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_zero1_matches_replicated_and_shards_state(self,
                                                        imagenet_fixture,
                                                        tmp_path):

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
+    p.add_argument("--host_prefetch", action="store_true",
+                   help="async d2h of per-epoch checkpoint trees "
+                        "(overlaps eval/RSA; core/hostcopy.py)")
     p.add_argument("--dump_inference_embeddings", action="store_true")
     p.add_argument("--nod_csv_file", default=None,
                    help="optional second inference set (per-epoch "
@@ -92,6 +95,7 @@ def main(argv=None):
         "cuda": 0,
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
+        "host_prefetch": args.host_prefetch,
         "dump_inference_embeddings": args.dump_inference_embeddings,
         "inference_dump_dir": f"{out}/things_48_inference_results",
         "nod_csv_file": args.nod_csv_file,

@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
+    p.add_argument("--host_prefetch", action="store_true",
+                   help="async d2h of per-epoch checkpoint trees "
+                        "(overlaps eval/RSA; core/hostcopy.py)")
     # reference hardcodes these (clip_train_behavior_lengths.py:110-112);
     # exposed as flags so forks can match any baseline's adapter config
     p.add_argument("--vision_layers", type=int, default=2)
@@ -159,6 +162,7 @@ def _base_config(args) -> dict:
         "cuda": args.cuda,
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
+        "host_prefetch": args.host_prefetch,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,

@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
+    p.add_argument("--host_prefetch", action="store_true",
+                   help="async d2h of per-epoch checkpoint trees "
+                        "(overlaps eval/RSA; core/hostcopy.py)")
     p.add_argument("--workers", type=int, default=1,
                    help="run N fork workers concurrently, each pinned to one "
                         "chip of the host (the sweep's runs are independent: "
@@ -302,6 +305,7 @@ def main(argv=None):
         "cuda": 0,
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
+        "host_prefetch": args.host_prefetch,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,

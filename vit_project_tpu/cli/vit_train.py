@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "memory = one microbatch, same numbers as the "
                         "unsplit step — the big-batch lever when remat "
                         "alone is not enough")
+    p.add_argument("--host_prefetch", action="store_true",
+                   help="async d2h of the per-epoch checkpoint trees so the "
+                        "transfer overlaps validation (core/hostcopy.py)")
     return p
 
 
@@ -89,7 +92,7 @@ def main(argv=None):
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
-        zero1=args.zero1)
+        zero1=args.zero1, host_prefetch=args.host_prefetch)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

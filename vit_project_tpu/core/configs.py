@@ -46,6 +46,9 @@ class ClipRunConfig:
     compute_dtype: str = "bfloat16"        # frozen-tower compute dtype on TPU
     remat: bool = False                    # jax.checkpoint each visual block
                                            # (memory lever for big backbones)
+    host_prefetch: bool = False            # async d2h of the per-epoch
+                                           # checkpoint trees (core/hostcopy);
+                                           # opt-in until measured on-chip
 
     # perturbation
     perturb_type: str = "baseline"         # random_target | label_shuffle |
@@ -145,6 +148,9 @@ class ViTTrainConfig:
                          # (ZeRO-1): per-chip optimizer state drops ~Nx for
                          # one all-gather per step; numbers unchanged.
                          # dp-only (not with pp_stages).
+    host_prefetch: bool = False  # async d2h of the per-epoch checkpoint
+                                 # trees (core/hostcopy.py); opt-in until
+                                 # measured on-chip
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

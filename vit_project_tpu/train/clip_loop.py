@@ -31,7 +31,7 @@ import optax
 
 from ..adapters import dora as adora
 from ..ckpt import clip_ckpt, serialization as ser
-from ..core import csvio
+from ..core import csvio, hostcopy
 from ..core.configs import ClipRunConfig
 from ..core.logs import setup_logger
 from ..core.prng import batch_perturb_key, perturb_base_key
@@ -503,7 +503,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 resume_from_epoch: int = 0,
                 previous_training_res_path: str | None = None,
                 dump_dir: str | None = None, inference_names=None,
-                nod_images=None, nod_names=None, nod_dump_dir=None):
+                nod_images=None, nod_names=None, nod_dump_dir=None,
+                host_prefetch: bool = False):
     """The per-epoch loop (reference train_model :782-1063). Returns the final
     (trainable, opt_state, last_epoch0)."""
     log = logger.info if logger else print
@@ -588,6 +589,11 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             trainable, opt_state, trainer.params, trainer.static,
             train_imgs_dev, train_tgts_dev, idx_mat,
             valid_mat, dropout_epoch_key, base_pkey)
+        if host_prefetch and dist.is_primary():
+            # start the checkpoint trees' d2h now so it overlaps the
+            # eval/RSA dispatches below (core/hostcopy.py; opt-in until
+            # measured on the chip)
+            hostcopy.prefetch_to_host(trainable, opt_state)
         losses = np.asarray(losses)
         oks = np.asarray(oks)
         for bi in np.nonzero(~oks)[0]:
@@ -929,7 +935,7 @@ def run_behavioral_training(config) -> dict:
         previous_training_res_path=cfg.previous_training_res_path,
         dump_dir=dump_dir, inference_names=inference.names,
         nod_images=nod_images, nod_names=nod_names,
-        nod_dump_dir=cfg.nod_dump_dir)
+        nod_dump_dir=cfg.nod_dump_dir, host_prefetch=cfg.host_prefetch)
 
     if cfg.nod_dump_dir and nod_names is not None \
             and dist.is_primary():  # reads proc-0's dumps; one writer

@@ -45,7 +45,7 @@ import numpy as np
 
 from ..adapters import dora as adora
 from ..ckpt import clip_ckpt
-from ..core import csvio
+from ..core import csvio, hostcopy
 from ..core.configs import ClipRunConfig
 from ..core.prng import batch_perturb_key, perturb_base_key
 from ..data import things as dthings
@@ -224,6 +224,9 @@ class _Setup:
     def __init__(self, base_config: dict, logger, mesh):
         self.log = logger.info if logger else print
         self.mesh = mesh
+        # opt-in until measured on the chip (repo rule: perf changes ship
+        # with a measurement; see core/hostcopy.py for what this overlaps)
+        self.host_prefetch = bool(base_config.get("host_prefetch", False))
         self.cfg = ClipRunConfig.from_dict({
             **base_config, "training_run": 0,
             "checkpoint_path": os.path.join(
@@ -340,7 +343,11 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
 
     `done_report`: optional callable receiving the list of run numbers whose
     trees completed, invoked after every group (success or failure) — a
-    dispatcher's crash-survivable progress ledger."""
+    dispatcher's crash-survivable progress ledger.
+
+    `base_config["host_prefetch"]` enqueues the per-epoch checkpoint trees'
+    d2h copies right after the train program returns (core/hostcopy.py) so
+    they overlap the eval/RSA dispatches."""
     su = _Setup(base_config, logger, mesh)
     cfg, log = su.cfg, su.log
     out_base = base_config["output_base_directory"]
@@ -591,10 +598,18 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
             _log_injection_evidence(su, forks, inw_host, idx_mat, valid_mat,
                                     log)
 
+        live = [f for f in forks
+                if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
+
         trainable, opt_state, losses, oks = su.programs["train"](
             trainable, opt_state, trainer.params, trainer.static,
             su.train_imgs_dev, su.train_tgts_dev, idx_mat, valid_mat, dkeys,
             base_pkeys, in_win)
+        if live and primary and su.host_prefetch:
+            # enqueue the checkpoint trees' d2h now so the transfer overlaps
+            # the eval/RSA dispatches below instead of serializing behind
+            # them at the blocking device_get (core/hostcopy.py)
+            hostcopy.prefetch_to_host(trainable, opt_state)
         losses = np.asarray(losses)          # [R(+pad), n_b]
         oks = np.asarray(oks)
 
@@ -609,8 +624,6 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         # one bulk d2h fetch of the whole stacked state, then numpy slicing
         # per fork: per-fork per-leaf transfers cost ~60 round-trips per fork
         # per lock step, which dominates on a high-latency link
-        live = [f for f in forks
-                if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
         if live and primary:   # only the writer needs the host copy
             host_trainable = jax.device_get(trainable)
             host_opt = jax.device_get(opt_state)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import hostcopy
 from ..core.configs import ViTTrainConfig
 from ..data import imagenet as dimg
 from ..models import vit as vvit
@@ -455,6 +456,11 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
             params, momentum_buf, train_loss = trainer.train_one_epoch(
                 params, momentum_buf, train_loader, epoch, lr, logger=logger)
         scheduler.step()
+        if cfg.host_prefetch and not pp:
+            # start the checkpoint trees' d2h now so the transfer overlaps
+            # the validation dispatches below (core/hostcopy.py; pp excluded
+            # — its save tree is rebuilt by unstage_blocks after validate)
+            hostcopy.prefetch_to_host(params, momentum_buf)
         val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
         # EVERY process calls save_checkpoint: the pod-sharded orbax writer is
         # a collective (each host writes its own shards + global barrier) and
