@@ -275,6 +275,43 @@ class TestClipHBA:
                                          adapter_cfg=acfg, use_pallas=False)
         assert not np.allclose(_np(base), _np(adapted))
 
+    def test_bake_merges_adapters_into_plain_weights(self):
+        """adapters/dora.bake: the no-adapter forward of the baked tree equals
+        the adapted forward (deterministic), giving zero-overhead inference;
+        unadapted blocks and the input tree itself are untouched."""
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+        trainable, static, acfg = adora.apply_dora(
+            params, spec, r=4, key=jax.random.PRNGKey(1))
+        # move off the init point so the test covers trained adapters
+        trainable = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jnp.sin(jnp.arange(x.size, dtype=jnp.float32)
+                                         ).reshape(x.shape), trainable)
+        prompts = jnp.asarray(np.random.RandomState(0)
+                              .randint(1, 500, (5, cfg.text.context_length)))
+        img = jnp.asarray(np.random.RandomState(1)
+                          .randn(2, 32, 32, 3).astype(np.float32))
+        ad = adora.assemble(trainable, static)
+        adapted = vclip.clip_hba_forward(params, img, prompts, cfg,
+                                         adapters=ad, adapter_cfg=acfg,
+                                         use_pallas=False)
+        orig_out_w = _np(params["visual"]["blocks"][-1]["out_w"]).copy()
+        baked = adora.bake(params, trainable, static,
+                           alpha=acfg["alpha"], r=acfg["r"])
+        plain = vclip.clip_hba_forward(baked, img, prompts, cfg,
+                                       use_pallas=False)
+        np.testing.assert_allclose(_np(plain), _np(adapted),
+                                   rtol=1e-5, atol=1e-5)
+        # the source tree is not mutated; only adapted blocks differ
+        np.testing.assert_array_equal(
+            _np(params["visual"]["blocks"][-1]["out_w"]), orig_out_w)
+        assert not np.allclose(
+            _np(baked["visual"]["blocks"][-1]["out_w"]), orig_out_w)
+        np.testing.assert_array_equal(
+            _np(baked["visual"]["blocks"][0]["out_w"]),
+            _np(params["visual"]["blocks"][0]["out_w"]))
+
     def test_reference_name_roundtrip(self):
         cfg = vclip.tiny_clip_config()
         params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)

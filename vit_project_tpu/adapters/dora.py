@@ -113,6 +113,38 @@ def from_reference_names(flat: dict, spec: dict) -> dict:
     return out
 
 
+def bake(clip_params: dict, trainable: dict, static: dict, *,
+         alpha: int, r: int) -> dict:
+    """Merge trained DoRA adapters into the frozen CLIP weights.
+
+    Returns a copy of `clip_params` where each adapted block's out_w is the
+    deterministic adapted weight m * colnorm(D + B@A * alpha/r) and out_b is
+    the adapter's (cloned, frozen) bias — i.e. a plain CLIP tree whose
+    no-adapter forward equals the adapted forward with dropout off. Use for
+    zero-overhead inference/serving and for exporting a finished run as an
+    ordinary checkpoint. The reference has no merge path (its DoRALayer
+    recomputes the adapted weight every forward, even in eval,
+    new_cvpr...pipeline.py:447-470).
+    """
+    out = dict(clip_params)
+    for tower, blocks in trainable.items():
+        if not blocks:
+            continue
+        tower_p = dict(out[tower])
+        tower_blocks = list(tower_p["blocks"])
+        for idx, tr in blocks.items():
+            buf = static[tower][idx]
+            blk = dict(tower_blocks[int(idx)])
+            w = vdora.dora_weight(tr, buf["D"], alpha=alpha, r=r)
+            blk["out_w"] = w.astype(blk["out_w"].dtype)
+            if buf.get("bias") is not None:
+                blk["out_b"] = buf["bias"]
+            tower_blocks[int(idx)] = blk
+        tower_p["blocks"] = tower_blocks
+        out[tower] = tower_p
+    return out
+
+
 def merge_loaded(trainable: dict, loaded: dict) -> dict:
     """Overlay loaded adapter params onto an initialized trainable tree
     (strict=False load semantics)."""
