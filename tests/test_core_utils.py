@@ -1,0 +1,103 @@
+"""Direct unit tests for small core/adapter utilities that the integration
+suites only exercise indirectly: adapters/lora.py (reference dead-code parity,
+new_cvpr...pipeline.py:307-404), core/compile_cache.py, core/profiling.py."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_project_tpu.adapters import lora as vlora
+from vit_project_tpu.core import compile_cache, profiling
+
+
+class TestLoRA:
+    def test_init_quirk_both_matrices_nonzero(self):
+        """Reference quirk (ref :321-323): BOTH lora_A and lora_B are
+        kaiming-initialized, so the adapter perturbs the model from step 0
+        (textbook LoRA zeroes B for an identity start)."""
+        p = vlora.lora_init(jax.random.PRNGKey(0), 8, 6, r=3)
+        assert p["lora_A"].shape == (3, 6) and p["lora_B"].shape == (8, 3)
+        assert float(jnp.abs(p["lora_A"]).max()) > 0
+        assert float(jnp.abs(p["lora_B"]).max()) > 0
+        # kaiming-uniform(a=sqrt(5)) bound is 1/sqrt(fan_in) with torch
+        # fan_in = shape[1]
+        assert float(jnp.abs(p["lora_A"]).max()) <= 1 / np.sqrt(6)
+        assert float(jnp.abs(p["lora_B"]).max()) <= 1 / np.sqrt(3)
+
+    def test_deterministic_linear_equals_merged_weight(self):
+        """With dropout off, y = x @ merged_w + b exactly (the reference
+        LoRALayer.weight property's contract)."""
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(4, 8).astype(np.float32))
+        w = jnp.asarray(rs.randn(8, 6).astype(np.float32))
+        b = jnp.asarray(rs.randn(6).astype(np.float32))
+        p = vlora.lora_init(jax.random.PRNGKey(1), 8, 6, r=3)
+        y = vlora.lora_linear(x, w, b, p, alpha=16, r=3)
+        merged = vlora.lora_merged_weight(w, p, alpha=16, r=3)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(x @ merged + b),
+                                   rtol=1e-5, atol=1e-5)
+        # manual merged-weight math
+        want = np.asarray(w) + (np.asarray(p["lora_B"])
+                                @ np.asarray(p["lora_A"])) * (16 / 3)
+        np.testing.assert_allclose(np.asarray(merged), want, rtol=1e-6)
+
+    def test_dropout_hits_activations_only(self):
+        """Reference quirk (ref :328): dropout is applied to the activations
+        feeding the low-rank path, NOT to the base path — a fully-dropped
+        input still produces the base projection."""
+        x = jnp.ones((2, 8))
+        w = jnp.eye(8, 6)
+        p = vlora.lora_init(jax.random.PRNGKey(1), 8, 6, r=3)
+        full_drop = vlora.lora_linear(
+            x, w, None, p, alpha=16, r=3, dropout_p=1.0 - 1e-7,
+            dropout_key=jax.random.PRNGKey(2), deterministic=False)
+        np.testing.assert_allclose(np.asarray(full_drop), np.asarray(x @ w),
+                                   atol=1e-4)
+        # deterministic=True ignores dropout entirely
+        a = vlora.lora_linear(x, w, None, p, alpha=16, r=3, dropout_p=0.9)
+        b = vlora.lora_linear(x, w, None, p, alpha=16, r=3, dropout_p=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCompileCache:
+    def _restore(self):
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    def test_enables_and_creates_dir(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("VIT_TPU_NO_COMPILE_CACHE", raising=False)
+        d = str(tmp_path / "xla_cache")
+        try:
+            got = compile_cache.enable_persistent_cache(d)
+            assert got == d and os.path.isdir(d)
+            assert jax.config.jax_compilation_cache_dir == d
+        finally:
+            self._restore()
+
+    def test_env_override_and_kill_switch(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("VIT_TPU_NO_COMPILE_CACHE", "1")
+        assert compile_cache.enable_persistent_cache() is None
+        monkeypatch.delenv("VIT_TPU_NO_COMPILE_CACHE")
+        d = str(tmp_path / "via_env")
+        monkeypatch.setenv("VIT_TPU_COMPILE_CACHE_DIR", d)
+        try:
+            assert compile_cache.enable_persistent_cache() == d
+        finally:
+            self._restore()
+
+
+class TestProfiling:
+    def test_trace_none_is_noop(self):
+        with profiling.trace(None):
+            x = 1 + 1
+        assert x == 2
+
+    def test_epoch_timer_format(self):
+        t = profiling.EpochTimer()
+        line = t.finish(images=100)
+        assert line.startswith("epoch_time=") and "images_per_sec=" in line
+        assert t.seconds() >= 0.0
+        # no images -> no throughput field
+        assert "images_per_sec" not in profiling.EpochTimer().finish()
