@@ -46,9 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
-    p.add_argument("--host_prefetch", action="store_true",
+    p.add_argument("--host_prefetch", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="async d2h of per-epoch checkpoint trees "
-                        "(overlaps eval/RSA; core/hostcopy.py)")
+                        "(overlaps eval/RSA; core/hostcopy.py). Default ON: "
+                        "measured -19%% steady per-epoch on the chip "
+                        "(BENCHLOG round 3); --no-host_prefetch to disable")
     p.add_argument("--dump_inference_embeddings", action="store_true")
     p.add_argument("--nod_csv_file", default=None,
                    help="optional second inference set (per-epoch "

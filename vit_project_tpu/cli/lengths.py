@@ -110,9 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
-    p.add_argument("--host_prefetch", action="store_true",
+    p.add_argument("--host_prefetch", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="async d2h of per-epoch checkpoint trees "
-                        "(overlaps eval/RSA; core/hostcopy.py)")
+                        "(overlaps eval/RSA; core/hostcopy.py). Default ON: "
+                        "measured -19%% steady per-epoch on the chip "
+                        "(BENCHLOG round 3); --no-host_prefetch to disable")
     # reference hardcodes these (clip_train_behavior_lengths.py:110-112);
     # exposed as flags so forks can match any baseline's adapter config
     p.add_argument("--vision_layers", type=int, default=2)
