@@ -101,3 +101,48 @@ class TestProfiling:
         assert t.seconds() >= 0.0
         # no images -> no throughput field
         assert "images_per_sec" not in profiling.EpochTimer().finish()
+
+
+class TestCheckpointTempReaping:
+    def test_stale_temps_reaped_fresh_survive(self, tmp_path):
+        """reap_stale_temps deletes abandoned pid-temps (>1h) next to a
+        target but leaves a live racing writer's fresh temp alone — shared
+        by ser.save and the vit_ckpt 'latest' byte-copy path."""
+        import time
+        from vit_project_tpu.ckpt import serialization as ser
+
+        target = tmp_path / "checkpoint_latest.pth"
+        stale = tmp_path / "checkpoint_latest.pth.tmp.111"
+        fresh = tmp_path / "checkpoint_latest.pth.tmp.222"
+        stale.write_bytes(b"x")
+        fresh.write_bytes(b"y")
+        os.utime(stale, (time.time() - 7200, time.time() - 7200))
+        ser.reap_stale_temps(str(target))
+        assert not stale.exists()
+        assert fresh.exists()
+
+    def test_vit_latest_copy_reaps(self, tmp_path, monkeypatch):
+        """save_checkpoint's 'latest' byte copy reaps stale temps the same
+        way ser.save does (a SIGKILLed run must not leak multi-hundred-MB
+        temp copies forever)."""
+        import time
+        import jax.numpy as jnp
+        from vit_project_tpu.ckpt import vit_ckpt
+
+        stale = tmp_path / "checkpoint_latest.pth.tmp.999"
+        stale.write_bytes(b"x" * 10)
+        os.utime(stale, (time.time() - 7200, time.time() - 7200))
+        vit_ckpt.save_checkpoint(
+            0, {"w": jnp.ones(2)}, {"m": jnp.zeros(2)},
+            {"last_epoch": 0}, 1.0, 2.0, 3.0, str(tmp_path), sharded=False)
+        assert not stale.exists()
+        assert (tmp_path / "checkpoint_latest.pth").exists()
+
+
+class TestConfigDefaults:
+    def test_clip_host_prefetch_default_on(self):
+        """Measured -19% steady per-epoch on chip (BENCHLOG round 3): the
+        config default is ON, and the batched multi-fork setup reads the
+        SAME parsed config (not a divergent dict fallback)."""
+        from vit_project_tpu.core.configs import ClipRunConfig
+        assert ClipRunConfig().host_prefetch is True

@@ -269,6 +269,30 @@ class TestCsvIO:
                             previous_training_res_path=str(prev))
         assert csvio.last_completed_epoch0(str(prev)) == 4
 
+    def test_torn_tree_rollback_truncates_csv(self, tmp_path):
+        """An in-place resume anchored BEFORE the CSV's last row (the newest
+        checkpoint is older than the CSV tail - a torn tree) must drop the
+        uncovered rows: retraining those epochs would otherwise append
+        duplicate rows with conflicting values that the analysis readers
+        plot twice."""
+        path = tmp_path / "res.csv"
+        csvio.init_clip_csv(str(path))
+        for e in range(1, 12):
+            csvio.append_clip_row(str(path), e, 1.0, float(e), 0.5, 0.01,
+                                  False, False, False, False)
+        # rollback to epoch 8: rows 9-11 have no checkpoint behind them
+        csvio.init_clip_csv(str(path), resume_from_epoch=8,
+                            previous_training_res_path=str(path))
+        import csv as _csv
+        with open(path) as f:
+            rows = list(_csv.reader(f))
+        assert [r[0] for r in rows[1:]] == [str(e) for e in range(1, 9)]
+        assert csvio.last_completed_epoch0(str(path)) == 7
+        # retraining epoch 9 appends exactly one row
+        csvio.append_clip_row(str(path), 9, 1.0, 9.5, 0.5, 0.01,
+                              False, False, False, False)
+        assert csvio.last_completed_epoch0(str(path)) == 8
+
     def test_vit_csv(self, tmp_path):
         p = tmp_path / "m.csv"
         csvio.append_vit_row(str(p), 0, 5.5, 9.6, 12.35)

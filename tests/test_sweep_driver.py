@@ -325,7 +325,7 @@ class TestLengthsResumeLadderIntegrity:
         import types
 
         class StubSetup:
-            def __init__(self, base_config, logger, mesh):
+            def __init__(self, base_config, logger, mesh, group_size=1):
                 self.cfg = types.SimpleNamespace(
                     perturb_length=2, perturb_type="random_target",
                     baseline_dora_directory=str(tmp_path / "base_dora"),
@@ -445,7 +445,7 @@ class TestBatchedOrderDedup:
         seen_groups = []
 
         class StubSetup:
-            def __init__(self, base_config, logger, mesh):
+            def __init__(self, base_config, logger, mesh, group_size=1):
                 self.cfg = types.SimpleNamespace(
                     perturb_length=1, perturb_type="random_target",
                     baseline_dora_directory=str(tmp_path),
@@ -477,7 +477,7 @@ class TestGroupFailureReporting:
         import types
 
         class StubSetup:
-            def __init__(self, base_config, logger, mesh):
+            def __init__(self, base_config, logger, mesh, group_size=1):
                 self.cfg = types.SimpleNamespace(
                     perturb_length=1, perturb_type="random_target",
                     baseline_dora_directory=str(tmp_path),
@@ -767,3 +767,75 @@ class TestBatchedLengths:
         assert os.path.exists(os.path.join(
             bat_base, "random_target_e2_l1", "dora_params_2",
             "epoch2_dora_params.pth"))
+
+
+class TestWorkerArgvBooleans:
+    def test_false_boolean_optional_propagates(self):
+        """A default-True BooleanOptionalAction turned OFF must reach the
+        workers as its --no- form; dropping it silently re-enables the
+        feature in every dispatched worker."""
+        parser = sweep_cli.build_parser()
+        args = parser.parse_args(
+            ["--csv_file", "c", "--img_dir", "i", "--inference_csv_file", "v",
+             "--RDM48_triplet_dir", "r", "--baseline_dora_directory", "d",
+             "--baseline_random_state_path", "s",
+             "--baseline_split_indices_path", "x",
+             "--output_base_directory", "o", "--no-host_prefetch"])
+        assert args.host_prefetch is False
+        argv = sweep_cli._worker_argv(args)
+        assert "--no-host_prefetch" in argv
+        reparsed = parser.parse_args(argv + ["--training_order", "1"])
+        assert reparsed.host_prefetch is False
+
+    def test_true_default_stays_on(self):
+        parser = sweep_cli.build_parser()
+        args = parser.parse_args(
+            ["--csv_file", "c", "--img_dir", "i", "--inference_csv_file", "v",
+             "--RDM48_triplet_dir", "r", "--baseline_dora_directory", "d",
+             "--baseline_random_state_path", "s",
+             "--baseline_split_indices_path", "x",
+             "--output_base_directory", "o"])
+        argv = sweep_cli._worker_argv(args)
+        reparsed = parser.parse_args(argv + ["--training_order", "1"])
+        assert reparsed.host_prefetch is True
+
+
+class TestBatchedEvalCap:
+    def test_whole_set_cap_divides_by_vmap_factor(self):
+        """The 132k-token whole-set widening budget is per program dispatch:
+        the batched multi-fork eval vmaps the forward over its per-chip fork
+        count, so the cap must divide by it or a 16-fork group materializes
+        16x the calibrated activation memory in one dispatch."""
+        import types
+
+        stub = types.SimpleNamespace(
+            cfg=types.SimpleNamespace(visual=types.SimpleNamespace(
+                seq_len=257)),
+            mesh=None,
+            _prep_idx_mat=None,
+        )
+        stub._prep_idx_mat = types.MethodType(
+            clip_loop.ClipHBATrainer._prep_idx_mat, stub)
+        mats = types.MethodType(clip_loop.ClipHBATrainer.eval_idx_mats, stub)
+
+        n = 362  # THINGS default test split; 362*257 = 93k <= 132k
+        idx, _ = mats(n, 64)
+        assert idx.shape == (1, n)  # solo: widened to one whole-set batch
+        idx, _ = mats(n, 64, vmap_factor=16)
+        assert idx.shape[1] == 64  # batched: cap exceeded, batch bound holds
+        # tiny sets still widen even under a large factor
+        idx, _ = mats(8, 4, vmap_factor=16)
+        assert idx.shape == (1, 8)
+
+    def test_setup_vmap_factor_accounts_for_fork_mesh(self):
+        """per_chip_forks divides the group over the fork-axis mesh:
+        per-chip concurrency is ceil(group/devices)."""
+        from vit_project_tpu.train import multi_fork as mf
+
+        class Mesh:
+            devices = np.empty(4)
+
+        assert mf.per_chip_forks(8, None) == 8
+        assert mf.per_chip_forks(8, Mesh()) == 2
+        assert mf.per_chip_forks(5, Mesh()) == 2
+        assert mf.per_chip_forks(1, None) == 1

@@ -30,17 +30,14 @@ def _to_host(obj):
     return obj
 
 
-def save(path: str, tree) -> None:
-    d = os.path.dirname(path)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    # pid-unique temp name: two writers racing on the same target (e.g. a
-    # mis-gated multi-process caller on a shared FS) each complete their own
-    # file and the atomic replace keeps whichever finished last INTACT,
-    # instead of interleaving into one corrupt .tmp. Only temps older than an
-    # hour are reaped (a live racing writer's in-progress temp must survive),
-    # and the target path is glob-escaped so metacharacters in checkpoint
-    # names cannot widen the pattern.
+def reap_stale_temps(path: str) -> None:
+    """Delete abandoned `<path>.tmp.*` files older than an hour.
+
+    Only stale temps are reaped (a live racing writer's in-progress temp
+    must survive), and the target path is glob-escaped so metacharacters in
+    checkpoint names cannot widen the pattern. Shared by save() and any
+    other writer using the pid-unique temp + os.replace pattern (e.g. the
+    vit_ckpt 'latest' byte copy)."""
     import glob
     import time
     for stale in glob.glob(glob.escape(path) + ".tmp.*"):
@@ -49,6 +46,17 @@ def save(path: str, tree) -> None:
                 os.unlink(stale)
         except OSError:
             pass
+
+
+def save(path: str, tree) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    # pid-unique temp name: two writers racing on the same target (e.g. a
+    # mis-gated multi-process caller on a shared FS) each complete their own
+    # file and the atomic replace keeps whichever finished last INTACT,
+    # instead of interleaving into one corrupt .tmp.
+    reap_stale_temps(path)
     tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:

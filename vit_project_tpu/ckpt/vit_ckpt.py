@@ -64,9 +64,17 @@ def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
             # temp + rename keeps the replace atomic like ser.save
             import shutil
             latest = os.path.join(output_dir, "checkpoint_latest.pth")
+            ser.reap_stale_temps(latest)
             tmp = f"{latest}.tmp.{os.getpid()}"
-            shutil.copyfile(path, tmp)
-            os.replace(tmp, latest)
+            try:
+                shutil.copyfile(path, tmp)
+                os.replace(tmp, latest)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
     if logger and wrote:  # non-writers must not claim a save they skipped
         logger.info(f"Saved checkpoint: {os.path.basename(path)}")
     # metrics CSV is tiny host data: process 0 only (ref rank-0 gate :92)

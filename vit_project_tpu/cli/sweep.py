@@ -154,6 +154,13 @@ def _worker_argv(args) -> list[str]:
         if isinstance(v, bool):
             if v:
                 out.append(opt)
+            else:
+                # a default-True BooleanOptionalAction turned off must be
+                # propagated explicitly or the worker re-parses the default
+                neg = [s for s in action.option_strings
+                       if s.startswith("--no-")]
+                if neg:
+                    out.append(neg[0])
         elif v is not None:
             out += [opt, str(v)]
     return out

@@ -56,10 +56,27 @@ def init_clip_csv(
         log("Resuming from existing CSV file - will append new epochs")
         try:
             with open(training_res_path, "r") as f:
-                existing = next(csv.reader(f), None)
-            if existing != CLIP_HEADERS:
+                rows = list(csv.reader(f))
+            if rows and rows[0] != CLIP_HEADERS:
                 log(f"Warning: CSV headers don't match. Expected {CLIP_HEADERS}, "
-                    f"found {existing}")
+                    f"found {rows[0] if rows else None}")
+            # torn-tree rollback: a resume anchored BEFORE the CSV's last row
+            # (checkpoint missing for the tail) must drop the tail rows, or
+            # the retrained epochs append as duplicate rows with conflicting
+            # values that the analysis readers would plot twice.
+            def _keep(row):
+                try:
+                    return int(row[0]) <= resume_from_epoch
+                except Exception:
+                    return True
+            kept = [rows[0]] + [r for r in rows[1:] if _keep(r)] if rows else []
+            if rows and len(kept) < len(rows):
+                tmp = f"{training_res_path}.tmp.{os.getpid()}"
+                with open(tmp, "w", newline="") as f:
+                    csv.writer(f).writerows(kept)
+                os.replace(tmp, training_res_path)
+                log(f"Dropped {len(rows) - len(kept)} CSV row(s) beyond the "
+                    f"rollback epoch {resume_from_epoch} (torn tree)")
         except Exception as e:  # pragma: no cover - defensive
             log(f"Could not verify existing CSV file: {e}")
         return

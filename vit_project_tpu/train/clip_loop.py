@@ -375,11 +375,17 @@ class ClipHBATrainer:
                                       imgs_dev, tgts_dev, idx_mat, valid_mat))
         return total / n
 
-    def eval_idx_mats(self, n: int, batch_size: int, whole_set: bool = True):
+    def eval_idx_mats(self, n: int, batch_size: int, whole_set: bool = True,
+                      vmap_factor: int = 1):
         """The deterministic eval index/valid matrices, widened to one
         whole-set batch under the 132k-token cap above (single source of
-        the heuristic — the batched multi-fork eval reuses these)."""
-        if whole_set and n * self.cfg.visual.seq_len <= 132_000:
+        the heuristic — the batched multi-fork eval reuses these).
+
+        `vmap_factor` is the number of forward passes one program dispatch
+        materializes concurrently (the batched multi-fork eval vmaps this
+        forward over its per-chip fork count): the activation cap is
+        per-dispatch, so the token budget divides by it."""
+        if whole_set and n * self.cfg.visual.seq_len * vmap_factor <= 132_000:
             batch_size = n
         batch_list = [np.arange(s, min(s + batch_size, n))
                       for s in range(0, n, batch_size)]

@@ -70,6 +70,13 @@ def make_fork_mesh(n_requested: int, n_items: int):
     return vmesh.make_mesh(n_data=n, devices=jax.local_devices()[:n])
 
 
+def per_chip_forks(group_size: int, mesh) -> int:
+    """Concurrent forward passes one vmapped dispatch materializes PER CHIP:
+    the group's forks vmap together, divided over the fork-axis mesh."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    return max(1, -(-int(group_size) // int(n_dev)))
+
+
 def _stack(trees):
     """Stack a list of identically-structured pytrees along a new axis 0."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
@@ -221,12 +228,10 @@ class _Setup:
     replication. Paid ONCE per driver invocation (the sequential drivers pay
     it per fork)."""
 
-    def __init__(self, base_config: dict, logger, mesh):
+    def __init__(self, base_config: dict, logger, mesh, group_size: int = 1):
         self.log = logger.info if logger else print
         self.mesh = mesh
-        # opt-in until measured on the chip (repo rule: perf changes ship
-        # with a measurement; see core/hostcopy.py for what this overlaps)
-        self.host_prefetch = bool(base_config.get("host_prefetch", False))
+        self.vmap_factor = per_chip_forks(group_size, mesh)
         self.cfg = ClipRunConfig.from_dict({
             **base_config, "training_run": 0,
             "checkpoint_path": os.path.join(
@@ -238,6 +243,9 @@ class _Setup:
                 "random_states_unused"),
         })
         cfg = self.cfg
+        # same source of truth as the solo path (ClipRunConfig defaults it
+        # ON — measured -19% steady per-epoch on chip; see core/hostcopy.py)
+        self.host_prefetch = bool(cfg.host_prefetch)
         self.assets = build_run_assets(cfg, logger or _PrintLogger())
         self.trainer = ClipHBATrainer(
             self.assets.clip_cfg, self.assets.params, self.assets.acfg,
@@ -263,9 +271,11 @@ class _Setup:
 
         self.programs = _build_batched_programs(trainer, cfg.perturb_type)
 
-        # eval batches are deterministic (arange); same matrices per fork
+        # eval batches are deterministic (arange); same matrices per fork.
+        # The whole-set widening cap divides by the per-chip fork count —
+        # the batched eval vmaps this forward vmap_factor times per dispatch
         self.eval_idx, self.eval_valid = trainer.eval_idx_mats(
-            self.n_test, cfg.batch_size)
+            self.n_test, cfg.batch_size, vmap_factor=self.vmap_factor)
 
         if mesh is not None:
             # shared (fork-unmapped) operands must live on the same mesh as
@@ -348,7 +358,7 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     `base_config["host_prefetch"]` enqueues the per-epoch checkpoint trees'
     d2h copies right after the train program returns (core/hostcopy.py) so
     they overlap the eval/RSA dispatches."""
-    su = _Setup(base_config, logger, mesh)
+    su = _Setup(base_config, logger, mesh, group_size)
     cfg, log = su.cfg, su.log
     out_base = base_config["output_base_directory"]
 
@@ -431,7 +441,7 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     names (e.g. 'random_target_e3_l2')."""
     from ..cli.lengths import find_previous_run_dir
 
-    su = _Setup(base_config, logger, mesh)
+    su = _Setup(base_config, logger, mesh, group_size)
     cfg, log = su.cfg, su.log
     out_base = base_config["output_base_directory"]
     ptype = cfg.perturb_type
