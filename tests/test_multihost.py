@@ -220,6 +220,28 @@ class TestSetupDistributed:
         monkeypatch.setattr(jax, "process_index", lambda: 3)
         assert dist.is_primary() is False
 
+    def test_is_primary_stale_env_avoids_backend_init(self, monkeypatch):
+        """Stale coordinator env vars (e.g. left by a previous pod launcher)
+        must NOT make the uninitialized path fall through to
+        jax.process_index() — before initialize() the backend could only
+        report 0 anyway, and the call acquires every local chip out from
+        under a --workers dispatcher. The rendezvous rank env var decides
+        instead, when present."""
+        import jax
+
+        def forbidden():
+            raise AssertionError("process_index() forces backend init")
+        monkeypatch.setattr(jax, "process_index", forbidden)
+        monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        monkeypatch.delenv("PROCESS_ID", raising=False)
+        assert dist.is_primary() is True
+        monkeypatch.setenv("JAX_PROCESS_ID", "0")
+        assert dist.is_primary() is True
+        monkeypatch.setenv("JAX_PROCESS_ID", "3")
+        assert dist.is_primary() is False
+
 
 class TestTwoProcessDistributed:
     def test_multihost_cpu_demo_end_to_end(self):

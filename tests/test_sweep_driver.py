@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from vit_project_tpu.ckpt import serialization as ser
+from vit_project_tpu.cli import lengths as lengths_cli
 from vit_project_tpu.cli import sweep as sweep_cli
 from vit_project_tpu.train import clip_loop
 
@@ -100,6 +101,23 @@ class TestLengthsPreviousRunScan:
         assert rollback_to_checkpoint(str(d), 4) == 3   # torn rows 4,5
         assert rollback_to_checkpoint(str(tmp_path / "none"), 4) == 0
         assert rollback_to_checkpoint(str(d), -1) == 0
+
+    def test_rollback_requires_random_states_too(self, tmp_path):
+        """A DoRA file whose epoch's random-states file is missing (legacy
+        CSV-first write order, crash between the two saves) must NOT anchor
+        the resume: it would silently restart the optimizer state and the
+        data seed mid-trajectory — contaminated but continuous-looking."""
+        from vit_project_tpu.cli.lengths import rollback_to_checkpoint
+        d, rs = tmp_path / "dora", tmp_path / "rs"
+        os.makedirs(d)
+        os.makedirs(rs)
+        for e in (2, 3):
+            (d / f"epoch{e}_dora_params.pth").touch()
+        (rs / "epoch2_random_states.pth").touch()   # epoch 3's rs missing
+        assert rollback_to_checkpoint(str(d), 2, rs_dir=str(rs)) == 2
+        assert rollback_to_checkpoint(str(d), 2) == 3   # without rs_dir
+        (rs / "epoch3_random_states.pth").touch()
+        assert rollback_to_checkpoint(str(d), 2, rs_dir=str(rs)) == 3
 
 
 @pytest.fixture(scope="module")
@@ -314,6 +332,93 @@ class TestWorkerCrashAccounting:
         sweep_cli._report_done([1])   # must not raise or write anywhere
         assert os.listdir(tmp_path) == []
 
+    def test_corrupt_report_reconstructs_from_ledger(self, tmp_path,
+                                                     monkeypatch):
+        """A truncated failed.json (worker killed mid-write by a pre-atomic
+        writer / torn FS) must not crash the dispatcher NOR read as
+        'all ok': the done ledger decides, even when rc says success."""
+        out = str(tmp_path)
+
+        def torn_report(env):
+            with open(env["VIT_SWEEP_FAILED_JSON"], "w") as f:
+                f.write("[2,")   # truncated mid-dump
+            with open(env["VIT_SWEEP_DONE_JSON"], "w") as f:
+                f.write("[2]")
+        self._fake_popen(monkeypatch, rc=0, side_effect=torn_report)
+        failed = sweep_cli._run_workers(self._args(out), [2, 5], self._Log())
+        assert failed == [5]
+
+    def test_report_failed_writes_atomically(self, tmp_path, monkeypatch):
+        """_report_failed goes through tmp+os.replace like every other
+        ledger write: no .tmp residue, valid JSON at the target."""
+        import json
+        report = str(tmp_path / "failed.json")
+        monkeypatch.setenv("VIT_SWEEP_FAILED_JSON", report)
+        sweep_cli._report_failed([5, 2])
+        with open(report) as f:
+            assert json.load(f) == [5, 2]
+        assert os.listdir(tmp_path) == ["failed.json"]
+
+
+class TestWorkerLogIsolation:
+    def test_dispatched_worker_log_name_is_pid_unique(self, tmp_path,
+                                                      monkeypatch):
+        """Workers spawned in the same second share the dispatcher's output
+        dir: without a pid suffix their mode='w' main-log handlers truncate
+        one another (and possibly the dispatcher's own log)."""
+        captured = []
+
+        class _Bail(Exception):
+            pass
+
+        def capture(path):
+            captured.append(path)
+            raise _Bail
+        monkeypatch.setattr(sweep_cli, "setup_main_logger", capture)
+        argv = ["--csv_file", "c", "--img_dir", "i",
+                "--inference_csv_file", "v", "--RDM48_triplet_dir", "r",
+                "--baseline_dora_directory", "d",
+                "--baseline_random_state_path", "s",
+                "--baseline_split_indices_path", "p",
+                "--output_base_directory", str(tmp_path),
+                "--training_order", "1"]
+        monkeypatch.setenv("VIT_SWEEP_FAILED_JSON", str(tmp_path / "f.json"))
+        with pytest.raises(_Bail):
+            sweep_cli.main(argv)
+        assert f"_p{os.getpid()}.txt" in captured[0]
+        monkeypatch.delenv("VIT_SWEEP_FAILED_JSON")
+        with pytest.raises(_Bail):
+            sweep_cli.main(argv)   # the dispatcher keeps the reference name
+        assert "_p" not in os.path.basename(captured[1])
+
+
+class TestLengthsBatchedMeshSizing:
+    def test_mesh_spans_one_group_not_all_onsets(self, tmp_path,
+                                                 monkeypatch):
+        """--onsets with 8 conditions but --batched_forks 2 must size the
+        fork mesh for a 2-fork group: an 8-wide mesh would pad every group
+        with 6 discarded ballast forks across chips."""
+        from vit_project_tpu.train import multi_fork as mf
+        seen = {}
+
+        def fake_mesh(n_requested, n_items):
+            seen["mesh"] = (n_requested, n_items)
+            return None
+        monkeypatch.setattr(mf, "make_fork_mesh", fake_mesh)
+        monkeypatch.setattr(mf, "run_batched_lengths",
+                            lambda *a, **k: [])
+        args = lengths_cli.build_parser().parse_args([
+            "--perturb_length", "1", "--onsets", "1,2,3,4,5,6,7,8",
+            "--batched_forks", "2", "--fork_devices", "8",
+            "--csv_file", "c", "--img_dir", "i",
+            "--inference_csv_file", "v", "--RDM48_triplet_dir", "r",
+            "--baseline_dora_directory", "d",
+            "--baseline_random_state_path", "s",
+            "--baseline_split_indices_path", "p",
+            "--output_base_directory", str(tmp_path)])
+        assert lengths_cli._main_batched(args, "20260101_000000") == []
+        assert seen["mesh"] == (8, 2)
+
 
 class TestLengthsResumeLadderIntegrity:
     """A CSV with rows but no matching checkpoint is a TORN tree (a previous
@@ -381,6 +486,8 @@ class TestLengthsResumeLadderIntegrity:
         with open(cond / "dora_params_3" / "epoch3_dora_params.pth",
                   "w") as f:
             f.write("x")   # checkpoint OF the last completed epoch (1-idx 3)
+        os.makedirs(cond / "random_states_3")
+        (cond / "random_states_3" / "epoch3_random_states.pth").touch()
 
         calls = []
         monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
@@ -408,6 +515,8 @@ class TestLengthsResumeLadderIntegrity:
         with open(cond / "dora_params_3" / "epoch3_dora_params.pth",
                   "w") as f:
             f.write("x")   # ...but only epoch 3's checkpoint exists
+        os.makedirs(cond / "random_states_3")
+        (cond / "random_states_3" / "epoch3_random_states.pth").touch()
 
         calls = []
         monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))

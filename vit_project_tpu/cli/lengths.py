@@ -52,17 +52,29 @@ def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
     return (None, None) if best is None else (best[1], best[0])
 
 
-def rollback_to_checkpoint(dora_dir: str, last_epoch0: int) -> int:
-    """Newest 1-indexed epoch <= last_epoch0+1 whose DoRA checkpoint exists
+def rollback_to_checkpoint(dora_dir: str, last_epoch0: int,
+                           rs_dir: str | None = None) -> int:
+    """Newest 1-indexed epoch <= last_epoch0+1 whose checkpoint state exists
     (0 = none). In-place resume must anchor on an epoch whose state is
     actually on disk: pointing run_behavioral_training at a missing
     epoch{N} file silently falls back to a FRESH adapter (the reference's
     strict=False load), continuing a mid-lineage CSV with meaningless
-    numbers. With the checkpoint-before-CSV write order at most the final
+    numbers. When `rs_dir` is given the anchor additionally requires that
+    epoch's random-states file — a DoRA file whose random states are missing
+    (legacy CSV-first write order, crash between the two saves) would
+    silently resume with a fresh AdamW state and the default data seed, the
+    same contaminated-but-continuous-looking CSV this walk exists to
+    prevent. With the checkpoint-before-CSV write order at most the final
     row is uncovered; legacy CSV-first trees may need a deeper walk."""
+    def _anchored(epoch1: int) -> bool:
+        if not os.path.exists(
+                os.path.join(dora_dir, f"epoch{epoch1}_dora_params.pth")):
+            return False
+        return rs_dir is None or os.path.exists(
+            os.path.join(rs_dir, f"epoch{epoch1}_random_states.pth"))
+
     rfe = last_epoch0 + 1
-    while rfe > 0 and not os.path.exists(
-            os.path.join(dora_dir, f"epoch{rfe}_dora_params.pth")):
+    while rfe > 0 and not _anchored(rfe):
         rfe -= 1
     return rfe
 
@@ -186,7 +198,11 @@ def _main_batched(args, timestamp: str):
     onsets = [int(x) for x in args.onsets.split(",") if x.strip()]
     config = {**_base_config(args), "perturb_length": args.perturb_length}
     from ..train.multi_fork import make_fork_mesh, run_batched_lengths
-    fork_mesh = make_fork_mesh(args.fork_devices, len(onsets))
+    # the mesh spans ONE vmapped group's forks, not the whole onset list:
+    # sizing it by len(onsets) would pad small groups with ballast forks
+    # across chips (sweep's call gets this right with args.batched_forks)
+    fork_mesh = make_fork_mesh(args.fork_devices,
+                               min(args.batched_forks, len(onsets)))
 
     os.makedirs(args.output_base_directory, exist_ok=True)
     logger = setup_main_logger(os.path.join(
@@ -241,7 +257,8 @@ def main(argv=None):
     last_completed_epoch = csvio.last_completed_epoch0(
         config["training_res_path"])
     resume_epoch = rollback_to_checkpoint(config["dora_parameters_path"],
-                                          last_completed_epoch)
+                                          last_completed_epoch,
+                                          rs_dir=config["random_state_path"])
     resume_from_existing = last_completed_epoch >= 0 and resume_epoch > 0
 
     os.makedirs(out_dir, exist_ok=True)

@@ -195,8 +195,13 @@ def _report_failed(failed: list[int]) -> None:
     report = os.environ.get("VIT_SWEEP_FAILED_JSON")
     if report:
         import json
-        with open(report, "w") as f:
+        # tmp+replace like every other ledger write: a worker killed
+        # mid-dump must leave either no report (done-ledger reconstruction
+        # kicks in) or a complete one, never truncated JSON
+        tmp = f"{report}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(failed, f)
+        os.replace(tmp, report)
 
 
 def _run_workers(args, training_order: list[int], logger) -> list[int]:
@@ -246,10 +251,20 @@ def _run_workers(args, training_order: list[int], logger) -> list[int]:
     for i, part, fj, dj, log, p in procs:
         rc = p.wait()
         log.close()
+        reported, corrupt = None, False
         if os.path.exists(fj):
-            with open(fj) as f:
-                failed.update(json.load(f))
-        elif rc != 0:
+            try:
+                with open(fj) as f:
+                    reported = json.load(f)
+            except ValueError:
+                # truncated report (pre-atomic writers, or a torn FS):
+                # treat as crashed-before-reporting below
+                corrupt = True
+                logger.info(f"worker {i}: corrupt failure report {fj}; "
+                            f"reconstructing from the done ledger")
+        if reported is not None:
+            failed.update(reported)
+        elif rc != 0 or corrupt:
             # crashed before reporting: everything its done ledger does not
             # vouch for is failed (incl. the partially-trained run in flight)
             done: set[int] = set()
@@ -264,8 +279,13 @@ def _run_workers(args, training_order: list[int], logger) -> list[int]:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    # dispatched workers share the dispatcher's output dir and start within
+    # the same second: a pid suffix keeps them from truncating one another's
+    # (or the dispatcher's) main log via the mode='w' file handler
+    suffix = f"_p{os.getpid()}" if os.environ.get(
+        "VIT_SWEEP_FAILED_JSON") else ""
     main_log = os.path.join(args.output_base_directory,
-                            f"main_training_log_{timestamp}.txt")
+                            f"main_training_log_{timestamp}{suffix}.txt")
     logger = setup_main_logger(main_log)
     # stable dedup BEFORE any dispatch: duplicate run numbers share one
     # artifact dir — split across workers (or co-batched) they would write

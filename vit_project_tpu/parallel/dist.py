@@ -54,13 +54,18 @@ def _env_configured() -> bool:
 def is_primary() -> bool:
     """rank-0 gating for checkpoint/CSV writes (reference local_rank==0).
 
-    Single-process (no coordinator env, jax.distributed uninitialized)
-    answers True WITHOUT calling jax.process_index(): that call forces
-    accelerator-backend initialization, which a host-side dispatcher
-    (cli/sweep.py --workers) must avoid — on a TPU VM the parent process
-    would acquire every chip its workers are about to pin."""
-    if not jax.distributed.is_initialized() and not _env_configured():
-        return True
+    While jax.distributed is uninitialized this answers WITHOUT calling
+    jax.process_index(): that call forces accelerator-backend
+    initialization, which a host-side dispatcher (cli/sweep.py --workers)
+    must avoid — on a TPU VM the parent process would acquire every chip
+    its workers are about to pin, even when stale coordinator env vars are
+    lying around. Before initialize() the backend could only report
+    process 0 anyway; when a rendezvous env names this process's rank
+    (JAX_PROCESS_ID / PROCESS_ID), answer from that instead."""
+    if not jax.distributed.is_initialized():
+        import os
+        pid = os.environ.get("JAX_PROCESS_ID", os.environ.get("PROCESS_ID"))
+        return pid in (None, "", "0")
     return jax.process_index() == 0
 
 

@@ -439,8 +439,6 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
     keys each fork's perturbation window off its ABSOLUTE epoch, so no
     relative-time alignment is required. Returns the failed condition dir
     names (e.g. 'random_target_e3_l2')."""
-    from ..cli.lengths import find_previous_run_dir
-
     su = _Setup(base_config, logger, mesh, group_size)
     cfg, log = su.cfg, su.log
     out_base = base_config["output_base_directory"]
@@ -499,7 +497,8 @@ def _init_length_condition(su: _Setup, out_base: str, ptype: str, E: int,
     rs_dir = os.path.join(out_dir, f"random_states_{E}")
 
     last = csvio.last_completed_epoch0(res_path)
-    anchored = rollback_to_checkpoint(dora_dir, last) if last >= 0 else 0
+    anchored = (rollback_to_checkpoint(dora_dir, last, rs_dir=rs_dir)
+                if last >= 0 else 0)
     resuming = False
     if last >= 0 and anchored > 0:
         rfe, prepop = anchored, res_path
