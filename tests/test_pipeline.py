@@ -111,7 +111,7 @@ class TestPipelineForward:
         from vit_project_tpu.parallel import mesh as vmesh
         m = vmesh.make_mesh(n_stage=2)
         assert m.axis_names == ("data", "stage") and m.shape["stage"] == 2
-        with pytest.raises(ValueError, match="not supported"):
+        with pytest.raises(ValueError, match="at most one"):
             vmesh.make_mesh(n_model=2, n_stage=2)
 
     def test_stage_count_mismatch_rejected(self, setup):

@@ -1,0 +1,222 @@
+"""Sequence parallelism (token-sharded activations) and MoE / expert
+parallelism (ops/moe.py, parallel/mesh.py seq_sharding / shard_vit_params_ep).
+
+The reference is dense and has no sp/ep (SURVEY.md section 2.2) — these are
+beyond-reference capability tests: every mode must reproduce the plain dp
+numbers (same math, different placement) on the 8-virtual-device CPU mesh.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_project_tpu.core.configs import ViTTrainConfig
+from vit_project_tpu.models import vit as vvit
+from vit_project_tpu.ops import moe as vmoe
+from vit_project_tpu.parallel import mesh as vmesh
+from vit_project_tpu.train.vit_loop import ViTTrainer, sgd_init
+
+TINY = vvit.ViTConfig(patch=8, width=32, layers=2, heads=2, image_size=32,
+                      num_classes=10)  # seq_len = 17: does NOT divide the
+                                       # model axis — exercises GSPMD's
+                                       # ragged token shard
+MOE_TINY = dataclasses.replace(TINY, moe_experts=4)
+
+
+def _rand_batch(n=8, image=32, classes=10, seed=0):
+    rs = np.random.RandomState(seed)
+    return (rs.randint(0, 255, (n, image, image, 3), np.uint8),
+            rs.randint(0, classes, n).astype(np.int32))
+
+
+# ---------------------------------------------------------------- sequence ---
+
+def test_sp_forward_matches_unsharded():
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), TINY)
+    imgs = jnp.asarray(np.random.RandomState(1).randn(4, 32, 32, 3),
+                       jnp.float32)
+    ref = jax.jit(lambda p, x: vvit.vit_classify(p, x, TINY))(params, imgs)
+
+    mesh = vmesh.make_mesh(n_data=2, n_model=4)
+    ss = vmesh.seq_sharding(mesh)
+    p_sh = vmesh.replicate(mesh, params)
+    x_sh = jax.device_put(imgs, vmesh.data_sharding(mesh))
+    got = jax.jit(lambda p, x: vvit.vit_classify(p, x, TINY, seq_shard=ss))(
+        p_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sp_train_step_matches_dp():
+    tcfg = ViTTrainConfig(batch_size=8, compute_dtype="float32")
+    imgs, labels = _rand_batch()
+    pkey = jax.random.PRNGKey(3)
+
+    results = []
+    for sp in (1, 2):
+        cfg = dataclasses.replace(tcfg, sp_devices=sp)
+        mesh = vmesh.make_mesh(n_data=8 // sp, n_model=sp)
+        tr = ViTTrainer(TINY, cfg, mesh)
+        params = vmesh.replicate(mesh, vvit.init_vit_params(
+            jax.random.PRNGKey(0), TINY))
+        buf = vmesh.replicate(mesh, sgd_init(params))
+        si, sl = tr.shard(imgs, labels)
+        step = tr._make_train_step(None)
+        params, buf, loss = step(params, buf, si, sl, 0.1, pkey, 0.1)
+        results.append((jax.tree_util.tree_map(np.asarray, params),
+                        float(loss)))
+    (p_dp, l_dp), (p_sp, l_sp) = results
+    assert np.isclose(l_dp, l_sp, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_dp),
+                    jax.tree_util.tree_leaves(p_sp)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_seq_sharding_requires_model_axis():
+    with pytest.raises(ValueError, match="model"):
+        vmesh.seq_sharding(vmesh.make_mesh(n_data=8))
+
+
+# --------------------------------------------------------------------- moe ---
+
+def _np_moe_oracle(x, p, act, capacity_factor):
+    """Sequential-queue top-1 MoE: the semantics moe_mlp's einsum dispatch
+    must reproduce (earlier tokens win capacity; dropped tokens output 0)."""
+    B, S, D = x.shape
+    T = B * S
+    E = p["router_w"].shape[1]
+    C = vmoe.expert_capacity(T, E, capacity_factor)
+    xt = x.reshape(T, D).astype(np.float64)
+    logits = xt @ np.asarray(p["router_w"], np.float64)
+    z = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = z / z.sum(axis=1, keepdims=True)
+    eidx = probs.argmax(axis=1)
+    gate = probs.max(axis=1)
+    y = np.zeros_like(xt)
+    counts = np.zeros(E, int)
+    for t in range(T):
+        e = eidx[t]
+        if counts[e] >= C:
+            continue
+        counts[e] += 1
+        h = act(xt[t] @ np.asarray(p["fc1_w"][e], np.float64)
+                + np.asarray(p["fc1_b"][e], np.float64))
+        y[t] = gate[t] * (h @ np.asarray(p["fc2_w"][e], np.float64)
+                          + np.asarray(p["fc2_b"][e], np.float64))
+    onehot = np.eye(E)[eidx]
+    aux = E * float((onehot.mean(axis=0) * probs.mean(axis=0)).sum())
+    return y.reshape(B, S, D), aux
+
+
+def test_moe_mlp_matches_sequential_oracle():
+    rs = np.random.RandomState(0)
+    p = jax.tree_util.tree_map(
+        jnp.asarray, vmoe.init_moe_mlp(jax.random.PRNGKey(1), 16, 32, 4))
+    x = jnp.asarray(rs.randn(2, 9, 16), jnp.float32)
+    relu = lambda v: jnp.maximum(v, 0)  # same fn applies to numpy arrays
+    y, aux = jax.jit(lambda x, p: vmoe.moe_mlp(x, p, act=relu,
+                                               capacity_factor=1.25))(x, p)
+    y_ref, aux_ref = _np_moe_oracle(np.asarray(x), p,
+                                    lambda v: np.maximum(v, 0), 1.25)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
+    assert np.isclose(float(aux), aux_ref, rtol=1e-5)
+
+
+def test_moe_capacity_drops_late_tokens():
+    # router forced to expert 0 for every token; capacity 8 < 20 tokens
+    D, E = 8, 2
+    p = jax.tree_util.tree_map(
+        jnp.asarray, vmoe.init_moe_mlp(jax.random.PRNGKey(0), D, 16, E))
+    p["router_w"] = jnp.zeros((D, E)).at[:, 0].set(10.0)
+    p["fc2_b"] = p["fc2_b"] + 1.0  # make expert output nonzero everywhere
+    # positive inputs => positive expert-0 logit => every token routes there
+    x = jnp.asarray(np.abs(np.random.RandomState(0).randn(1, 20, D)) + 0.1,
+                    jnp.float32)
+    y, _ = vmoe.moe_mlp(x, p, act=lambda v: jnp.maximum(v, 0),
+                        capacity_factor=0.5)
+    C = vmoe.expert_capacity(20, E, 0.5)
+    assert C == 8
+    norms = np.linalg.norm(np.asarray(y[0]), axis=-1)
+    assert (norms[:C] > 0).all(), "in-capacity tokens must get expert output"
+    assert (norms[C:] == 0).all(), "over-capacity tokens must be dropped"
+
+
+def test_moe_uniform_routing_aux_is_one():
+    # symmetric router -> uniform probs; aux = E * sum_e f_e * (1/E) = 1
+    D, E = 8, 4
+    p = jax.tree_util.tree_map(
+        jnp.asarray, vmoe.init_moe_mlp(jax.random.PRNGKey(0), D, 16, E))
+    p["router_w"] = jnp.zeros((D, E))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, D), jnp.float32)
+    _, aux = vmoe.moe_mlp(x, p, act=lambda v: v, capacity_factor=2.0)
+    assert np.isclose(float(aux), 1.0, atol=1e-6)
+
+
+# -------------------------------------------------------------- expert par ---
+
+def test_ep_train_step_matches_replicated():
+    tcfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                          moe_experts=4)
+    imgs, labels = _rand_batch(classes=10)
+    pkey = jax.random.PRNGKey(3)
+
+    results = []
+    for ep in (1, 2):
+        cfg = dataclasses.replace(tcfg, ep_devices=ep)
+        mesh = vmesh.make_mesh(n_data=8 // ep, n_expert=ep)
+        tr = ViTTrainer(MOE_TINY, cfg, mesh)
+        params = vvit.init_vit_params(jax.random.PRNGKey(0), MOE_TINY)
+        if ep > 1:
+            params = vmesh.shard_vit_params_ep(mesh, params)
+            buf = vmesh.shard_vit_params_ep(mesh, sgd_init(params))
+        else:
+            params = vmesh.replicate(mesh, params)
+            buf = vmesh.replicate(mesh, sgd_init(params))
+        si, sl = tr.shard(imgs, labels)
+        step = tr._make_train_step(None)
+        params, buf, loss = step(params, buf, si, sl, 0.1, pkey, 0.1)
+        results.append((jax.tree_util.tree_map(np.asarray, params),
+                        float(loss)))
+    (p_rep, l_rep), (p_ep, l_ep) = results
+    assert np.isfinite(l_rep) and np.isclose(l_rep, l_ep, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_rep),
+                    jax.tree_util.tree_leaves(p_ep)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ep_weights_live_sharded():
+    mesh = vmesh.make_mesh(n_data=2, n_expert=4)
+    params = vmesh.shard_vit_params_ep(mesh, vvit.init_vit_params(
+        jax.random.PRNGKey(0), MOE_TINY))
+    moe_block = next(bp for bp in params["blocks"] if "moe" in bp)
+    spec = moe_block["moe"]["fc1_w"].sharding.spec
+    assert spec[0] == "expert"
+    assert moe_block["moe"]["router_w"].sharding.spec == ()
+    # dense blocks replicate
+    dense_block = next(bp for bp in params["blocks"] if "moe" not in bp)
+    assert dense_block["qkv_w"].sharding.spec == ()
+
+
+def test_moe_model_has_dense_and_sparse_blocks():
+    cfg = dataclasses.replace(TINY, moe_experts=2, layers=4, moe_every=2)
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+    kinds = ["moe" if "moe" in bp else "dense" for bp in params["blocks"]]
+    assert kinds == ["dense", "moe", "dense", "moe"]
+    assert params["blocks"][1]["moe"]["fc1_w"].shape == (2, 32, 128)
+
+
+# ------------------------------------------------------------------ guards ---
+
+def test_mode_guards():
+    with pytest.raises(ValueError, match="at most one"):
+        vmesh.make_mesh(n_data=2, n_model=2, n_expert=2)
+    with pytest.raises(ValueError, match="MoE model"):
+        ViTTrainer(TINY, ViTTrainConfig(batch_size=8, ep_devices=2))
+    with pytest.raises(ValueError, match="second mesh axis"):
+        ViTTrainer(TINY, ViTTrainConfig(batch_size=8, sp_devices=2,
+                                        pp_stages=2))
+    with pytest.raises(ValueError, match="pipeline"):
+        ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, pp_stages=2,
+                                            pp_micro=2))

@@ -69,6 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host_prefetch", action="store_true",
                    help="async d2h of the per-epoch checkpoint trees so the "
                         "transfer overlaps validation (core/hostcopy.py)")
+    p.add_argument("--sp_devices", type=int, default=1,
+                   help="sequence parallelism: token-shard the activations "
+                        "over N devices of a ('data','model') mesh "
+                        "(Megatron-SP; ~Nx less activation memory per "
+                        "device, math unchanged); 1 = off")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="replace every other block's MLP with a Switch "
+                        "top-1 MoE of N experts (ops/moe.py; "
+                        "beyond-reference model variant)")
+    p.add_argument("--ep_devices", type=int, default=1,
+                   help="expert parallelism: shard the MoE expert FFNs over "
+                        "N devices of a ('data','expert') mesh (needs "
+                        "--moe_experts); 1 = off")
     return p
 
 
@@ -79,6 +92,9 @@ def main(argv=None):
     enable_persistent_cache()  # forks re-use the epoch-scan compile
     dist.setup_distributed()
     vit_cfg = VIT_CONFIGS[args.backbone]
+    if args.moe_experts > 0:
+        import dataclasses
+        vit_cfg = dataclasses.replace(vit_cfg, moe_experts=args.moe_experts)
     cfg = ViTTrainConfig(
         data_path=args.data_path, output_dir=args.output_dir,
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
@@ -92,7 +108,9 @@ def main(argv=None):
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
-        zero1=args.zero1, host_prefetch=args.host_prefetch)
+        zero1=args.zero1, host_prefetch=args.host_prefetch,
+        sp_devices=args.sp_devices, ep_devices=args.ep_devices,
+        moe_experts=args.moe_experts)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -149,6 +149,20 @@ class ViTTrainConfig:
                          # (ZeRO-1): per-chip optimizer state drops ~Nx for
                          # one all-gather per step; numbers unchanged.
                          # dp-only (not with pp_stages).
+    sp_devices: int = 1  # >1: sequence parallelism — activations token-
+                         # sharded over the 'model' axis of a
+                         # ('data','model') mesh (parallel/mesh.seq_sharding)
+                         # — per-device activation memory drops ~Nx; math
+                         # unchanged. Not with pp_stages/ep_devices.
+    ep_devices: int = 1  # >1: expert parallelism — MoE expert FFNs sharded
+                         # over the 'expert' axis of a ('data','expert')
+                         # mesh (needs moe_experts > 0). Not with
+                         # pp_stages/sp_devices.
+    moe_experts: int = 0  # >0: replace every other block's MLP with a
+                          # Switch top-1 MoE of this many experts
+                          # (ops/moe.py; beyond-reference capability)
+    moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
+                                  # added to the CE (Switch default)
     host_prefetch: bool = False  # async d2h of the per-epoch checkpoint
                                  # trees (core/hostcopy.py); opt-in until
                                  # measured on-chip

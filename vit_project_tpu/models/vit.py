@@ -42,10 +42,21 @@ class ViTConfig:
                                   # v5e); set False for exact-erf torch parity
     out_dim: Optional[int] = None  # CLIP projection dim (e.g. 768 for ViT-L/14)
     num_classes: Optional[int] = None  # classifier head (timm path)
+    # Mixture-of-Experts (beyond-reference; ops/moe.py): > 0 replaces the
+    # dense MLP of every `moe_every`-th block with a Switch top-1 MoE of
+    # this many experts. 0 = dense everywhere (every reference model).
+    moe_experts: int = 0
+    moe_every: int = 2             # Switch default: every other block
+    moe_capacity: float = 1.25     # per-expert capacity factor
 
     @property
     def seq_len(self) -> int:
         return (self.image_size // self.patch) ** 2 + 1
+
+    def is_moe_block(self, i: int) -> bool:
+        """MoE goes in the LAST block of each `moe_every` group (Switch puts
+        sparse layers at odd depths; this matches for moe_every=2)."""
+        return self.moe_experts > 0 and i % self.moe_every == self.moe_every - 1
 
 
 VIT_B16 = ViTConfig(patch=16, width=768, layers=12, heads=12, num_classes=1000)
@@ -76,21 +87,28 @@ def _trunc_normal(key, shape, std=0.02):
     return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
 
 
-def init_block(key, width: int, mlp_ratio: int) -> dict:
+def init_block(key, width: int, mlp_ratio: int, moe_experts: int = 0) -> dict:
     ks = jax.random.split(key, 4)
     hidden = width * mlp_ratio
-    return {
+    p = {
         "ln1": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
         "qkv_w": _trunc_normal(ks[0], (width, 3 * width)),
         "qkv_b": jnp.zeros(3 * width),
         "out_w": _trunc_normal(ks[1], (width, width)),
         "out_b": jnp.zeros(width),
         "ln2": {"scale": jnp.ones(width), "bias": jnp.zeros(width)},
-        "fc1_w": _trunc_normal(ks[2], (width, hidden)),
-        "fc1_b": jnp.zeros(hidden),
-        "fc2_w": _trunc_normal(ks[3], (hidden, width)),
-        "fc2_b": jnp.zeros(width),
     }
+    if moe_experts > 0:
+        from ..ops import moe as vmoe
+        p["moe"] = vmoe.init_moe_mlp(ks[2], width, hidden, moe_experts)
+    else:
+        p.update({
+            "fc1_w": _trunc_normal(ks[2], (width, hidden)),
+            "fc1_b": jnp.zeros(hidden),
+            "fc2_w": _trunc_normal(ks[3], (hidden, width)),
+            "fc2_b": jnp.zeros(width),
+        })
+    return p
 
 
 def init_vit_params(key, cfg: ViTConfig) -> dict:
@@ -100,7 +118,8 @@ def init_vit_params(key, cfg: ViTConfig) -> dict:
         "patch_b": jnp.zeros(cfg.width) if cfg.patch_bias else None,
         "cls": _trunc_normal(ks[1], (cfg.width,)),
         "pos": _trunc_normal(ks[2], (cfg.seq_len, cfg.width)),
-        "blocks": [init_block(ks[4 + i], cfg.width, cfg.mlp_ratio)
+        "blocks": [init_block(ks[4 + i], cfg.width, cfg.mlp_ratio,
+                              cfg.moe_experts if cfg.is_moe_block(i) else 0)
                    for i in range(cfg.layers)],
         "norm": {"scale": jnp.ones(cfg.width), "bias": jnp.zeros(cfg.width)},
     }
@@ -121,10 +140,16 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
                   dropout_key: jax.Array | None = None,
                   deterministic: bool = True,
                   use_pallas: bool | None = None,
-                  gelu_approx: bool = False) -> jax.Array:
+                  gelu_approx: bool = False,
+                  with_aux: bool = False,
+                  moe_capacity: float = 1.25) -> jax.Array:
     """Pre-norm transformer block. If `adapter` is given, the attention output
     projection is DoRA-adapted (replaces attn.out_proj, matching the reference's
-    apply_dora_to_ViT surgery, new_cvpr...pipeline.py:484-513)."""
+    apply_dora_to_ViT surgery, new_cvpr...pipeline.py:484-513).
+
+    Blocks whose params carry a "moe" entry (ViTConfig.moe_experts > 0) run the
+    Switch MoE FFN (ops/moe.py) in place of the dense MLP; `with_aux=True`
+    makes the return a (x, aux_loss) pair (aux is 0 for dense blocks)."""
     act = (vnn.quick_gelu if quick_gelu
            else (vnn.gelu_tanh if gelu_approx else vnn.gelu))
     h = vnn.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
@@ -182,12 +207,19 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     x = x + o
 
     h = vnn.layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
-    h = vnn.mlp(h, p, act=act)
-    return x + h
+    if "moe" in p:
+        from ..ops import moe as vmoe
+        h, aux = vmoe.moe_mlp(h, p["moe"], act=act,
+                              capacity_factor=moe_capacity)
+    else:
+        h = vnn.mlp(h, p, act=act)
+        aux = jnp.zeros((), jnp.float32)
+    x = x + h
+    return (x, aux) if with_aux else x
 
 
 def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
-              remat):
+              remat, with_aux: bool = False):
     """Per-block callable shared by the encoder trunks; with remat=True each
     call is wrapped in jax.checkpoint (see vit_encode docstring)."""
     def _block(bp, x, ad, dk):
@@ -195,7 +227,9 @@ def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
                              adapter=ad, adapter_cfg=adapter_cfg,
                              dropout_key=dk, deterministic=deterministic,
                              use_pallas=use_pallas,
-                             gelu_approx=cfg.gelu_approx)
+                             gelu_approx=cfg.gelu_approx,
+                             with_aux=with_aux,
+                             moe_capacity=cfg.moe_capacity)
     return jax.checkpoint(_block) if remat else _block
 
 
@@ -204,7 +238,8 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                dropout_key: jax.Array | None = None, deterministic: bool = True,
                use_pallas: bool | None = None,
                input_norm: tuple | None = None,
-               compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
+               compute_dtype=jnp.float32, remat: bool = False,
+               seq_shard=None, with_aux: bool = False) -> jax.Array:
     """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
 
     `adapters` maps block index -> {trainable, buffers} DoRA entries.
@@ -221,7 +256,22 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     HBM from O(layers) to O(1) block activations at ~1/3 extra FLOPs — the
     lever for batch sizes / model widths whose activations outgrow one
     chip's HBM. Gradients are bit-identical (same math, same key threading).
+
+    `seq_shard` (a NamedSharding like P('data', 'model', None) — see
+    parallel/mesh.py seq_sharding) turns on Megatron-style SEQUENCE
+    parallelism: the [B, S, D] activations are constrained token-sharded at
+    every block boundary, so LayerNorm / MLP / projections run on 1/N of the
+    tokens per device and GSPMD inserts the k/v gathers that attention's
+    token mixing needs (the only place full S is required). Per-device
+    activation memory drops ~Nx — the lever for sequence lengths that
+    outgrow one chip. Forces the XLA attention path (the pallas kernel has
+    no GSPMD partitioning rule over S).
+
+    `with_aux=True` returns (tokens, aux_loss_sum) — the summed MoE
+    load-balance losses of any MoE blocks (0.0 for dense models).
     """
+    if seq_shard is not None:
+        use_pallas = False
     if input_norm is not None:
         mean, std = input_norm
         x = vnn.patch_embed_affine(images, params["patch_w"],
@@ -237,28 +287,46 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     x = x + params["pos"].astype(x.dtype)
     if cfg.pre_norm:
         x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    if seq_shard is not None:
+        x = jax.lax.with_sharding_constraint(x, seq_shard)
     adapters = adapters or {}
-    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
+    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
+                    with_aux=with_aux)
+    aux_total = jnp.zeros((), jnp.float32)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None
         if ad is not None and dropout_key is not None:
             dk = jax.random.fold_in(dropout_key, i)
-        x = blk(bp, x, ad, dk)
-    return vnn.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+        if with_aux:
+            x, aux = blk(bp, x, ad, dk)
+            aux_total = aux_total + aux
+        else:
+            x = blk(bp, x, ad, dk)
+        if seq_shard is not None:
+            x = jax.lax.with_sharding_constraint(x, seq_shard)
+    out = vnn.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    return (out, aux_total) if with_aux else out
 
 
 def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
                  use_pallas: bool | None = None,
                  input_norm: tuple | None = None,
-                 compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
-    """ViT classifier logits [B, num_classes] from the CLS token."""
+                 compute_dtype=jnp.float32, remat: bool = False,
+                 seq_shard=None, with_aux: bool = False) -> jax.Array:
+    """ViT classifier logits [B, num_classes] from the CLS token.
+
+    `seq_shard` / `with_aux` as in vit_encode; with_aux=True returns
+    (logits, moe_aux_loss)."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
                         input_norm=input_norm, compute_dtype=compute_dtype,
-                        remat=remat)
+                        remat=remat, seq_shard=seq_shard, with_aux=with_aux)
+    if with_aux:
+        tokens, aux = tokens
     cls = tokens[:, 0]
     logits = vnn.dense(cls, params["head_w"], params["head_b"])
-    return logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    return (logits, aux) if with_aux else logits
 
 
 def forward_features(params: dict, images: jax.Array, cfg: ViTConfig, *,

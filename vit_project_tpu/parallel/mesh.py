@@ -16,23 +16,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              n_stage: int = 1, devices=None) -> Mesh:
+              n_stage: int = 1, n_expert: int = 1, devices=None) -> Mesh:
     """1-D ('data',) mesh by default; ('data','model') if n_model > 1
-    (tensor parallelism, shard_vit_params_tp); ('data','stage') if
-    n_stage > 1 (GPipe pipeline, parallel/pipeline.py)."""
-    if n_model > 1 and n_stage > 1:
-        raise ValueError("combined tensor+pipeline meshes are not supported")
+    (tensor parallelism shard_vit_params_tp, and/or sequence parallelism
+    seq_sharding — both ride the 'model' axis, Megatron-style);
+    ('data','stage') if n_stage > 1 (GPipe pipeline, parallel/pipeline.py);
+    ('data','expert') if n_expert > 1 (MoE expert parallelism,
+    shard_vit_params_ep)."""
+    extra = [(a, s) for a, s in (("model", n_model), ("stage", n_stage),
+                                 ("expert", n_expert)) if s > 1]
+    if len(extra) > 1:
+        raise ValueError("at most one of n_model/n_stage/n_expert may be > 1 "
+                         f"(got {[a for a, _ in extra]})")
     devices = devices if devices is not None else jax.devices()
-    n = len(devices) if n_data is None else n_data * n_model * n_stage
+    n = (len(devices) if n_data is None
+         else n_data * n_model * n_stage * n_expert)
     devices = devices[:n]
-    for axis, size in (("model", n_model), ("stage", n_stage)):
-        if size > 1:
-            if n % size != 0:
-                raise ValueError(f"{axis} axis ({size}) must divide the "
-                                 f"device count ({n})")
-            arr = mesh_utils.create_device_mesh((n // size, size),
-                                                devices=devices)
-            return Mesh(arr, ("data", axis))
+    for axis, size in extra:
+        if n % size != 0:
+            raise ValueError(f"{axis} axis ({size}) must divide the "
+                             f"device count ({n})")
+        arr = mesh_utils.create_device_mesh((n // size, size),
+                                            devices=devices)
+        return Mesh(arr, ("data", axis))
     arr = mesh_utils.create_device_mesh((len(devices),), devices=devices)
     return Mesh(arr, ("data",))
 
@@ -134,6 +140,64 @@ def shard_vit_params_tp(mesh: Mesh, params: dict,
         else:
             out[k] = jax.tree_util.tree_map(
                 lambda a: put(a, rep) if a is not None else None, v)
+    return out
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence-parallel constraint for [B, S, D] activations: batch over
+    'data', TOKENS over 'model' (Megatron-SP rides the tensor-parallel axis).
+    Pass as vit_encode/vit_classify's `seq_shard`: LayerNorm/MLP/projections
+    then run on 1/N of the tokens per device and GSPMD inserts the k/v
+    gathers attention needs — per-device activation memory drops ~Nx. S need
+    not divide the axis (GSPMD pads the ragged shard internally)."""
+    if "model" not in mesh.axis_names:
+        raise ValueError("sequence parallelism needs a ('data','model') mesh "
+                         f"(make_mesh(n_model=...)); got {mesh.axis_names}")
+    return NamedSharding(mesh, P("data", "model", None))
+
+
+def shard_vit_params_ep(mesh: Mesh, params: dict) -> dict:
+    """Expert-parallel placement of a MoE ViT param tree (ops/moe.py) over
+    the 'expert' axis of a ('data','expert') mesh: each stacked expert-FFN
+    tensor ([E, ...]) is sharded on E so every device group holds only its
+    experts, and GSPMD lowers the dispatch/combine einsums to the
+    expert-parallel all-to-all. Routers and all dense weights replicate.
+    The reference has no MoE (SURVEY.md section 2) — forward-looking
+    capability, like TP."""
+    if "expert" not in mesh.axis_names:
+        return replicate(mesh, params)
+    n_expert = mesh.shape["expert"]
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def shard_block(bp: dict) -> dict:
+        out = {}
+        for k, v in bp.items():
+            if k == "moe":
+                moe = {}
+                for mk, mv in v.items():
+                    if mk == "router_w":
+                        moe[mk] = put(mv, P())
+                    else:
+                        if mv.shape[0] % n_expert != 0:
+                            raise ValueError(
+                                f"expert axis ({n_expert}) must divide the "
+                                f"expert count ({mv.shape[0]})")
+                        moe[mk] = put(mv, P(*(("expert",)
+                                              + (None,) * (mv.ndim - 1))))
+                out[k] = moe
+            else:
+                out[k] = jax.tree_util.tree_map(lambda a: put(a, P()), v)
+        return out
+
+    out = {}
+    for k, v in params.items():
+        if k == "blocks":
+            out[k] = [shard_block(bp) for bp in v]
+        else:
+            out[k] = jax.tree_util.tree_map(
+                lambda a: put(a, P()) if a is not None else None, v)
     return out
 
 

@@ -70,11 +70,26 @@ class ViTTrainer:
         self.cfg = train_cfg
         self.pp = getattr(train_cfg, "pp_stages", 1) > 1
         self.n_micro = getattr(train_cfg, "pp_micro", 1)
+        self.sp = getattr(train_cfg, "sp_devices", 1) > 1
+        self.ep = getattr(train_cfg, "ep_devices", 1) > 1
+        self.moe = getattr(vit_cfg, "moe_experts", 0) > 0
+        if sum((self.pp, self.sp, self.ep)) > 1:
+            raise ValueError("pp_stages / sp_devices / ep_devices each need "
+                             "their own second mesh axis; enable at most one")
+        if self.ep and not self.moe:
+            raise ValueError("ep_devices > 1 needs a MoE model "
+                             "(vit_cfg.moe_experts > 0)")
+        if self.pp and self.moe:
+            raise ValueError("MoE blocks are not supported on the pipeline "
+                             "path (the GPipe schedule drops the aux loss)")
         self.mesh = mesh if mesh is not None else vmesh.make_mesh(
-            n_stage=train_cfg.pp_stages if self.pp else 1)
+            n_stage=train_cfg.pp_stages if self.pp else 1,
+            n_model=train_cfg.sp_devices if self.sp else 1,
+            n_expert=train_cfg.ep_devices if self.ep else 1)
         if self.pp and "stage" not in self.mesh.axis_names:
             raise ValueError("pp_stages > 1 needs a mesh with a 'stage' "
                              f"axis, got {self.mesh.axis_names}")
+        self._seq_shard = vmesh.seq_sharding(self.mesh) if self.sp else None
         self.zero1 = getattr(train_cfg, "zero1", False)
         if self.zero1 and self.pp:
             raise ValueError("zero1 shards over the 'data' axis of the dp "
@@ -84,8 +99,9 @@ class ViTTrainer:
                               else jnp.float32)
         self._train_steps: dict = {}
 
-    def _classify(self, params, images, *, input_norm):
-        """vit_classify in dp mode; the pipelined schedule in pp mode."""
+    def _classify(self, params, images, *, input_norm, with_aux=False):
+        """vit_classify in dp mode (token-sharded under sp, MoE aux under
+        with_aux); the pipelined schedule in pp mode."""
         if self.pp:
             from ..parallel import pipeline as vpp
             return vpp.pipeline_classify(
@@ -95,7 +111,9 @@ class ViTTrainer:
         return vvit.vit_classify(params, images, self.vit_cfg,
                                  input_norm=input_norm,
                                  compute_dtype=self.compute_dtype,
-                                 remat=self.cfg.remat)
+                                 remat=self.cfg.remat,
+                                 seq_shard=self._seq_shard,
+                                 with_aux=with_aux)
 
     # -- jitted steps -------------------------------------------------------
 
@@ -108,12 +126,19 @@ class ViTTrainer:
 
             image_perturb = perturbation_type in ("gaussian", "uniform_gray")
 
+            moe = self.moe
+            aux_w = getattr(self.cfg, "moe_aux_weight", 0.01)
+
             def loss_fn(params, images, labels, *, input_norm):
-                logits = self._classify(params, images,
-                                        input_norm=input_norm)
+                out = self._classify(params, images, input_norm=input_norm,
+                                     with_aux=moe)
+                logits, aux = out if moe else (out, None)
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32))
                 ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-                return jnp.mean(ce)
+                loss = jnp.mean(ce)
+                if moe:  # Switch load-balance term (ops/moe.py aux loss)
+                    loss = loss + aux_w * aux
+                return loss
 
             G = getattr(self.cfg, "grad_accum", 1)
 
@@ -362,14 +387,18 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     log = logger.info if logger else print
     vit_cfg = vit_cfg or vvit.ViTConfig(
         patch=16, width=768, layers=12, heads=12,
-        image_size=cfg.image_size, num_classes=cfg.num_classes)
+        image_size=cfg.image_size, num_classes=cfg.num_classes,
+        moe_experts=cfg.moe_experts)
 
     proc_id, proc_count = dist.setup_distributed()
     pp = cfg.pp_stages > 1
-    if pp and proc_count > 1:
-        raise ValueError("pipeline parallelism (pp_stages > 1) is "
-                         "single-process: one host drives all stages")
-    mesh = vmesh.make_mesh(n_stage=cfg.pp_stages if pp else 1)
+    sp, ep = cfg.sp_devices > 1, cfg.ep_devices > 1
+    if (pp or sp or ep) and proc_count > 1:
+        raise ValueError("pp/sp/ep meshes are single-process: one host "
+                         "drives the second mesh axis")
+    mesh = vmesh.make_mesh(n_stage=cfg.pp_stages if pp else 1,
+                           n_model=cfg.sp_devices if sp else 1,
+                           n_expert=cfg.ep_devices if ep else 1)
     n_dev = mesh.devices.size
     log("=" * 60)
     log("ViT-Base ImageNet Training (SGD)")
@@ -442,6 +471,10 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         # flat reference layout via unstage_blocks below
         params = vpp.shard_params_pp(mesh, params)
         momentum_buf = vpp.shard_params_pp(mesh, momentum_buf)
+    elif ep:
+        # expert FFNs (and their momentum) live sharded over 'expert'
+        params = vmesh.shard_vit_params_ep(mesh, params)
+        momentum_buf = vmesh.shard_vit_params_ep(mesh, momentum_buf)
     else:
         params = vmesh.replicate(mesh, params)
         momentum_buf = (vmesh.shard_opt_state(mesh, momentum_buf)
