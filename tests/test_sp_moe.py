@@ -207,6 +207,73 @@ def test_moe_model_has_dense_and_sparse_blocks():
     assert params["blocks"][1]["moe"]["fc1_w"].shape == (2, 32, 128)
 
 
+# ------------------------------------------------------------ compositions ---
+
+def test_sp_composes_with_zero1():
+    """sp (token-sharded activations over 'model') + ZeRO-1 (momentum over
+    'data') together still reproduce the plain dp step."""
+    imgs, labels = _rand_batch()
+    pkey = jax.random.PRNGKey(3)
+
+    def run(sp, zero1):
+        cfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                             sp_devices=2 if sp else 1, zero1=zero1)
+        mesh = vmesh.make_mesh(n_data=4 if sp else 8, n_model=2 if sp else 1)
+        tr = ViTTrainer(TINY, cfg, mesh)
+        params = vmesh.replicate(mesh, vvit.init_vit_params(
+            jax.random.PRNGKey(0), TINY))
+        buf = (vmesh.shard_opt_state(mesh, sgd_init(params)) if zero1
+               else vmesh.replicate(mesh, sgd_init(params)))
+        si, sl = tr.shard(imgs, labels)
+        params, _, loss = tr._make_train_step(None)(
+            params, buf, si, sl, 0.1, pkey, 0.1)
+        return jax.tree_util.tree_map(np.asarray, params), float(loss)
+
+    p_ref, l_ref = run(sp=False, zero1=False)
+    p_got, l_got = run(sp=True, zero1=True)
+    assert np.isclose(l_ref, l_got, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_composes_with_grad_accum_and_remat():
+    """MoE + grad_accum + remat trains (finite, loss decreases on a fixed
+    batch). Not an equivalence test: routing capacity and the aux term are
+    per-microbatch under grad_accum (see batch_grads docstring)."""
+    cfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                         moe_experts=4, grad_accum=2, remat=True)
+    tr = ViTTrainer(MOE_TINY, cfg, vmesh.make_mesh(n_data=8))
+    params = vmesh.replicate(tr.mesh, vvit.init_vit_params(
+        jax.random.PRNGKey(0), MOE_TINY))
+    buf = vmesh.replicate(tr.mesh, sgd_init(params))
+    imgs, labels = _rand_batch()
+    si, sl = tr.shard(imgs, labels)
+    step = tr._make_train_step(None)
+    losses = []
+    for i in range(4):
+        params, buf, loss = step(params, buf, si, sl, 0.1,
+                                 jax.random.PRNGKey(i), 0.1)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_moe_checkpoint_roundtrip(tmp_path):
+    """MoE param trees ride the generic checkpoint pytree path unchanged."""
+    from vit_project_tpu.ckpt import vit_ckpt
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), MOE_TINY)
+    buf = sgd_init(params)
+    vit_ckpt.save_checkpoint(3, params, buf, {"last_epoch": 3}, 1.0, 2.0,
+                             50.0, str(tmp_path), sharded=False)
+    ckpt = vit_ckpt.load_checkpoint(
+        vit_ckpt.latest_checkpoint(str(tmp_path)))
+    assert ckpt["epoch"] == 3
+    got = ckpt["params"]["blocks"][1]["moe"]["fc1_w"]
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(params["blocks"][1]["moe"]["fc1_w"]))
+
+
 # ------------------------------------------------------------------ guards ---
 
 def test_mode_guards():

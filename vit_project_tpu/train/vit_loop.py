@@ -148,7 +148,11 @@ class ViTTrainer:
                 grads — peak activation memory drops to one microbatch's
                 (the backward of microbatch g replays before g+1's forward
                 starts), and the result is numerically the unsplit step's
-                (CE is a mean over equal-sized microbatches)."""
+                (CE is a mean over equal-sized microbatches). MoE models are
+                the one exception: routing capacity and the load-balance aux
+                term are computed per forward, so with G > 1 they apply per
+                MICROBATCH — a (standard) slightly different regularizer,
+                not a numerical error."""
                 if G == 1:
                     return jax.value_and_grad(loss_fn)(
                         params, images, labels, input_norm=input_norm)
