@@ -79,6 +79,102 @@ def test_seq_sharding_requires_model_axis():
         vmesh.seq_sharding(vmesh.make_mesh(n_data=8))
 
 
+# -------------------------------------------------------------------- ring ---
+
+class TestRingAttention:
+    """parallel/ring.py vs the dense XLA attention oracle."""
+
+    def _qkv(self, B=4, S=24, H=2, dh=8, seed=0):
+        rs = np.random.RandomState(seed)
+        return tuple(jnp.asarray(rs.randn(B, S, H, dh), jnp.float32)
+                     for _ in range(3))
+
+    def test_matches_dense(self):
+        from vit_project_tpu.parallel import ring as vring
+        from vit_project_tpu.ops import attention as vattn
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv()
+        ref = vattn.mha_fused_xla_bshd(q, k, v)
+        got = jax.jit(lambda q, k, v: vring.ring_attention_bshd(
+            q, k, v, mesh, "model"))(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_padded_and_causal_match_dense(self):
+        from vit_project_tpu.parallel import ring as vring
+        from vit_project_tpu.ops import attention as vattn
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv(S=17)
+        qp, s = vring.pad_seq(q, 8)
+        kp, _ = vring.pad_seq(k, 8)
+        vp, _ = vring.pad_seq(v, 8)
+        assert qp.shape[1] == 24 and s == 17
+        for causal in (False, True):
+            ref = vattn.mha_fused_xla_bshd(q, k, v, causal=causal)
+            got = jax.jit(lambda q, k, v: vring.ring_attention_bshd(
+                q, k, v, mesh, "model", s_valid=17, causal=causal))(
+                qp, kp, vp)[:, :17]
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_dense(self):
+        from vit_project_tpu.parallel import ring as vring
+        from vit_project_tpu.ops import attention as vattn
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv()
+        g_ref = jax.grad(lambda q, k, v: jnp.sum(
+            vattn.mha_fused_xla_bshd(q, k, v) ** 2), argnums=(0, 1, 2))(
+            q, k, v)
+        g_got = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+            vring.ring_attention_bshd(q, k, v, mesh, "model") ** 2),
+            argnums=(0, 1, 2)))(q, k, v)
+        for a, b in zip(g_ref, g_got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_nondividing_seq_rejected(self):
+        from vit_project_tpu.parallel import ring as vring
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv(S=17)
+        with pytest.raises(ValueError, match="pad"):
+            vring.ring_attention_bshd(q, k, v, mesh, "model")
+
+
+def test_sp_ring_train_step_matches_dp():
+    """Full sp+ring train step (S=17 -> padded to 18 over 2 shards) must
+    reproduce the plain dp step."""
+    imgs, labels = _rand_batch()
+    pkey = jax.random.PRNGKey(3)
+
+    def run(ring):
+        cfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                             sp_devices=2 if ring else 1, sp_ring=ring)
+        mesh = vmesh.make_mesh(n_data=4 if ring else 8,
+                               n_model=2 if ring else 1)
+        tr = ViTTrainer(TINY, cfg, mesh)
+        params = vmesh.replicate(mesh, vvit.init_vit_params(
+            jax.random.PRNGKey(0), TINY))
+        buf = vmesh.replicate(mesh, sgd_init(params))
+        si, sl = tr.shard(imgs, labels)
+        params, _, loss = tr._make_train_step(None)(
+            params, buf, si, sl, 0.1, pkey, 0.1)
+        return jax.tree_util.tree_map(np.asarray, params), float(loss)
+
+    p_ref, l_ref = run(False)
+    p_got, l_got = run(True)
+    assert np.isclose(l_ref, l_got, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_attn_requires_seq_shard():
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), TINY)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="seq_shard"):
+        vvit.vit_classify(params, imgs, TINY, ring_attn=True)
+
+
 # --------------------------------------------------------------------- moe ---
 
 def _np_moe_oracle(x, p, act, capacity_factor):

@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "over N devices of a ('data','model') mesh "
                         "(Megatron-SP; ~Nx less activation memory per "
                         "device, math unchanged); 1 = off")
+    p.add_argument("--sp_ring", action="store_true",
+                   help="with --sp_devices: ring attention (k/v rotate over "
+                        "ICI via ppermute; peak per-device k/v = one block "
+                        "instead of the all-gathered sequence)")
     p.add_argument("--moe_experts", type=int, default=0,
                    help="replace every other block's MLP with a Switch "
                         "top-1 MoE of N experts (ops/moe.py; "
@@ -109,8 +113,8 @@ def main(argv=None):
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
         zero1=args.zero1, host_prefetch=args.host_prefetch,
-        sp_devices=args.sp_devices, ep_devices=args.ep_devices,
-        moe_experts=args.moe_experts)
+        sp_devices=args.sp_devices, sp_ring=args.sp_ring,
+        ep_devices=args.ep_devices, moe_experts=args.moe_experts)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

@@ -154,6 +154,10 @@ class ViTTrainConfig:
                          # ('data','model') mesh (parallel/mesh.seq_sharding)
                          # — per-device activation memory drops ~Nx; math
                          # unchanged. Not with pp_stages/ep_devices.
+    sp_ring: bool = False  # with sp_devices > 1: route attention through
+                           # RING attention (parallel/ring.py) — k/v rotate
+                           # over ICI via ppermute instead of all-gathering;
+                           # peak per-device k/v = one block. Same numbers.
     ep_devices: int = 1  # >1: expert parallelism — MoE expert FFNs sharded
                          # over the 'expert' axis of a ('data','expert')
                          # mesh (needs moe_experts > 0). Not with

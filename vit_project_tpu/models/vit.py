@@ -142,14 +142,20 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
                   use_pallas: bool | None = None,
                   gelu_approx: bool = False,
                   with_aux: bool = False,
-                  moe_capacity: float = 1.25) -> jax.Array:
+                  moe_capacity: float = 1.25,
+                  ring: tuple | None = None) -> jax.Array:
     """Pre-norm transformer block. If `adapter` is given, the attention output
     projection is DoRA-adapted (replaces attn.out_proj, matching the reference's
     apply_dora_to_ViT surgery, new_cvpr...pipeline.py:484-513).
 
     Blocks whose params carry a "moe" entry (ViTConfig.moe_experts > 0) run the
     Switch MoE FFN (ops/moe.py) in place of the dense MLP; `with_aux=True`
-    makes the return a (x, aux_loss) pair (aux is 0 for dense blocks)."""
+    makes the return a (x, aux_loss) pair (aux is 0 for dense blocks).
+
+    `ring=(mesh, axis, s_valid)` routes the attention core through ring
+    attention (parallel/ring.py) — for sequence-parallel trunks whose k/v
+    should rotate over ICI instead of all-gathering (vit_encode
+    ring_attn=True). Implies the XLA qkv path."""
     act = (vnn.quick_gelu if quick_gelu
            else (vnn.gelu_tanh if gelu_approx else vnn.gelu))
     h = vnn.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
@@ -172,7 +178,7 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     # feed a pallas_call with no GSPMD partitioning rule — both force
     # re-gathers. The layout is statically visible here, so route TP to the
     # XLA path regardless of what the caller asked for.
-    use_pallas = use_pallas and p["qkv_w"].ndim != 3
+    use_pallas = use_pallas and p["qkv_w"].ndim != 3 and ring is None
     if use_pallas:
         # ONE packed projection [D, 3D] (better MXU shape than 3 separate
         # [D, D] dots; one dW matmul in the backward) with the 1/sqrt(dh)
@@ -193,8 +199,13 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
         v = (jnp.einsum("bsd,dhe->bshe", h,
                         w3[:, 2].reshape(D, heads, dh).astype(h.dtype))
              + b3[2].reshape(heads, dh).astype(h.dtype))
-        o = vattn.attention_core_bshd(q, k, v, causal=causal,
-                                      use_pallas=False)
+        if ring is not None:
+            from ..parallel import ring as vring
+            o = vring.ring_attention_bshd(q, k, v, ring[0], ring[1],
+                                          s_valid=ring[2], causal=causal)
+        else:
+            o = vattn.attention_core_bshd(q, k, v, causal=causal,
+                                          use_pallas=False)
     o = o.reshape(B, S, D)
     if adapter is not None:
         o = vdora.dora_linear(
@@ -219,7 +230,7 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
 
 
 def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
-              remat, with_aux: bool = False):
+              remat, with_aux: bool = False, ring: tuple | None = None):
     """Per-block callable shared by the encoder trunks; with remat=True each
     call is wrapped in jax.checkpoint (see vit_encode docstring)."""
     def _block(bp, x, ad, dk):
@@ -229,7 +240,8 @@ def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
                              use_pallas=use_pallas,
                              gelu_approx=cfg.gelu_approx,
                              with_aux=with_aux,
-                             moe_capacity=cfg.moe_capacity)
+                             moe_capacity=cfg.moe_capacity,
+                             ring=ring)
     return jax.checkpoint(_block) if remat else _block
 
 
@@ -239,7 +251,8 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                use_pallas: bool | None = None,
                input_norm: tuple | None = None,
                compute_dtype=jnp.float32, remat: bool = False,
-               seq_shard=None, with_aux: bool = False) -> jax.Array:
+               seq_shard=None, with_aux: bool = False,
+               ring_attn: bool = False) -> jax.Array:
     """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
 
     `adapters` maps block index -> {trainable, buffers} DoRA entries.
@@ -269,9 +282,24 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
 
     `with_aux=True` returns (tokens, aux_loss_sum) — the summed MoE
     load-balance losses of any MoE blocks (0.0 for dense models).
+
+    `ring_attn=True` (needs seq_shard) upgrades sequence parallelism to RING
+    attention (parallel/ring.py): the token stream is zero-padded to a
+    multiple of the sequence axis (padded keys masked, padded rows sliced
+    off at the end — attention is the only token-mixing op, so valid tokens
+    are exact) and each block's k/v rotate around the ring via ppermute
+    instead of all-gathering.
     """
     if seq_shard is not None:
         use_pallas = False
+    ring = None
+    s_real = None
+    if ring_attn:
+        if seq_shard is None:
+            raise ValueError("ring_attn=True needs seq_shard (the sequence-"
+                             "parallel mesh constraint)")
+        ring_axis = seq_shard.spec[1]
+        ring_n = seq_shard.mesh.shape[ring_axis]
     if input_norm is not None:
         mean, std = input_norm
         x = vnn.patch_embed_affine(images, params["patch_w"],
@@ -287,11 +315,15 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     x = x + params["pos"].astype(x.dtype)
     if cfg.pre_norm:
         x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    if ring_attn:
+        from ..parallel import ring as vring
+        x, s_real = vring.pad_seq(x, ring_n)
+        ring = (seq_shard.mesh, ring_axis, s_real)
     if seq_shard is not None:
         x = jax.lax.with_sharding_constraint(x, seq_shard)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
-                    with_aux=with_aux)
+                    with_aux=with_aux, ring=ring)
     aux_total = jnp.zeros((), jnp.float32)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
@@ -305,6 +337,8 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
             x = blk(bp, x, ad, dk)
         if seq_shard is not None:
             x = jax.lax.with_sharding_constraint(x, seq_shard)
+    if ring_attn and x.shape[1] != s_real:
+        x = x[:, :s_real]   # drop the ring padding rows
     out = vnn.layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
     return (out, aux_total) if with_aux else out
 
@@ -313,14 +347,16 @@ def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
                  use_pallas: bool | None = None,
                  input_norm: tuple | None = None,
                  compute_dtype=jnp.float32, remat: bool = False,
-                 seq_shard=None, with_aux: bool = False) -> jax.Array:
+                 seq_shard=None, with_aux: bool = False,
+                 ring_attn: bool = False) -> jax.Array:
     """ViT classifier logits [B, num_classes] from the CLS token.
 
-    `seq_shard` / `with_aux` as in vit_encode; with_aux=True returns
-    (logits, moe_aux_loss)."""
+    `seq_shard` / `with_aux` / `ring_attn` as in vit_encode; with_aux=True
+    returns (logits, moe_aux_loss)."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
                         input_norm=input_norm, compute_dtype=compute_dtype,
-                        remat=remat, seq_shard=seq_shard, with_aux=with_aux)
+                        remat=remat, seq_shard=seq_shard, with_aux=with_aux,
+                        ring_attn=ring_attn)
     if with_aux:
         tokens, aux = tokens
     cls = tokens[:, 0]

@@ -113,7 +113,9 @@ class ViTTrainer:
                                  compute_dtype=self.compute_dtype,
                                  remat=self.cfg.remat,
                                  seq_shard=self._seq_shard,
-                                 with_aux=with_aux)
+                                 with_aux=with_aux,
+                                 ring_attn=self.sp and getattr(
+                                     self.cfg, "sp_ring", False))
 
     # -- jitted steps -------------------------------------------------------
 
