@@ -383,3 +383,19 @@ def test_mode_guards():
     with pytest.raises(ValueError, match="pipeline"):
         ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, pp_stages=2,
                                             pp_micro=2))
+    # sp_ring needs sp; ring pads, so it refuses MoE (capacity competition)
+    with pytest.raises(ValueError, match="sp_devices"):
+        ViTTrainer(TINY, ViTTrainConfig(batch_size=8, sp_ring=True))
+    with pytest.raises(ValueError, match="expert capacity"):
+        ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, sp_devices=2,
+                                            sp_ring=True))
+    with pytest.raises(ValueError, match="expert capacity"):
+        vvit.vit_encode(vvit.init_vit_params(jax.random.PRNGKey(0), MOE_TINY),
+                        jnp.zeros((2, 32, 32, 3), jnp.float32), MOE_TINY,
+                        seq_shard=vmesh.seq_sharding(
+                            vmesh.make_mesh(n_data=4, n_model=2)),
+                        ring_attn=True)
+    # zero1 pins params replicated / momentum data-sharded — defeats ep
+    with pytest.raises(ValueError, match="zero1"):
+        ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, ep_devices=2,
+                                            moe_experts=4, zero1=True))

@@ -83,8 +83,7 @@ CLIP_VIT_B16_VISUAL = ViTConfig(patch=16, width=768, layers=12, heads=12,
                                 quick_gelu=True, out_dim=512)
 
 
-def _trunc_normal(key, shape, std=0.02):
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+_trunc_normal = vnn.trunc_normal
 
 
 def init_block(key, width: int, mlp_ratio: int, moe_experts: int = 0) -> dict:
@@ -298,6 +297,11 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
         if seq_shard is None:
             raise ValueError("ring_attn=True needs seq_shard (the sequence-"
                              "parallel mesh constraint)")
+        if cfg.moe_experts > 0:
+            raise ValueError(
+                "ring_attn does not compose with MoE blocks: ring padding "
+                "tokens would compete for expert capacity and pollute the "
+                "aux loss — use the gather sp path (no padding)")
         ring_axis = seq_shard.spec[1]
         ring_n = seq_shard.mesh.shape[ring_axis]
     if input_norm is not None:

@@ -34,9 +34,9 @@ def init_moe_mlp(key, width: int, hidden: int, n_experts: int) -> dict:
 
     Per-expert init matches the dense block's trunc-normal(0.02) so a 1-expert
     MoE block is statistically the dense block."""
+    from . import nn as vnn
     ks = jax.random.split(key, 3)
-    tn = lambda k, shape: 0.02 * jax.random.truncated_normal(
-        k, -2.0, 2.0, shape, jnp.float32)
+    tn = vnn.trunc_normal
     return {
         "router_w": tn(ks[0], (width, n_experts)),
         "fc1_w": tn(ks[1], (n_experts, width, hidden)),

@@ -18,6 +18,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def trunc_normal(key, shape, std: float = 0.02) -> jax.Array:
+    """timm-style truncated-normal init (the one shared by every dense and
+    MoE weight in models/vit.py and ops/moe.py — keep them identical so a
+    1-expert MoE block is statistically the dense block)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape,
+                                             jnp.float32)
+
+
 def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     """x @ w (+ b). w is [in, out].
 

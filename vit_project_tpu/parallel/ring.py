@@ -67,9 +67,9 @@ def ring_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
         a0 = jnp.zeros(q_loc.shape, jnp.float32)
         perm = [(i, (i + 1) % n) for i in range(n)]
 
-        def step(carry, j):
-            m, l, acc, k_cur, v_cur = carry
-            # after j forward hops this device holds shard (my - j) mod n
+        def fold(m, l, acc, k_cur, v_cur, j):
+            """Fold k/v block j (global shard (my - j) mod n) into the
+            online softmax."""
             kidx = ((my - j) % n) * s_loc + jnp.arange(s_loc)   # global k pos
             s = jnp.einsum("bqhd,bkhd->bhqk", qf,
                            k_cur.astype(jnp.float32))
@@ -88,12 +88,22 @@ def ring_attention_bshd(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
             pv = jnp.einsum("bhqk,bkhd->bqhd", p,
                             v_cur.astype(jnp.float32))
             acc = acc * corr.transpose(0, 2, 1, 3) + pv
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return (m_new, l, acc, k_nxt, v_nxt), None
+            return m_new, l, acc
 
-        (m, l, acc, _, _), _ = jax.lax.scan(
-            step, (m0, l0, a0, k_loc, v_loc), jnp.arange(n))
+        def step(carry, j):
+            # rotate FIRST, then fold: the resident block (j=0) is folded
+            # outside the loop, so the ring does exactly n-1 hops — the
+            # final block is not rotated onward just to be discarded
+            m, l, acc, k_cur, v_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            m, l, acc = fold(m, l, acc, k_cur, v_cur, j)
+            return (m, l, acc, k_cur, v_cur), None
+
+        m, l, acc = fold(m0, l0, a0, k_loc, v_loc, 0)
+        if n > 1:
+            (m, l, acc, _, _), _ = jax.lax.scan(
+                step, (m, l, acc, k_loc, v_loc), jnp.arange(1, n))
         lq = l.transpose(0, 2, 1, 3)                            # [b,q,h,1]
         out = jnp.where(lq > 0, acc / jnp.where(lq > 0, lq, 1.0), 0.0)
         return out.astype(q_loc.dtype)

@@ -82,6 +82,17 @@ class ViTTrainer:
         if self.pp and self.moe:
             raise ValueError("MoE blocks are not supported on the pipeline "
                              "path (the GPipe schedule drops the aux loss)")
+        self.ring = getattr(train_cfg, "sp_ring", False)
+        if self.ring and not self.sp:
+            raise ValueError("sp_ring needs sp_devices > 1 (ring attention "
+                             "rotates k/v around the sequence shards)")
+        if self.ring and self.moe:
+            raise ValueError(
+                "sp_ring does not compose with MoE blocks: the ring pads the "
+                "token stream, and padded tokens would compete for expert "
+                "capacity and pollute the aux loss (a second token-mixing "
+                "channel) — use the gather sp path (sp_ring=False), which "
+                "never pads")
         self.mesh = mesh if mesh is not None else vmesh.make_mesh(
             n_stage=train_cfg.pp_stages if self.pp else 1,
             n_model=train_cfg.sp_devices if self.sp else 1,
@@ -94,6 +105,12 @@ class ViTTrainer:
         if self.zero1 and self.pp:
             raise ValueError("zero1 shards over the 'data' axis of the dp "
                              "mesh; it does not compose with pp_stages")
+        if self.zero1 and self.ep:
+            raise ValueError(
+                "zero1 does not compose with ep_devices: its step "
+                "constraints would pin the expert-sharded FFN weights "
+                "replicated (defeating expert parallelism) and reshard the "
+                "momentum between 'expert' and 'data' every step")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
@@ -114,8 +131,7 @@ class ViTTrainer:
                                  remat=self.cfg.remat,
                                  seq_shard=self._seq_shard,
                                  with_aux=with_aux,
-                                 ring_attn=self.sp and getattr(
-                                     self.cfg, "sp_ring", False))
+                                 ring_attn=self.ring)
 
     # -- jitted steps -------------------------------------------------------
 
