@@ -239,6 +239,89 @@ def test_moe_capacity_drops_late_tokens():
     assert (norms[C:] == 0).all(), "over-capacity tokens must be dropped"
 
 
+def _np_moe_top2_oracle(x, p, act, capacity_factor):
+    """GShard top-2 oracle: all first choices queue first (token order),
+    then all second choices; combine weights renormalized over the pair."""
+    B, S, D = x.shape
+    T = B * S
+    E = p["router_w"].shape[1]
+    C = vmoe.expert_capacity(T, E, capacity_factor)
+    xt = x.reshape(T, D).astype(np.float64)
+    logits = xt @ np.asarray(p["router_w"], np.float64)
+    z = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = z / z.sum(axis=1, keepdims=True)
+    e1 = probs.argmax(axis=1)
+    g1 = probs.max(axis=1)
+    probs2 = probs.copy()
+    probs2[np.arange(T), e1] = 0.0
+    e2 = probs2.argmax(axis=1)
+    g2 = probs2.max(axis=1)
+    denom = np.maximum(g1 + g2, 1e-9)
+    g1, g2 = g1 / denom, g2 / denom
+
+    def ffn(e, t):
+        h = act(xt[t] @ np.asarray(p["fc1_w"][e], np.float64)
+                + np.asarray(p["fc1_b"][e], np.float64))
+        return h @ np.asarray(p["fc2_w"][e], np.float64) + np.asarray(
+            p["fc2_b"][e], np.float64)
+
+    y = np.zeros_like(xt)
+    # first choices consume capacity in token order (dropped ones still
+    # consume their queue position only in the einsum formulation when
+    # pos < C — i.e. they do NOT: the queue advances but slots >= C vanish;
+    # second choices start AFTER the full first-choice count)
+    n1 = np.zeros(E, int)
+    for t in range(T):
+        if n1[e1[t]] < C:
+            y[t] += g1[t] * ffn(e1[t], t)
+        n1[e1[t]] += 1
+    pos2 = n1.copy()  # second choices queue behind ALL first choices
+    for t in range(T):
+        if pos2[e2[t]] < C:
+            y[t] += g2[t] * ffn(e2[t], t)
+        pos2[e2[t]] += 1
+    return y.reshape(B, S, D)
+
+
+def test_moe_top2_matches_sequential_oracle():
+    rs = np.random.RandomState(2)
+    p = jax.tree_util.tree_map(
+        jnp.asarray, vmoe.init_moe_mlp(jax.random.PRNGKey(4), 16, 32, 4))
+    x = jnp.asarray(rs.randn(2, 11, 16), jnp.float32)
+    relu = lambda v: jnp.maximum(v, 0)
+    y, aux = jax.jit(lambda x, p: vmoe.moe_mlp(
+        x, p, act=relu, capacity_factor=0.9, topk=2))(x, p)
+    y_ref = _np_moe_top2_oracle(np.asarray(x), p,
+                                lambda v: np.maximum(v, 0), 0.9)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(float(aux))
+
+
+def test_moe_top2_ep_train_step_runs():
+    cfg2 = dataclasses.replace(MOE_TINY, moe_topk=2)
+    tcfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                          moe_experts=4, ep_devices=2)
+    mesh = vmesh.make_mesh(n_data=4, n_expert=2)
+    tr = ViTTrainer(cfg2, tcfg, mesh)
+    params = vmesh.shard_vit_params_ep(mesh, vvit.init_vit_params(
+        jax.random.PRNGKey(0), cfg2))
+    buf = vmesh.shard_vit_params_ep(mesh, sgd_init(params))
+    imgs, labels = _rand_batch()
+    si, sl = tr.shard(imgs, labels)
+    params, buf, loss = tr._make_train_step(None)(
+        params, buf, si, sl, 0.1, jax.random.PRNGKey(1), 0.1)
+    assert np.isfinite(float(loss))
+
+
+def test_moe_topk_guards():
+    p = vmoe.init_moe_mlp(jax.random.PRNGKey(0), 8, 16, 1)
+    x = jnp.zeros((1, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="topk"):
+        vmoe.moe_mlp(x, p, act=lambda v: v, topk=3)
+    with pytest.raises(ValueError, match="2 experts"):
+        vmoe.moe_mlp(x, p, act=lambda v: v, topk=2)
+
+
 def test_moe_uniform_routing_aux_is_one():
     # symmetric router -> uniform probs; aux = E * sum_e f_e * (1/E) = 1
     D, E = 8, 4
@@ -353,6 +436,51 @@ def test_moe_composes_with_grad_accum_and_remat():
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_sp_ring_composes_with_remat():
+    """jax.checkpoint around a block containing shard_map(ring) must still
+    reproduce the dp forward/backward."""
+    imgs, labels = _rand_batch()
+    pkey = jax.random.PRNGKey(3)
+
+    def run(ring):
+        cfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                             sp_devices=2 if ring else 1, sp_ring=ring,
+                             remat=ring)
+        mesh = vmesh.make_mesh(n_data=4 if ring else 8,
+                               n_model=2 if ring else 1)
+        tr = ViTTrainer(TINY, cfg, mesh)
+        params = vmesh.replicate(mesh, vvit.init_vit_params(
+            jax.random.PRNGKey(0), TINY))
+        buf = vmesh.replicate(mesh, sgd_init(params))
+        si, sl = tr.shard(imgs, labels)
+        params, _, loss = tr._make_train_step(None)(
+            params, buf, si, sl, 0.1, pkey, 0.1)
+        return jax.tree_util.tree_map(np.asarray, params), float(loss)
+
+    p_ref, l_ref = run(False)
+    p_got, l_got = run(True)
+    assert np.isclose(l_ref, l_got, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ep_sharded_orbax_roundtrip(tmp_path):
+    """Expert-sharded trees go through the collective orbax writer and come
+    back bit-equal (the pod checkpoint path for MoE runs)."""
+    from vit_project_tpu.ckpt import serialization as ser
+    mesh = vmesh.make_mesh(n_data=2, n_expert=4)
+    params = vmesh.shard_vit_params_ep(mesh, vvit.init_vit_params(
+        jax.random.PRNGKey(0), MOE_TINY))
+    path = str(tmp_path / "ep_state.orbax")
+    ser.save_sharded(path, {"params": params, "epoch": 7})
+    restored = ser.load_sharded(path, {"params": params, "epoch": 0})
+    assert restored["epoch"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_moe_checkpoint_roundtrip(tmp_path):

@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replace every other block's MLP with a Switch "
                         "top-1 MoE of N experts (ops/moe.py; "
                         "beyond-reference model variant)")
+    p.add_argument("--moe_topk", type=int, default=1, choices=[1, 2],
+                   help="MoE routing: 1 = Switch top-1, 2 = GShard top-2 "
+                        "(combine weights renormalized over the pair)")
     p.add_argument("--ep_devices", type=int, default=1,
                    help="expert parallelism: shard the MoE expert FFNs over "
                         "N devices of a ('data','expert') mesh (needs "
@@ -98,7 +101,8 @@ def main(argv=None):
     vit_cfg = VIT_CONFIGS[args.backbone]
     if args.moe_experts > 0:
         import dataclasses
-        vit_cfg = dataclasses.replace(vit_cfg, moe_experts=args.moe_experts)
+        vit_cfg = dataclasses.replace(vit_cfg, moe_experts=args.moe_experts,
+                                      moe_topk=args.moe_topk)
     cfg = ViTTrainConfig(
         data_path=args.data_path, output_dir=args.output_dir,
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,

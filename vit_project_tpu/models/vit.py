@@ -48,6 +48,7 @@ class ViTConfig:
     moe_experts: int = 0
     moe_every: int = 2             # Switch default: every other block
     moe_capacity: float = 1.25     # per-expert capacity factor
+    moe_topk: int = 1              # 1 = Switch routing, 2 = GShard top-2
 
     @property
     def seq_len(self) -> int:
@@ -142,6 +143,7 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
                   gelu_approx: bool = False,
                   with_aux: bool = False,
                   moe_capacity: float = 1.25,
+                  moe_topk: int = 1,
                   ring: tuple | None = None) -> jax.Array:
     """Pre-norm transformer block. If `adapter` is given, the attention output
     projection is DoRA-adapted (replaces attn.out_proj, matching the reference's
@@ -220,7 +222,7 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     if "moe" in p:
         from ..ops import moe as vmoe
         h, aux = vmoe.moe_mlp(h, p["moe"], act=act,
-                              capacity_factor=moe_capacity)
+                              capacity_factor=moe_capacity, topk=moe_topk)
     else:
         h = vnn.mlp(h, p, act=act)
         aux = jnp.zeros((), jnp.float32)
@@ -240,6 +242,7 @@ def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
                              gelu_approx=cfg.gelu_approx,
                              with_aux=with_aux,
                              moe_capacity=cfg.moe_capacity,
+                             moe_topk=cfg.moe_topk,
                              ring=ring)
     return jax.checkpoint(_block) if remat else _block
 

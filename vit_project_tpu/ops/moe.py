@@ -55,13 +55,24 @@ def expert_capacity(n_tokens: int, n_experts: int,
 
 
 def moe_mlp(x: jax.Array, p: dict, *, act,
-            capacity_factor: float = 1.25) -> tuple[jax.Array, jax.Array]:
-    """Top-1 MoE FFN over the token axis.
+            capacity_factor: float = 1.25,
+            topk: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Top-1 (Switch) or top-2 (GShard) MoE FFN over the token axis.
 
     x: [B, S, D] -> (y [B, S, D], aux_loss scalar). Routing runs in f32
     (router logits are small and precision-sensitive); expert FFNs run in
     x.dtype like the dense MLP path (ops/nn.py dense).
+
+    topk=2 follows GShard: each token is dispatched to its best TWO experts,
+    combine weights renormalized over the pair (g_i / (g1 + g2)); second
+    choices queue BEHIND every first choice of that expert for capacity, so
+    load spikes shed the lower-priority copies first. The aux loss stays the
+    first-choice Switch loss either way.
     """
+    if topk not in (1, 2):
+        raise ValueError(f"topk must be 1 or 2, got {topk}")
+    if topk == 2 and p["router_w"].shape[-1] < 2:
+        raise ValueError("topk=2 needs at least 2 experts")
     B, S, D = x.shape
     T = B * S
     E = p["router_w"].shape[-1]
@@ -83,6 +94,29 @@ def moe_mlp(x: jax.Array, p: dict, *, act,
                             dtype=jnp.float32)                     # [T, C]
     dispatch = keep[:, :, None] * pos_oh[:, None, :]               # [T, E, C]
 
+    if topk == 2:
+        probs2 = probs - probs * onehot                            # mask top1
+        expert2 = jnp.argmax(probs2, axis=-1)                      # [T]
+        gate2 = jnp.max(probs2, axis=-1)
+        oh2 = jax.nn.one_hot(expert2, E, dtype=jnp.float32)
+        # second choices queue behind ALL first choices of that expert
+        first_total = jnp.sum(onehot, axis=0, keepdims=True)       # [1, E]
+        pos2 = (jnp.cumsum(oh2, axis=0) + first_total) * oh2 - 1.0
+        keep2 = oh2 * (pos2 < C)
+        pos2_oh = jax.nn.one_hot(jnp.max(pos2, axis=-1).astype(jnp.int32),
+                                 C, dtype=jnp.float32)
+        dispatch2 = keep2[:, :, None] * pos2_oh[:, None, :]
+        # GShard combine renormalization over the selected pair
+        denom = jnp.maximum(gate + gate2, 1e-9)
+        gate, gate2 = gate / denom, gate2 / denom
+
+    combine = dispatch * gate[:, None, None]                       # [T, E, C]
+    if topk == 2:
+        # one fused dispatch/combine pair covers both choices (slot one-hots
+        # are disjoint, so addition is exact)
+        dispatch = dispatch + dispatch2
+        combine = combine + dispatch2 * gate2[:, None, None]
+
     # dispatch: [T,E,C] x [T,D] -> [E,C,D]; with tokens 'data'-sharded and the
     # expert weights 'expert'-sharded GSPMD lowers this pair of einsums to the
     # expert-parallel all-to-all
@@ -91,7 +125,6 @@ def moe_mlp(x: jax.Array, p: dict, *, act,
             + p["fc1_b"][:, None, :].astype(x.dtype))
     ye = (jnp.einsum("ech,ehd->ecd", h, p["fc2_w"].astype(x.dtype))
           + p["fc2_b"][:, None, :].astype(x.dtype))
-    combine = dispatch * gate[:, None, None]                       # [T, E, C]
     yt = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), ye)
 
     # Switch aux loss: E * sum_e (token fraction_e) * (mean router prob_e).
