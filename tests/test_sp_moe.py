@@ -386,6 +386,73 @@ def test_moe_model_has_dense_and_sparse_blocks():
     assert params["blocks"][1]["moe"]["fc1_w"].shape == (2, 32, 128)
 
 
+def test_clip_sp_train_and_eval_match_dp():
+    """Visual-tower sequence parallelism (gather AND ring) must reproduce
+    the plain dp CLIP-HBA train step and eval loss. Tiny CLIP S=5 over a
+    2-way sequence axis exercises both the ragged GSPMD shard and the ring
+    pad (5 -> 6)."""
+    from vit_project_tpu.models import clip as vclip
+    from vit_project_tpu.adapters import dora as adora
+    from vit_project_tpu.train.clip_loop import ClipHBATrainer
+
+    ccfg = vclip.tiny_clip_config(width=32, layers=2, heads=2, patch=16,
+                                  image_size=32, embed_dim=16)
+    cparams = vclip.init_clip_params(jax.random.PRNGKey(0), ccfg)
+    spec = adora.dora_spec(ccfg.visual.layers, ccfg.text.layers, 1, 1)
+    rs = np.random.RandomState(0)
+    prompts = rs.randint(1, 500, (66, ccfg.text.context_length)).astype(
+        np.int32)
+    imgs = rs.randint(0, 255, (8, 32, 32, 3), np.uint8)
+    tgts = rs.rand(8, 66).astype(np.float32)
+
+    results = []
+    for sp, ring in ((False, False), (True, False), (True, True)):
+        mesh = (vmesh.make_mesh(n_data=4, n_model=2) if sp
+                else vmesh.make_mesh(n_data=8))
+        trainable, static, acfg = adora.apply_dora(
+            cparams, spec, r=4, key=jax.random.PRNGKey(1))
+        tr = ClipHBATrainer(ccfg, cparams, acfg, static, prompts, lr=3e-4,
+                            compute_dtype=jnp.float32, mesh=mesh,
+                            sp=sp, sp_ring=ring)
+        trainable = tr.prepare_state(trainable)
+        opt_state = tr.init_opt_state(trainable)
+        bi, bt, valid = tr._prep_batch(imgs, tgts)
+        step = tr._train_step("random_target")
+        trainable, opt_state, loss, ok = step(
+            trainable, opt_state, tr.params, tr.static, bi, bt, valid,
+            jax.random.PRNGKey(2), jax.random.PRNGKey(3))
+        ev = tr._eval_step(trainable, tr.params, tr.static, bi, bt, valid)
+        results.append((jax.tree_util.tree_map(np.asarray, trainable),
+                        float(loss), float(ev)))
+
+    (t_dp, l_dp, e_dp) = results[0]
+    for t_sp, l_sp, e_sp in results[1:]:
+        assert np.isclose(l_dp, l_sp, rtol=1e-5)
+        assert np.isclose(e_dp, e_sp, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(t_dp),
+                        jax.tree_util.tree_leaves(t_sp)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_forks_refuse_sp():
+    from vit_project_tpu.models import clip as vclip
+    from vit_project_tpu.adapters import dora as adora
+    from vit_project_tpu.train.clip_loop import ClipHBATrainer
+    from vit_project_tpu.train import multi_fork as mf
+
+    ccfg = vclip.tiny_clip_config()
+    cparams = vclip.init_clip_params(jax.random.PRNGKey(0), ccfg)
+    spec = adora.dora_spec(1, 1, 1, 1)
+    _, static, acfg = adora.apply_dora(cparams, spec, r=4,
+                                       key=jax.random.PRNGKey(1))
+    prompts = np.ones((66, ccfg.text.context_length), np.int32)
+    tr = ClipHBATrainer(ccfg, cparams, acfg, static, prompts, lr=3e-4,
+                        mesh=vmesh.make_mesh(n_data=4, n_model=2),
+                        sp=True)
+    with pytest.raises(ValueError, match="sequence"):
+        mf._build_batched_programs(tr, "random_target")
+
+
 # ------------------------------------------------------------ compositions ---
 
 def test_sp_composes_with_zero1():

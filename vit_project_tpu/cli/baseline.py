@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="./clip_hba_baseline")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--sp_devices", type=int, default=1,
+                   help="visual-tower sequence parallelism: token-shard the "
+                        "activations over N devices of a (data, model) mesh")
+    p.add_argument("--sp_ring", action="store_true",
+                   help="with --sp_devices: ring attention (ppermute k/v "
+                        "rotation) instead of the k/v all-gather")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each visual block (memory lever for "
                         "backbones whose activations outgrow HBM)")
@@ -98,6 +104,8 @@ def main(argv=None):
         "cuda": 0,
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
+        "sp_devices": args.sp_devices,
+        "sp_ring": args.sp_ring,
         "host_prefetch": args.host_prefetch,
         "dump_inference_embeddings": args.dump_inference_embeddings,
         "inference_dump_dir": f"{out}/things_48_inference_results",

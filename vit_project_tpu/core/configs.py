@@ -46,6 +46,12 @@ class ClipRunConfig:
     compute_dtype: str = "bfloat16"        # frozen-tower compute dtype on TPU
     remat: bool = False                    # jax.checkpoint each visual block
                                            # (memory lever for big backbones)
+    sp_devices: int = 1                    # >1: visual-tower sequence
+                                           # parallelism over the 'model'
+                                           # axis of a (data, sp) mesh
+    sp_ring: bool = False                  # with sp_devices: ring attention
+                                           # (parallel/ring.py) instead of
+                                           # the k/v all-gather
     host_prefetch: bool = True             # async d2h of the per-epoch
                                            # checkpoint trees (core/hostcopy);
                                            # measured -19% steady per-epoch

@@ -142,13 +142,14 @@ def encode_image(params: dict, images: jax.Array, cfg: CLIPConfig, *,
                  dropout_key: jax.Array | None = None,
                  deterministic: bool = True, use_pallas: bool | None = None,
                  use_pos_embedding: bool = True,
-                 compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
+                 compute_dtype=jnp.float32, remat: bool = False,
+                 seq_shard=None, ring_attn: bool = False) -> jax.Array:
     return vvit.clip_visual_encode(
         params["visual"], images, cfg.visual, adapters=adapters,
         adapter_cfg=adapter_cfg, dropout_key=dropout_key,
         deterministic=deterministic, use_pallas=use_pallas,
         use_pos_embedding=use_pos_embedding, compute_dtype=compute_dtype,
-        remat=remat)
+        remat=remat, seq_shard=seq_shard, ring_attn=ring_attn)
 
 
 def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
@@ -158,11 +159,14 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
                      deterministic: bool = True,
                      use_pallas: bool | None = None,
                      use_pos_embedding: bool = True,
-                     compute_dtype=jnp.float32, remat: bool = False) -> jax.Array:
+                     compute_dtype=jnp.float32, remat: bool = False,
+                     seq_shard=None, ring_attn: bool = False) -> jax.Array:
     """model(images) -> [B, n_prompts] prediction scores (CLIPHBA contract).
 
     adapters = {"visual": {idx: dora}, "text": {idx: dora}} — the DoRA surgery of
     apply_dora_to_ViT applied as a pure function of parameter trees.
+    `seq_shard`/`ring_attn` apply sequence parallelism to the VISUAL tower
+    only (the text tower is 66 x 77 tokens — not worth sharding).
     """
     adapters = adapters or {}
     kv = kt = None
@@ -172,7 +176,8 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
                        adapter_cfg=adapter_cfg, dropout_key=kv,
                        deterministic=deterministic, use_pallas=use_pallas,
                        use_pos_embedding=use_pos_embedding,
-                       compute_dtype=compute_dtype, remat=remat)
+                       compute_dtype=compute_dtype, remat=remat,
+                       seq_shard=seq_shard, ring_attn=ring_attn)
     txt = encode_text(params, prompt_tokens, cfg, adapters=adapters.get("text"),
                       adapter_cfg=adapter_cfg, dropout_key=kt,
                       deterministic=deterministic, use_pallas=use_pallas,

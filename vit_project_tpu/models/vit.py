@@ -394,14 +394,29 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                        use_pallas: bool | None = None,
                        use_pos_embedding: bool = True,
                        compute_dtype=jnp.float32,
-                       remat: bool = False) -> jax.Array:
+                       remat: bool = False,
+                       seq_shard=None, ring_attn: bool = False) -> jax.Array:
     """CLIP visual tower: trunk -> ln_post(CLS) -> projection -> [B, out_dim].
 
     `use_pos_embedding` mirrors the reference CLIPHBA pos_embedding flag
     (cvpr_train_behavior_things_pipeline_baseline.py:184: forward passes it to the
     clip_hba CLIP; True for ViT backbones, False for RN50). When False the visual
-    positional embedding is skipped. `remat` as in vit_encode.
+    positional embedding is skipped. `remat` / `seq_shard` / `ring_attn` as in
+    vit_encode (sequence parallelism for the tower, gather or ring form).
     """
+    if seq_shard is not None:
+        use_pallas = False
+    ring = None
+    s_real = None
+    if ring_attn:
+        if seq_shard is None:
+            raise ValueError("ring_attn=True needs seq_shard (the sequence-"
+                             "parallel mesh constraint)")
+        if cfg.moe_experts > 0:
+            raise ValueError(
+                "ring_attn does not compose with MoE blocks: ring padding "
+                "tokens would compete for expert capacity and pollute the "
+                "aux loss — use the gather sp path (no padding)")
     x = images.astype(compute_dtype)
     x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
     B = x.shape[0]
@@ -410,14 +425,24 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if use_pos_embedding:
         x = x + params["pos"].astype(x.dtype)
     x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    if ring_attn:
+        from ..parallel import ring as vring
+        ring_axis = seq_shard.spec[1]
+        x, s_real = vring.pad_seq(x, seq_shard.mesh.shape[ring_axis])
+        ring = (seq_shard.mesh, ring_axis, s_real)
+    if seq_shard is not None:
+        x = jax.lax.with_sharding_constraint(x, seq_shard)
     adapters = adapters or {}
-    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
+    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
+                    ring=ring)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
         dk = None
         if ad is not None and dropout_key is not None:
             dk = jax.random.fold_in(dropout_key, i)
         x = blk(bp, x, ad, dk)
+        if seq_shard is not None:
+            x = jax.lax.with_sharding_constraint(x, seq_shard)
     cls_tok = vnn.layer_norm(x[:, 0], params["norm"]["scale"],
                              params["norm"]["bias"])
     out = jnp.dot(cls_tok, params["proj"].astype(cls_tok.dtype),

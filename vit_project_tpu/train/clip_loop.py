@@ -58,7 +58,8 @@ class ClipHBATrainer:
                  lr: float, compute_dtype=jnp.bfloat16,
                  perturb_distribution: str = "target",
                  dist_mean: float = 0.0, dist_std: float = 1.0, mesh=None,
-                 remat: bool = False):
+                 remat: bool = False, sp: bool = False,
+                 sp_ring: bool = False):
         """`mesh` (a ('data',) jax Mesh) enables data-parallel batches — the
         TPU-native equivalent of the reference's cuda==-1 nn.DataParallel wrap
         (run_behavioral_training :1174-1176); partial batches are padded to the
@@ -83,6 +84,12 @@ class ClipHBATrainer:
         # _block_fn): the memory lever for backbones whose activations
         # outgrow HBM at the training batch size
         self.remat = remat
+        # sequence parallelism for the VISUAL tower (gather form; sp_ring
+        # upgrades to ring attention): needs a ('data','model') mesh
+        if sp_ring and not sp:
+            raise ValueError("sp_ring needs sp=True")
+        self.seq_shard = vmesh.seq_sharding(mesh) if sp else None
+        self.sp_ring = sp_ring
         self._steps: dict = {}
 
     def init_opt_state(self, trainable):
@@ -204,6 +211,7 @@ class ClipHBATrainer:
         cdt, rm = self.compute_dtype, self.remat
         dist_kind = self.perturb_distribution
         dmean, dstd = self.dist_mean, self.dist_std
+        ss, sr = self.seq_shard, self.sp_ring
 
         def loss_fn(trainable, params, static, images, targets, valid,
                     dropout_key):
@@ -211,7 +219,8 @@ class ClipHBATrainer:
             preds = vclip.clip_hba_forward(
                 params, images, prompts, cfg, adapters=ad,
                 adapter_cfg=acfg, dropout_key=dropout_key,
-                deterministic=False, compute_dtype=cdt, remat=rm)
+                deterministic=False, compute_dtype=cdt, remat=rm,
+                seq_shard=ss, ring_attn=sr)
             row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
             loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
             return loss, preds
@@ -347,7 +356,9 @@ class ClipHBATrainer:
                 preds = vclip.clip_hba_forward(params, images, prompts, cfg,
                                                adapters=ad, adapter_cfg=acfg,
                                                deterministic=True,
-                                               compute_dtype=cdt)
+                                               compute_dtype=cdt,
+                                               seq_shard=self.seq_shard,
+                                               ring_attn=self.sp_ring)
                 row_mse = jnp.mean((preds - all_targets[idx]) ** 2, axis=-1)
                 return total + jnp.sum(row_mse * valid), None
 
@@ -419,7 +430,9 @@ class ClipHBATrainer:
             preds = vclip.clip_hba_forward(params, images, prompts, cfg,
                                            adapters=ad, adapter_cfg=acfg,
                                            deterministic=True,
-                                           compute_dtype=cdt)
+                                           compute_dtype=cdt,
+                                           seq_shard=self.seq_shard,
+                                           ring_attn=self.sp_ring)
             # dataset-weighted MSE sum (reference evaluate_model :584-602
             # accumulates loss * batch_size and divides by len(dataset))
             row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
@@ -438,7 +451,9 @@ class ClipHBATrainer:
             return vclip.clip_hba_forward(params, images, prompts, cfg,
                                           adapters=ad, adapter_cfg=acfg,
                                           deterministic=True,
-                                          compute_dtype=cdt)
+                                          compute_dtype=cdt,
+                                          seq_shard=self.seq_shard,
+                                          ring_attn=self.sp_ring)
 
         return jax.jit(step)
 
@@ -852,9 +867,22 @@ def run_behavioral_training(config) -> dict:
         logger.info("Using original DoRA parameters from model initialization")
 
     # data-parallel over all local devices when more than one is present —
-    # the reference's cuda==-1 DataParallel path (ref :1174-1176)
+    # the reference's cuda==-1 DataParallel path (ref :1174-1176). sp_devices
+    # > 1 carves a 'model' axis out of them for visual-tower sequence
+    # parallelism (gather form, or ring with sp_ring).
     mesh = None
-    if jax.device_count() > 1:
+    sp = cfg.sp_devices > 1
+    if sp:
+        from ..parallel import mesh as vmesh
+        if jax.device_count() % cfg.sp_devices != 0:
+            raise ValueError(f"sp_devices ({cfg.sp_devices}) must divide the "
+                             f"device count ({jax.device_count()})")
+        mesh = vmesh.make_mesh(n_data=jax.device_count() // cfg.sp_devices,
+                               n_model=cfg.sp_devices)
+        logger.info(f"Using {mesh.shape['data']}x{cfg.sp_devices} "
+                    f"(data x sequence) mesh"
+                    + (" with ring attention" if cfg.sp_ring else ""))
+    elif jax.device_count() > 1:
         from ..parallel import mesh as vmesh
         mesh = vmesh.make_mesh()
         logger.info(f"Using {mesh.devices.size} devices (data-parallel mesh)")
@@ -864,7 +892,8 @@ def run_behavioral_training(config) -> dict:
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
         perturb_distribution=cfg.perturb_distribution,
-        dist_mean=mean, dist_std=std, mesh=mesh, remat=cfg.remat)
+        dist_mean=mean, dist_std=std, mesh=mesh, remat=cfg.remat,
+        sp=sp, sp_ring=cfg.sp_ring)
     trainable = trainer.prepare_state(trainable)
     opt_state = trainer.init_opt_state(trainable)
 

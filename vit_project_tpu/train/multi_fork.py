@@ -119,6 +119,12 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
     a leading fork axis on (trainable, opt_state, idx/valid matrices, keys,
     in_win); params/static/datasets are unmapped so XLA sees shared weights
     (in_axes=None, passed as explicit jit args — never closures)."""
+    if getattr(trainer, "seq_shard", None) is not None:
+        raise ValueError(
+            "batched multi-fork execution does not compose with sequence "
+            "parallelism: the fork axis is vmapped/mesh-sharded and the "
+            "per-fork token-sharding constraints are not validated under "
+            "that batching — run sp forks sequentially or via --workers")
     cfg, acfg, prompts = trainer.cfg, trainer.acfg, trainer.prompts
     cdt, rm = trainer.compute_dtype, trainer.remat
 
