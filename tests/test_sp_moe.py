@@ -483,6 +483,55 @@ def test_sp_composes_with_zero1():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_sp_composes_with_grad_accum():
+    """sp + grad_accum reproduces the plain dp step (the accum microbatches
+    stay token-sharded)."""
+    imgs, labels = _rand_batch()
+    pkey = jax.random.PRNGKey(3)
+
+    def run(sp):
+        cfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                             sp_devices=2 if sp else 1,
+                             grad_accum=2 if sp else 1)
+        mesh = vmesh.make_mesh(n_data=4 if sp else 8, n_model=2 if sp else 1)
+        tr = ViTTrainer(TINY, cfg, mesh)
+        params = vmesh.replicate(mesh, vvit.init_vit_params(
+            jax.random.PRNGKey(0), TINY))
+        buf = vmesh.replicate(mesh, sgd_init(params))
+        si, sl = tr.shard(imgs, labels)
+        params, _, loss = tr._make_train_step(None)(
+            params, buf, si, sl, 0.1, pkey, 0.1)
+        return jax.tree_util.tree_map(np.asarray, params), float(loss)
+
+    p_ref, l_ref = run(False)
+    p_got, l_got = run(True)
+    assert np.isclose(l_ref, l_got, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ep_composes_with_grad_accum():
+    """ep + grad_accum trains (finite, learning); per-microbatch capacity
+    means no exact-equality claim (see batch_grads docstring)."""
+    tcfg = ViTTrainConfig(batch_size=8, compute_dtype="float32",
+                          moe_experts=4, ep_devices=2, grad_accum=2)
+    mesh = vmesh.make_mesh(n_data=4, n_expert=2)
+    tr = ViTTrainer(MOE_TINY, tcfg, mesh)
+    params = vmesh.shard_vit_params_ep(mesh, vvit.init_vit_params(
+        jax.random.PRNGKey(0), MOE_TINY))
+    buf = vmesh.shard_vit_params_ep(mesh, sgd_init(params))
+    imgs, labels = _rand_batch()
+    si, sl = tr.shard(imgs, labels)
+    step = tr._make_train_step(None)
+    losses = []
+    for i in range(3):
+        params, buf, loss = step(params, buf, si, sl, 0.1,
+                                 jax.random.PRNGKey(i), 0.1)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses) and losses[-1] < losses[0]
+
+
 def test_moe_composes_with_grad_accum_and_remat():
     """MoE + grad_accum + remat trains (finite, loss decreases on a fixed
     batch). Not an equivalence test: routing capacity and the aux term are
