@@ -252,10 +252,10 @@ def _np_moe_top2_oracle(x, p, act, capacity_factor):
     probs = z / z.sum(axis=1, keepdims=True)
     e1 = probs.argmax(axis=1)
     g1 = probs.max(axis=1)
-    probs2 = probs.copy()
-    probs2[np.arange(T), e1] = 0.0
-    e2 = probs2.argmax(axis=1)
-    g2 = probs2.max(axis=1)
+    logits2 = logits.copy()
+    logits2[np.arange(T), e1] = -np.inf   # mask the logit, not the prob
+    e2 = logits2.argmax(axis=1)
+    g2 = probs[np.arange(T), e2]
     denom = np.maximum(g1 + g2, 1e-9)
     g1, g2 = g1 / denom, g2 / denom
 
@@ -311,6 +311,32 @@ def test_moe_top2_ep_train_step_runs():
     params, buf, loss = tr._make_train_step(None)(
         params, buf, si, sl, 0.1, jax.random.PRNGKey(1), 0.1)
     assert np.isfinite(float(loss))
+
+
+def test_moe_top2_saturated_router_no_double_dispatch():
+    """A saturated router (non-top probs underflow to exactly 0 in f32)
+    must still send the token's second choice to a DIFFERENT expert: a
+    prob-space re-argmax returns expert 0 — here the first choice again —
+    and the phantom second copy advances expert 0's second-choice queue,
+    evicting the LAST real second choice (token 7 at position C). The
+    oracle implements the correct (logit-masked) semantics."""
+    D, E = 2, 2
+    p = jax.tree_util.tree_map(
+        jnp.asarray, vmoe.init_moe_mlp(jax.random.PRNGKey(0), D, 8, E))
+    # feature 0 drives expert 0 (hard), feature 1 drives expert 1 (mild)
+    p["router_w"] = jnp.asarray([[100.0, 0.0], [0.0, 1.0]], jnp.float32)
+    p["fc2_b"] = p["fc2_b"] + 1.0
+    x = np.zeros((1, 8, D), np.float32)
+    x[0, 0] = [4.0, 0.0]    # token 0: logits [400, 0] -> probs [1, 0]
+    x[0, 1:] = [0.0, 1.0]   # tokens 1..7: expert 1 first, expert 0 second
+    C = vmoe.expert_capacity(8, E, 1.0)
+    assert C == 8  # expert-0 queue: 1 first choice + 7 second choices = 8
+    relu = lambda v: jnp.maximum(v, 0)
+    y, _ = vmoe.moe_mlp(jnp.asarray(x), p, act=relu, capacity_factor=1.0,
+                        topk=2)
+    y_ref = _np_moe_top2_oracle(np.asarray(x), p,
+                                lambda v: np.maximum(v, 0), 1.0)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-6)
 
 
 def test_moe_topk_guards():
@@ -643,3 +669,26 @@ def test_mode_guards():
     with pytest.raises(ValueError, match="zero1"):
         ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, ep_devices=2,
                                             moe_experts=4, zero1=True))
+    # a caller-supplied mesh without the 'expert' axis would silently
+    # replicate the experts — must raise like the pp mesh check
+    with pytest.raises(ValueError, match="'expert' axis"):
+        ViTTrainer(MOE_TINY, ViTTrainConfig(batch_size=8, ep_devices=2,
+                                            moe_experts=4),
+                   vmesh.make_mesh(n_data=8))
+    # CLIP sp on a meshless trainer: clear error, not an AttributeError
+    from vit_project_tpu.models import clip as vclip
+    from vit_project_tpu.adapters import dora as adora
+    from vit_project_tpu.train.clip_loop import ClipHBATrainer
+    ccfg = vclip.tiny_clip_config()
+    cparams = vclip.init_clip_params(jax.random.PRNGKey(0), ccfg)
+    _, static, acfg = adora.apply_dora(cparams, adora.dora_spec(1, 1, 1, 1),
+                                       r=4, key=jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="mesh"):
+        ClipHBATrainer(ccfg, cparams, acfg, static,
+                       np.ones((66, ccfg.text.context_length), np.int32),
+                       lr=3e-4, mesh=None, sp=True)
+    # the two MoE config surfaces must agree when both are given
+    from vit_project_tpu.train.vit_loop import run_vit_training
+    with pytest.raises(ValueError, match="disagrees"):
+        run_vit_training(ViTTrainConfig(batch_size=8, moe_experts=8),
+                         vit_cfg=MOE_TINY)

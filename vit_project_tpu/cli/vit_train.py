@@ -118,7 +118,8 @@ def main(argv=None):
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
         zero1=args.zero1, host_prefetch=args.host_prefetch,
         sp_devices=args.sp_devices, sp_ring=args.sp_ring,
-        ep_devices=args.ep_devices, moe_experts=args.moe_experts)
+        ep_devices=args.ep_devices, moe_experts=args.moe_experts,
+        moe_topk=args.moe_topk)
     run_vit_training(cfg, vit_cfg=vit_cfg)
 
 

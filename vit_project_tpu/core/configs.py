@@ -169,8 +169,9 @@ class ViTTrainConfig:
                          # mesh (needs moe_experts > 0). Not with
                          # pp_stages/sp_devices.
     moe_experts: int = 0  # >0: replace every other block's MLP with a
-                          # Switch top-1 MoE of this many experts
-                          # (ops/moe.py; beyond-reference capability)
+                          # MoE of this many experts (ops/moe.py;
+                          # beyond-reference capability)
+    moe_topk: int = 1     # 1 = Switch top-1 routing, 2 = GShard top-2
     moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
                                   # added to the CE (Switch default)
     host_prefetch: bool = False  # async d2h of the per-epoch checkpoint

@@ -230,6 +230,35 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     return (x, aux) if with_aux else x
 
 
+def _seq_parallel_checks(cfg: ViTConfig, seq_shard, ring_attn: bool) -> None:
+    """Shared sp/ring argument validation for both encoder trunks."""
+    if ring_attn and seq_shard is None:
+        raise ValueError("ring_attn=True needs seq_shard (the sequence-"
+                         "parallel mesh constraint)")
+    if ring_attn and cfg.moe_experts > 0:
+        raise ValueError(
+            "ring_attn does not compose with MoE blocks: ring padding "
+            "tokens would compete for expert capacity and pollute the "
+            "aux loss — use the gather sp path (no padding)")
+
+
+def _seq_parallel_enter(x: jax.Array, seq_shard, ring_attn: bool):
+    """Shared sp/ring prologue at the top of the block stack: pad the token
+    stream for the ring (padded keys are masked, padded rows sliced off by
+    the caller) and apply the first token-sharding constraint. Returns
+    (x, ring_tuple_or_None, original_S_or_None)."""
+    ring = None
+    s_real = None
+    if ring_attn:
+        from ..parallel import ring as vring
+        ring_axis = seq_shard.spec[1]
+        x, s_real = vring.pad_seq(x, seq_shard.mesh.shape[ring_axis])
+        ring = (seq_shard.mesh, ring_axis, s_real)
+    if seq_shard is not None:
+        x = jax.lax.with_sharding_constraint(x, seq_shard)
+    return x, ring, s_real
+
+
 def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
               remat, with_aux: bool = False, ring: tuple | None = None):
     """Per-block callable shared by the encoder trunks; with remat=True each
@@ -294,19 +323,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     """
     if seq_shard is not None:
         use_pallas = False
-    ring = None
-    s_real = None
-    if ring_attn:
-        if seq_shard is None:
-            raise ValueError("ring_attn=True needs seq_shard (the sequence-"
-                             "parallel mesh constraint)")
-        if cfg.moe_experts > 0:
-            raise ValueError(
-                "ring_attn does not compose with MoE blocks: ring padding "
-                "tokens would compete for expert capacity and pollute the "
-                "aux loss — use the gather sp path (no padding)")
-        ring_axis = seq_shard.spec[1]
-        ring_n = seq_shard.mesh.shape[ring_axis]
+    _seq_parallel_checks(cfg, seq_shard, ring_attn)
     if input_norm is not None:
         mean, std = input_norm
         x = vnn.patch_embed_affine(images, params["patch_w"],
@@ -322,12 +339,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     x = x + params["pos"].astype(x.dtype)
     if cfg.pre_norm:
         x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
-    if ring_attn:
-        from ..parallel import ring as vring
-        x, s_real = vring.pad_seq(x, ring_n)
-        ring = (seq_shard.mesh, ring_axis, s_real)
-    if seq_shard is not None:
-        x = jax.lax.with_sharding_constraint(x, seq_shard)
+    x, ring, s_real = _seq_parallel_enter(x, seq_shard, ring_attn)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
                     with_aux=with_aux, ring=ring)
@@ -375,12 +387,16 @@ def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
 def forward_features(params: dict, images: jax.Array, cfg: ViTConfig, *,
                      pool: str = "token", use_pallas: bool | None = None,
                      input_norm: tuple | None = None,
-                     compute_dtype=jnp.float32) -> jax.Array:
+                     compute_dtype=jnp.float32,
+                     seq_shard=None, ring_attn: bool = False) -> jax.Array:
     """timm forward_features + pooling, used for ViT RSA embeddings
     (reference compute_rsa_score, measure...effect.py:309-322):
-    pool='token' -> CLS token; pool='avg' -> mean of patch tokens."""
+    pool='token' -> CLS token; pool='avg' -> mean of patch tokens.
+    `seq_shard`/`ring_attn` as in vit_encode (the RSA forward honors the
+    trainer's sequence-parallel mode like every other step)."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
-                        input_norm=input_norm, compute_dtype=compute_dtype)
+                        input_norm=input_norm, compute_dtype=compute_dtype,
+                        seq_shard=seq_shard, ring_attn=ring_attn)
     if pool == "avg":
         return tokens[:, 1:].mean(axis=1)
     return tokens[:, 0]
@@ -406,17 +422,7 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     """
     if seq_shard is not None:
         use_pallas = False
-    ring = None
-    s_real = None
-    if ring_attn:
-        if seq_shard is None:
-            raise ValueError("ring_attn=True needs seq_shard (the sequence-"
-                             "parallel mesh constraint)")
-        if cfg.moe_experts > 0:
-            raise ValueError(
-                "ring_attn does not compose with MoE blocks: ring padding "
-                "tokens would compete for expert capacity and pollute the "
-                "aux loss — use the gather sp path (no padding)")
+    _seq_parallel_checks(cfg, seq_shard, ring_attn)
     x = images.astype(compute_dtype)
     x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
     B = x.shape[0]
@@ -425,13 +431,7 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if use_pos_embedding:
         x = x + params["pos"].astype(x.dtype)
     x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
-    if ring_attn:
-        from ..parallel import ring as vring
-        ring_axis = seq_shard.spec[1]
-        x, s_real = vring.pad_seq(x, seq_shard.mesh.shape[ring_axis])
-        ring = (seq_shard.mesh, ring_axis, s_real)
-    if seq_shard is not None:
-        x = jax.lax.with_sharding_constraint(x, seq_shard)
+    x, ring, _ = _seq_parallel_enter(x, seq_shard, ring_attn)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
                     ring=ring)

@@ -95,9 +95,15 @@ def moe_mlp(x: jax.Array, p: dict, *, act,
     dispatch = keep[:, :, None] * pos_oh[:, None, :]               # [T, E, C]
 
     if topk == 2:
-        probs2 = probs - probs * onehot                            # mask top1
-        expert2 = jnp.argmax(probs2, axis=-1)                      # [T]
-        gate2 = jnp.max(probs2, axis=-1)
+        # mask the top-1 LOGIT (not the prob): a saturated router can
+        # underflow every non-top prob to exactly 0 in f32, and an argmax
+        # over the zeroed probs would return expert 0 — possibly the first
+        # choice again, double-dispatching the token and stealing a
+        # capacity slot from another token's real second choice
+        logits2 = logits - onehot * 2e30
+        expert2 = jnp.argmax(logits2, axis=-1)                     # [T]
+        gate2 = jnp.take_along_axis(probs, expert2[:, None],
+                                    axis=-1)[:, 0]
         oh2 = jax.nn.one_hot(expert2, E, dtype=jnp.float32)
         # second choices queue behind ALL first choices of that expert
         first_total = jnp.sum(onehot, axis=0, keepdims=True)       # [1, E]

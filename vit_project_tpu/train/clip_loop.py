@@ -88,6 +88,9 @@ class ClipHBATrainer:
         # upgrades to ring attention): needs a ('data','model') mesh
         if sp_ring and not sp:
             raise ValueError("sp_ring needs sp=True")
+        if sp and mesh is None:
+            raise ValueError("sp=True needs a ('data','model') mesh "
+                             "(make_mesh(n_model=...)); got mesh=None")
         self.seq_shard = vmesh.seq_sharding(mesh) if sp else None
         self.sp_ring = sp_ring
         self._steps: dict = {}

@@ -100,6 +100,11 @@ class ViTTrainer:
         if self.pp and "stage" not in self.mesh.axis_names:
             raise ValueError("pp_stages > 1 needs a mesh with a 'stage' "
                              f"axis, got {self.mesh.axis_names}")
+        if self.ep and "expert" not in self.mesh.axis_names:
+            # shard_vit_params_ep silently replicates without the axis —
+            # the run would quietly provide none of ep's memory reduction
+            raise ValueError("ep_devices > 1 needs a mesh with an 'expert' "
+                             f"axis, got {self.mesh.axis_names}")
         self._seq_shard = vmesh.seq_sharding(self.mesh) if self.sp else None
         self.zero1 = getattr(train_cfg, "zero1", False)
         if self.zero1 and self.pp:
@@ -270,10 +275,13 @@ class ViTTrainer:
                     n_micro=n_micro, pool="token", input_norm=norm,
                     compute_dtype=cdt)
         else:
+            ss, ring = self._seq_shard, self.ring
+
             def step(params, images_u8):
                 return vvit.forward_features(
                     params, images_u8, vit_cfg, pool="token",
-                    input_norm=norm, compute_dtype=cdt)
+                    input_norm=norm, compute_dtype=cdt,
+                    seq_shard=ss, ring_attn=ring)
 
         return jax.jit(step)
 
@@ -407,10 +415,19 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     from ..parallel import dist
 
     log = logger.info if logger else print
+    if vit_cfg is not None and cfg.moe_experts and \
+            vit_cfg.moe_experts != cfg.moe_experts:
+        # the two config surfaces can otherwise silently disagree (the model
+        # config wins inside ViTTrainer) — make the caller pick one
+        raise ValueError(
+            f"moe_experts disagrees between ViTTrainConfig "
+            f"({cfg.moe_experts}) and the explicit vit_cfg "
+            f"({vit_cfg.moe_experts}); set it on the vit_cfg (or pass "
+            f"vit_cfg=None to build one from the train config)")
     vit_cfg = vit_cfg or vvit.ViTConfig(
         patch=16, width=768, layers=12, heads=12,
         image_size=cfg.image_size, num_classes=cfg.num_classes,
-        moe_experts=cfg.moe_experts)
+        moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk)
 
     proc_id, proc_count = dist.setup_distributed()
     pp = cfg.pp_stages > 1
