@@ -62,6 +62,16 @@ class TestThingsData:
         ds5 = dthings.ThingsDataset(str(csv), str(d), size=16,
                                     cache_file=str(cache))
         assert ds5.images_u8.shape == (20, 16, 16, 3)
+        # a SAME-LENGTH but reordered image list must re-decode: shape
+        # checks alone would pair every image with another image's targets
+        ds6 = dthings.ThingsDataset(str(csv), str(d), size=32,
+                                    cache_file=str(cache))  # rebuild at 32
+        df_rev = df.iloc[::-1].reset_index(drop=True)
+        csv_rev = tmp_path / "train_rev.csv"
+        df_rev.to_csv(csv_rev)
+        ds7 = dthings.ThingsDataset(str(csv_rev), str(d), size=32,
+                                    cache_file=str(cache))
+        np.testing.assert_array_equal(ds7.images_u8, ds6.images_u8[::-1])
 
     def test_normalize_on_device(self):
         u8 = jnp.asarray(np.full((2, 4, 4, 3), 128, np.uint8))

@@ -76,11 +76,28 @@ class TestLengthsPreviousRunScan:
     """Cross-run resume dir selection (reference
     clip_train_behavior_lengths.py:188-218 behavior)."""
 
+    @staticmethod
+    def _anchor(base, name, onset, length):
+        """Write the checkpoint pair that makes a sibling resumable."""
+        epoch1 = max(0, onset - 1) + length
+        dd = base / name / f"dora_params_{onset}"
+        rd = base / name / f"random_states_{onset}"
+        os.makedirs(dd, exist_ok=True)
+        os.makedirs(rd, exist_ok=True)
+        (dd / f"epoch{epoch1}_dora_params.pth").touch()
+        (rd / f"epoch{epoch1}_random_states.pth").touch()
+
     def test_picks_longest_shorter_sibling(self, tmp_path):
         from vit_project_tpu.cli.lengths import find_previous_run_dir
         for name in ("random_target_e2_l1", "random_target_e2_l3",
                      "random_target_e3_l2", "label_shuffle_e2_l2", "junk"):
             os.makedirs(tmp_path / name)
+        for name, length in (("random_target_e2_l1", 1),
+                             ("random_target_e2_l3", 3),
+                             ("random_target_e3_l2", 2),
+                             ("label_shuffle_e2_l2", 2)):
+            onset = int(name.split("_e")[-1].split("_")[0])
+            self._anchor(tmp_path, name, onset, length)
         (tmp_path / "random_target_e2_l4").touch()  # a file must not match
         path, length = find_previous_run_dir(str(tmp_path), "random_target", 2, 5)
         assert length == 3 and path.endswith("random_target_e2_l3")
@@ -88,6 +105,22 @@ class TestLengthsPreviousRunScan:
         assert find_previous_run_dir(str(tmp_path), "random_target", 2, 1) == (None, None)
         assert find_previous_run_dir(str(tmp_path), "image_noise", 2, 5) == (None, None)
         assert find_previous_run_dir(str(tmp_path / "nope"), "random_target", 2, 5) == (None, None)
+
+    def test_torn_sibling_falls_through(self, tmp_path):
+        """A sibling whose resume-epoch checkpoint files are missing (crashed
+        mid-run) must NOT be selected — the scan falls through to the next
+        anchored shorter sibling, like the in-place and batched anchors."""
+        from vit_project_tpu.cli.lengths import find_previous_run_dir
+        os.makedirs(tmp_path / "random_target_e2_l3")   # torn: no checkpoints
+        os.makedirs(tmp_path / "random_target_e2_l2")
+        self._anchor(tmp_path, "random_target_e2_l2", 2, 2)
+        # l3 has a dora file but no random states: still torn
+        dd = tmp_path / "random_target_e2_l3" / "dora_params_2"
+        os.makedirs(dd)
+        (dd / "epoch4_dora_params.pth").touch()
+        path, length = find_previous_run_dir(str(tmp_path), "random_target",
+                                             2, 5)
+        assert length == 2 and path.endswith("random_target_e2_l2")
 
     def test_rollback_to_checkpoint(self, tmp_path):
         """The in-place resume anchor (solo AND batched lengths): newest
@@ -454,9 +487,13 @@ class TestLengthsResumeLadderIntegrity:
         os.makedirs(cond / "dora_params_3")
         with open(cond / "training_res.csv", "w") as f:
             f.write("epoch,train_loss\n3,0.5\n")
-        # shorter sibling at the same onset: the correct resume source
+        # shorter sibling at the same onset: the correct resume source —
+        # it must itself be ANCHORED (checkpoint pair on disk) to qualify
         prev = tmp_path / "random_target_e3_l1"
         os.makedirs(prev / "dora_params_3")
+        os.makedirs(prev / "random_states_3")
+        (prev / "dora_params_3" / "epoch3_dora_params.pth").touch()
+        (prev / "random_states_3" / "epoch3_random_states.pth").touch()
         with open(prev / "training_res.csv", "w") as f:
             f.write("epoch,train_loss\n3,0.4\n")
 

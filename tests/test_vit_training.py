@@ -360,13 +360,15 @@ class TestShardedCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert got["params"]["w"].sharding == tree["params"]["w"].sharding
 
-        # save_checkpoint sharded variant + latest_checkpoint preference
+        # save_checkpoint sharded variant + latest_checkpoint preference:
+        # the orbax 'latest' is a pointer to the epoch dir (one collective
+        # write per epoch), so latest resolves to the epoch dir itself
         path = vit_ckpt.save_checkpoint(
             3, tree["params"], {"mom": tree["params"]}, {"last_epoch": 3},
             1.0, 2.0, 0.5, str(tmp_path / "out"), sharded=True)
         assert path.endswith("checkpoint_epoch_003.orbax")
         latest = vit_ckpt.latest_checkpoint(str(tmp_path / "out"))
-        assert latest.endswith("checkpoint_latest.orbax")
+        assert latest.endswith("checkpoint_epoch_003.orbax")
         ck = vit_ckpt.load_checkpoint(latest)
         assert int(ck["epoch"]) == 3
 
@@ -381,13 +383,20 @@ class TestShardedCheckpoint:
                                  1.0, 2.0, 0.5, out, sharded=True)
         vit_ckpt.save_checkpoint(9, {"w": 2.0}, {"w": 0.0}, {"last_epoch": 9},
                                  1.0, 2.0, 0.5, out, sharded=False)
-        orbax = os.path.join(out, "checkpoint_latest.orbax")
+        ptr = os.path.join(out, "checkpoint_latest.orbax.ptr")
         pth = os.path.join(out, "checkpoint_latest.pth")
-        os.utime(orbax, (1_000_000, 1_000_000))
+        os.utime(ptr, (1_000_000, 1_000_000))
         os.utime(pth, (2_000_000, 2_000_000))
         assert vit_ckpt.latest_checkpoint(out) == pth
-        os.utime(orbax, (3_000_000, 3_000_000))
-        assert vit_ckpt.latest_checkpoint(out) == orbax
+        os.utime(ptr, (3_000_000, 3_000_000))
+        assert vit_ckpt.latest_checkpoint(out) == os.path.join(
+            out, "checkpoint_epoch_003.orbax")
+        # legacy trees with a full checkpoint_latest.orbax dir still resolve
+        os.remove(ptr)
+        legacy = os.path.join(out, "checkpoint_latest.orbax")
+        os.rename(os.path.join(out, "checkpoint_epoch_003.orbax"), legacy)
+        os.utime(legacy, (3_000_000, 3_000_000))
+        assert vit_ckpt.latest_checkpoint(out) == legacy
 
     def test_epoch_checkpoint_resolves_both_formats(self, tmp_path):
         """The measurement CLIs fork from checkpoint_epoch_{N:03d} written by

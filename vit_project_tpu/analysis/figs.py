@@ -281,6 +281,9 @@ def plot_fig3(baseline_csv: str, sweep_dir: str, out_png: str):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     df = sweep_deltas(baseline_csv, sweep_dir)
+    if df.empty:
+        raise SystemExit(
+            f"no training_run*/ sweep runs with CSVs under {sweep_dir}")
     fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
     axes[0].bar(df["epoch"], df["delta_loss"])
     axes[0].set_ylabel("delta test loss")

@@ -47,12 +47,19 @@ def save_checkpoint(epoch: int, params, opt_state, sched_state: dict,
         "val_acc": val_acc,
     }
     if sharded:
-        # collective: EVERY process must reach these calls (each host writes
+        # collective: EVERY process must reach this call (each host writes
         # its own shards; orbax barriers internally) — do not gate on rank
         path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.orbax")
         ser.save_sharded(path, ckpt)
-        ser.save_sharded(os.path.join(output_dir, "checkpoint_latest.orbax"),
-                         ckpt)
+        # 'latest' is a tiny POINTER to the epoch dir, not a second full
+        # collective serialization (which would double the per-epoch d2h
+        # transfer and shard writes); atomic tmp+rename, primary-only
+        if _primary():
+            ptr = os.path.join(output_dir, "checkpoint_latest.orbax.ptr")
+            tmp = f"{ptr}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(os.path.basename(path))
+            os.replace(tmp, ptr)
         wrote = True
     else:
         path = os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}.pth")
@@ -107,8 +114,16 @@ def latest_checkpoint(output_dir: str) -> str | None:
     """When both formats exist (e.g. a pod run followed by a single-host
     continuation of the same output_dir), pick the most recently written one
     by mtime — a fixed format preference would silently resume from stale
-    state."""
+    state. The orbax 'latest' is a pointer file naming the newest epoch dir
+    (one collective write per epoch, not two); legacy trees with a full
+    checkpoint_latest.orbax dir still resolve."""
     cands = []
+    ptr = os.path.join(output_dir, "checkpoint_latest.orbax.ptr")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            target = os.path.join(output_dir, f.read().strip())
+        if os.path.exists(target):
+            cands.append((os.path.getmtime(ptr), target))
     for name in ("checkpoint_latest.orbax", "checkpoint_latest.pth"):
         p = os.path.join(output_dir, name)
         if os.path.exists(p):

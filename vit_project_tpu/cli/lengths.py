@@ -33,7 +33,23 @@ def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
     """Locate the longest already-trained condition at the same onset with a
     strictly smaller window, for cross-run resume (reference behavior:
     clip_train_behavior_lengths.py:188-218). Returns (dir_path, length) or
-    (None, None)."""
+    (None, None).
+
+    Candidates are ANCHORED like the in-place path (rollback_to_checkpoint)
+    and the batched path (_init_length_condition require=resuming): a
+    sibling only qualifies if its resume epoch's DoRA + random-state files
+    actually exist — a torn sibling (crashed mid-run) must fall through to
+    the next shorter one (or a fresh start), not silently resume into a
+    fresh adapter. The reference does not anchor (SURVEY §0-style defect)."""
+    def _sibling_anchored(path: str, length: int) -> bool:
+        epoch1 = max(0, start_epoch - 1) + length
+        return (os.path.exists(os.path.join(
+                    path, f"dora_params_{start_epoch}",
+                    f"epoch{epoch1}_dora_params.pth"))
+                and os.path.exists(os.path.join(
+                    path, f"random_states_{start_epoch}",
+                    f"epoch{epoch1}_random_states.pth")))
+
     def shorter_siblings():
         for entry in Path(base_dir).iterdir():
             m = _CONDITION_DIR.match(entry.name)
@@ -43,8 +59,10 @@ def find_previous_run_dir(base_dir: str, perturb_type: str, start_epoch: int,
                 continue
             if perturb_type in _INJECTOR_KINDS and m["kind"] != perturb_type:
                 continue
-            if int(m["length"]) < current_length:
-                yield int(m["length"]), str(entry)
+            length = int(m["length"])
+            if length < current_length and _sibling_anchored(str(entry),
+                                                             length):
+                yield length, str(entry)
 
     if not os.path.isdir(base_dir):
         return None, None

@@ -44,7 +44,7 @@ def measure_perturbation_effect(
         baseline_checkpoint_dir: str, baseline_df: pd.DataFrame,
         train_loader, val_loader, things_images_u8, reference_rdm,
         scheduler_cfg: dict, epsilon: float, shuffle_seed: int = 42,
-        logger=None):
+        logger=None, ckpt_cache: dict | None = None):
     log = logger.info if logger else print
     row = baseline_df[baseline_df["epoch"] == perturb_epoch]
     if row.empty:
@@ -55,13 +55,22 @@ def measure_perturbation_effect(
     log(f"Measuring: {perturbation_type} @ epoch {perturb_epoch} "
         f"(baseline loss={baseline_loss:.4f}, RSA={baseline_rsa:.4f})")
 
-    ckpt_path = vit_ckpt.epoch_checkpoint(baseline_checkpoint_dir,
-                                          perturb_epoch - 1)
-    if ckpt_path is None:
-        log(f"Checkpoint not found: checkpoint_epoch_{perturb_epoch - 1:03d}"
-            f".pth/.orbax in {baseline_checkpoint_dir}")
-        return None
-    ckpt = vit_ckpt.load_checkpoint(ckpt_path)
+    # every perturbation TYPE of one epoch forks from the same baseline
+    # checkpoint — load the (multi-hundred-MB at real scale) pickle once per
+    # epoch, not once per grid cell (the caller passes a per-epoch cache)
+    if ckpt_cache is not None and "ckpt" in ckpt_cache:
+        ckpt = ckpt_cache["ckpt"]
+    else:
+        ckpt_path = vit_ckpt.epoch_checkpoint(baseline_checkpoint_dir,
+                                              perturb_epoch - 1)
+        if ckpt_path is None:
+            log(f"Checkpoint not found: "
+                f"checkpoint_epoch_{perturb_epoch - 1:03d}"
+                f".pth/.orbax in {baseline_checkpoint_dir}")
+            return None
+        ckpt = vit_ckpt.load_checkpoint(ckpt_path)
+        if ckpt_cache is not None:
+            ckpt_cache["ckpt"] = ckpt
     params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
     momentum_buf = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
     scheduler = CosineAnnealingLRWithWarmup(**scheduler_cfg)
@@ -197,12 +206,13 @@ def main(argv=None):
     for perturb_epoch in args.perturb_epochs:
         if perturb_epoch == 0:
             continue
+        ckpt_cache: dict = {}   # one baseline checkpoint load per epoch
         for ptype in args.perturbation_types:
             r = measure_perturbation_effect(
                 perturb_epoch, ptype, trainer,
                 args.baseline_checkpoint_dir, baseline_df, train_loader,
                 val_loader, things_images, reference_rdm, scheduler_cfg,
-                args.epsilon)
+                args.epsilon, ckpt_cache=ckpt_cache)
             if r is not None:
                 results.append(r)
 

@@ -78,9 +78,20 @@ def transform_batch(paths: list[str], mode: int, out_h: int, out_w: int,
     if lib is None:
         raise RuntimeError("libfastimage.so not built (make -C native)")
     n = len(paths)
+    seeds = np.ascontiguousarray(np.asarray(seeds, np.uint64))
+    if len(seeds) != n:
+        # the native loop indexes seeds[i] for every path — a short array
+        # would be an out-of-bounds read inside libfastimage, not a Python
+        # error
+        raise ValueError(f"seeds ({len(seeds)}) must match paths ({n})")
+    if mode == MODE_CENTER_CROP and max(out_h, out_w) > resize_to:
+        # mode 2 center-crops the resize_to-short-side image; a larger crop
+        # would memcpy from negative offsets in the C++ core
+        raise ValueError(f"center crop {out_h}x{out_w} exceeds resize_to="
+                         f"{resize_to}; pass a proportionally larger "
+                         f"resize_to")
     out = np.empty((n, out_h, out_w, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    seeds = np.ascontiguousarray(np.asarray(seeds, np.uint64))
     failed = lib.fi_transform_batch(
         arr, n, mode, out_h, out_w, resize_to,
         seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

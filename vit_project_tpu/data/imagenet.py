@@ -75,6 +75,11 @@ def random_resized_crop_flip(img, rng: np.random.Generator, size: int = 224,
 
 def resize_center_crop(img, size: int = 224, resize_to: int = 256):
     from PIL import Image
+    if size > resize_to:
+        # PIL zero-pads out-of-bounds crops, so a crop bigger than the
+        # resized short side would silently produce black borders — scale
+        # the resize with the crop (torchvision's 256/224 ratio)
+        resize_to = int(round(size * 256 / 224))
     W, H = img.size
     if W < H:
         nw, nh = resize_to, int(resize_to * H / W)
@@ -198,13 +203,18 @@ class ImageFolderLoader:
         if self.use_native:
             from . import fastimage as fim
             mode = fim.MODE_RRC_FLIP if self.train else fim.MODE_CENTER_CROP
+            # val center crop: scale the shorter-side resize with the crop
+            # like resize_center_crop (256 would black-pad a >256 crop)
+            resize_to = (256 if self.size <= 256
+                         else int(round(self.size * 256 / 224)))
             for s in range(0, end, self.batch_size):
                 idx = order[s:s + self.batch_size]
                 seeds = [(hash((self.seed, epoch, int(i)))
                           & 0xFFFFFFFFFFFFFFFF) for i in idx]
                 imgs = fim.transform_batch(
                     [self.paths[i] for i in idx], mode, self.size,
-                    self.size, seeds, threads=self.workers)
+                    self.size, seeds, resize_to=resize_to,
+                    threads=self.workers)
                 lbls = np.asarray([self._label(int(i)) for i in idx],
                                   np.int32)
                 yield imgs, lbls

@@ -15,6 +15,7 @@ through DataLoader workers) and keeps the input pipeline far ahead of the TPU.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -48,12 +49,20 @@ class ThingsDataset:
         self.targets = ann.iloc[:, 1:].values.astype(np.float32)
         if cache_file and not cache_file.endswith(".npz"):
             cache_file += ".npz"   # np.savez appends it; look where it writes
+        # a cache built for a different image list, ORDER, or resolution
+        # must re-decode, not silently pair wrong pixels with the targets —
+        # shape checks alone accept any same-length reordered/filtered CSV,
+        # so the cache stores a digest of the exact name sequence
+        digest = hashlib.sha256(
+            "\n".join(map(str, self.names)).encode()).hexdigest()
         cached = None
         if cache_file and os.path.exists(cache_file):
-            arr = np.load(cache_file, mmap_mode=None)["images"]
-            # a cache built for a different image list or resolution must
-            # re-decode, not silently pair wrong pixels with the targets
-            if arr.shape[0] == len(self.names) and arr.shape[1] == size:
+            z = np.load(cache_file, mmap_mode=None, allow_pickle=False)
+            arr = z["images"]
+            names_ok = ("names_sha256" in z.files
+                        and str(z["names_sha256"]) == digest)
+            if (names_ok and arr.shape[0] == len(self.names)
+                    and arr.shape[1] == size):
                 cached = arr
         if cached is not None:
             self.images_u8 = cached
@@ -61,7 +70,8 @@ class ThingsDataset:
             self.images_u8 = decode_images(img_dir, self.names, size)
             if cache_file:
                 os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
-                np.savez(cache_file, images=self.images_u8)
+                np.savez(cache_file, images=self.images_u8,
+                         names_sha256=digest)
 
     def __len__(self):
         return len(self.names)

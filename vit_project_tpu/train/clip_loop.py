@@ -862,11 +862,28 @@ def run_behavioral_training(config) -> dict:
     elif cfg.baseline_dora_directory:
         dora_path = os.path.join(cfg.baseline_dora_directory,
                                  f"epoch{training_run - 1}_dora_params.pth")
-    if dora_path and os.path.exists(dora_path) and training_run >= 1:
+    # The reference gates the load on training_run >= 1 only
+    # (new_cvpr...pipeline.py:1166) — which silently skips an EXPLICIT
+    # in-place resume of a baseline run (training_run == 0, e.g.
+    # cli.lengths --perturb_type baseline after a crash): the run would
+    # continue the same CSV with a fresh adapter. An explicit resume
+    # source must always load (SURVEY §0-style defect fix; fork
+    # semantics at training_run >= 1 are unchanged).
+    explicit_resume = (cfg.resume_from_epoch > 0
+                       and bool(cfg.resume_dora_parameters_path))
+    if dora_path and os.path.exists(dora_path) and (training_run >= 1
+                                                    or explicit_resume):
         trainable = clip_ckpt.load_dora_parameters(dora_path, trainable, spec,
                                                    logger)
         logger.info(f"Loaded DoRA parameters from {dora_path}")
     else:
+        if explicit_resume and dora_path:
+            # pointing a strict resume at a missing checkpoint must not
+            # silently restart the adapter mid-CSV (the resume drivers
+            # anchor on existing files; anything else is caller error)
+            raise FileNotFoundError(
+                f"resume_from_epoch={cfg.resume_from_epoch} requested but "
+                f"the DoRA checkpoint does not exist: {dora_path}")
         logger.info("Using original DoRA parameters from model initialization")
 
     # data-parallel over all local devices when more than one is present —
