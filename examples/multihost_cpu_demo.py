@@ -41,6 +41,14 @@ import subprocess
 import sys
 
 
+
+def _check(cond, msg=""):
+    """Validation that must abort under `python -O` too (a plain assert
+    compiles away and the demo would print success while checking nothing —
+    same rule as examples/paradigm_tpu.py)."""
+    if not cond:
+        raise AssertionError(repr(msg) if msg != "" else "demo check failed")
+
 def _worker(process_id: int, num_processes: int, port: int, root: str):
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -60,7 +68,7 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     from vit_project_tpu.train.vit_loop import ViTTrainer, sgd_init
 
     pid, pc = jax.process_index(), jax.process_count()
-    assert (pid, pc) == (process_id, num_processes)
+    _check((pid, pc) == (process_id, num_processes))
 
     # --- 1. disjoint shards
     ld = ImageFolderLoader(os.path.join(root, "train"), 4, train=True,
@@ -73,7 +81,7 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
 
     # --- 2. global dp train step from per-process local batches
     mesh = vmesh.make_mesh()
-    assert mesh.devices.size == 2 * pc
+    _check(mesh.devices.size == 2 * pc)
     tiny = vvit.ViTConfig(patch=8, width=32, layers=2, heads=2,
                           image_size=32, num_classes=3)
     tcfg = ViTTrainConfig(batch_size=4 * pc, compute_dtype="float32",
@@ -85,11 +93,11 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     step = trainer._make_train_step(None)
     imgs, lbls = batches[0]
     si, sl = trainer.shard(imgs, lbls)
-    assert si.shape[0] == 4 * pc, si.shape  # global batch assembled
+    _check(si.shape[0] == 4 * pc, si.shape)  # global batch assembled
     params, buf, loss = step(params, buf, si, sl, 0.01,
                              jax.random.PRNGKey(1), 0.1)
     loss = float(loss)
-    assert np.isfinite(loss)
+    _check(np.isfinite(loss))
 
     # --- 3. dataset-order RSA gather across processes
     rs = np.random.RandomState(7)
@@ -107,7 +115,7 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     from vit_project_tpu.ops import rsa as vrsa
     rho1, p1, _ = vrsa.behavioral_rsa(jnp.asarray(np.concatenate(emb)),
                                       jnp.asarray(rdm))
-    assert abs(rho - float(rho1)) < 1e-5, (rho, float(rho1))
+    _check(abs(rho - float(rho1)) < 1e-5, (rho, float(rho1)))
 
     # --- 4. CLIP-HBA eval on a replicated dataset vs local oracle
     from vit_project_tpu.adapters import dora as adora
@@ -140,8 +148,8 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     tr_lo = jax.tree_util.tree_map(jnp.array, ctrain)
     loss_lo = lo.evaluate(tr_lo, ev_imgs, ev_tgts, batch_size=8)
     # a duplicate-batch regression would inflate these by exactly P
-    assert abs(loss_mh - loss_lo) < 1e-4, (loss_mh, loss_lo)
-    assert abs(loss_mhr - loss_lo) < 1e-4, (loss_mhr, loss_lo)
+    _check(abs(loss_mh - loss_lo) < 1e-4, (loss_mh, loss_lo))
+    _check(abs(loss_mhr - loss_lo) < 1e-4, (loss_mhr, loss_lo))
 
     # --- 5. whole-epoch train scan on the multi-host mesh vs local oracle
     # (drives _prep_idx_mat's per-process column-block assembly + the scanned
@@ -163,7 +171,7 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
         mh, mh.prepare_state(jax.tree_util.tree_map(jnp.array, ctrain)))
     _, losses_lo, oks_lo = run_epoch(
         lo, jax.tree_util.tree_map(jnp.array, ctrain))
-    assert oks_mh.all() and oks_lo.all()
+    _check(oks_mh.all() and oks_lo.all())
     np.testing.assert_allclose(losses_mh, losses_lo, rtol=0, atol=1e-5)
 
     # --- 6. collective pod checkpoint: EVERY process calls the sharded
@@ -174,10 +182,10 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     ck_dir = os.path.join(root, "ckpt_out")
     path = vit_ckpt.save_checkpoint(0, params, buf, {"last_epoch": 0},
                                     1.0, 2.0, 0.5, ck_dir)
-    assert path.endswith("checkpoint_epoch_000.orbax"), path
+    _check(path.endswith("checkpoint_epoch_000.orbax"), path)
     latest = vit_ckpt.latest_checkpoint(ck_dir)
     ck = vit_ckpt.load_checkpoint(latest)
-    assert int(ck["epoch"]) == 0
+    _check(int(ck["epoch"]) == 0)
     np.testing.assert_array_equal(np.asarray(ck["params"]["cls"]),
                                   np.asarray(params["cls"]))
 
@@ -226,12 +234,12 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
             "--backbone", "test-tiny"])
     finally:
         dimg.ImageFolderLoader = orig_loader
-    assert len(results) == 1 and np.isfinite(results[0]["perturbed_loss"])
-    assert (pc, pid) in loader_args, (loader_args, pc, pid)  # disjoint shards
+    _check(len(results) == 1 and np.isfinite(results[0]["perturbed_loss"]))
+    _check((pc, pid) in loader_args, (loader_args, pc, pid))  # disjoint shards
     dist.barrier("measure_done")
-    assert os.path.exists(out_csv)  # the (single) primary writer produced it
+    _check(os.path.exists(out_csv))  # the (single) primary writer produced it
     with open(out_csv) as f:
-        assert len(f.readlines()) == 2  # header + the single grid cell
+        _check(len(f.readlines()) == 2)  # header + the single grid cell
 
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
           f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
@@ -303,7 +311,19 @@ def _main():
         ok = True
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                # a worker hung (e.g. in the distributed rendezvous): kill
+                # BOTH processes and reap them so the retry loop below can
+                # run on a fresh port instead of leaking orphans that hold
+                # the port and tempdir
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                out, _ = p.communicate()
+                out = (out or "") + "\n[worker timed out after 600s]"
+                ok = False
             outs.append(out)
             ok = ok and (p.returncode == 0)
         if ok or fixed_port or attempt == 1:

@@ -293,10 +293,16 @@ def main(argv=None):
     t0 = time.time()
     f1 = figs.plot_fig1(f"{base}/training_res.csv",
                         os.path.join(work, "fig1_trajectory.png"))
+    # fig2 compares the two perturbation types at shared epochs; when the
+    # sweeps are disjoint, plot every epoch either type covers (plot_fig2
+    # drops a type's missing epochs per-cell) — the intersection-only
+    # fallback to in_order would silently draw a one-type figure
+    fig2_epochs = sorted(set(rt_order) & set(in_order)) or \
+        sorted(set(rt_order) | set(in_order))
     f2 = figs.plot_fig2(
         f"{base}/training_res.csv",
         {"random_target": sweep_rt, "image_noise": sweep_in},
-        sorted(set(rt_order) & set(in_order)) or in_order,
+        fig2_epochs,
         os.path.join(work, "fig2_type_deltas.png"))
     f3 = figs.plot_fig3(f"{base}/training_res.csv", sweep_rt,
                         os.path.join(work, "fig3_sweep_deltas.png"))

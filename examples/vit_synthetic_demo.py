@@ -27,6 +27,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+def _check(cond, msg=""):
+    """Validation that must abort under `python -O` too (a plain assert
+    compiles away and the demo would print success while checking nothing —
+    same rule as examples/paradigm_tpu.py)."""
+    if not cond:
+        raise AssertionError(repr(msg) if msg != "" else "demo check failed")
+
 def make_data(root: str):
     from PIL import Image
     import pandas as pd
@@ -79,7 +87,7 @@ def main(out_root: str) -> int:
         "--lr", "0.01", "--warmup_epochs", "1", "--num_workers", "2",
         "--compute_dtype", "float32"])
     met = pd.read_csv(os.path.join(run_dir, "training_metrics.csv"))
-    assert list(met["epoch"]) == [0, 1, 2], met
+    _check(list(met["epoch"]) == [0, 1, 2], met)
     print(met.to_string(index=False), flush=True)
 
     print("== 2/3 vit_rsa_eval (per-checkpoint THINGS-48 RSA)", flush=True)
@@ -91,9 +99,9 @@ def main(out_root: str) -> int:
         "--things_img_dir", paths["things_img_dir"],
         "--things_rdm_path", paths["things_rdm_path"]])
     rsa = pd.read_csv(rsa_csv)
-    assert list(rsa.columns) == ["checkpoint", "epoch", "train_loss",
-                                 "val_loss", "val_acc", "rsa_score"], rsa
-    assert len(rsa) == 3
+    _check(list(rsa.columns) == ["checkpoint", "epoch", "train_loss",
+                                  "val_loss", "val_acc", "rsa_score"], rsa)
+    _check(len(rsa) == 3)
 
     print("== 3/3 vit_measure (2 epochs x 2 perturbation types)", flush=True)
     eff_csv = os.path.join(out_root, "perturbation_effects.csv")
@@ -110,9 +118,9 @@ def main(out_root: str) -> int:
         "--backbone", "test-tiny", "--compute_dtype", "float32",
         "--total_epochs", "4", "--warmup_epochs", "1", "--lr", "0.01"])
     eff = pd.read_csv(eff_csv)
-    assert set(eff["perturbation_type"]) == {"gaussian", "label_shuffle"}
-    assert np.allclose(eff["delta_loss"],
-                       eff["perturbed_loss"] - eff["baseline_loss"])
+    _check(set(eff["perturbation_type"]) == {"gaussian", "label_shuffle"})
+    _check(np.allclose(eff["delta_loss"],
+                       eff["perturbed_loss"] - eff["baseline_loss"]))
 
     from vit_project_tpu.analysis import figs
     print(figs.vit_type_deltas(eff_csv).to_string(index=False), flush=True)

@@ -309,6 +309,10 @@ int transform_one(const char* path, int mode, int out_h, int out_w,
             nh = resize_to;
             nw = (int)std::lround((double)resize_to * img.w / img.h);
         }
+        // a crop larger than the resized image would read before/past the
+        // mid buffer (negative left/top) — reject at EVERY entry point,
+        // not just the Python wrapper
+        if (out_w > nw || out_h > nh) return -3;
         std::vector<uint8_t> tmp((size_t)nw * nh * 3);
         resize_bilinear_crop(img, 0, 0, img.w, img.h, nw, nh, false, tmp.data());
         ImageU8 mid;

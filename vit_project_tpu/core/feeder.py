@@ -21,7 +21,13 @@ import threading
 def feed(producer, depth: int):
     """Yield `producer`'s items, produced on a feeder thread, through a
     queue of the given depth (depth items may be in flight ahead of the
-    consumer)."""
+    consumer). depth <= 0 means NO lookahead: consume synchronously on the
+    caller's thread (Queue(maxsize=0) would be UNBOUNDED — the producer
+    would race a whole epoch into memory, the opposite of what a caller
+    passing 0 asked for)."""
+    if depth <= 0:
+        yield from producer
+        return
     q: _queue.Queue = _queue.Queue(maxsize=depth)
     stop = threading.Event()
 

@@ -36,5 +36,7 @@ def prefetch_to_host(*trees) -> None:
             try:
                 fn()
             except Exception:
-                # a backend that rejects the hint must not break training
-                return
+                # a backend that rejects the hint must not break training —
+                # but one bad leaf (e.g. a donated buffer) must not abort
+                # the prefetch for every remaining leaf/tree either
+                continue

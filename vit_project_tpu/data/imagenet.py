@@ -211,10 +211,25 @@ class ImageFolderLoader:
                 idx = order[s:s + self.batch_size]
                 seeds = [(hash((self.seed, epoch, int(i)))
                           & 0xFFFFFFFFFFFFFFFF) for i in idx]
-                imgs = fim.transform_batch(
-                    [self.paths[i] for i in idx], mode, self.size,
-                    self.size, seeds, resize_to=resize_to,
-                    threads=self.workers)
+                try:
+                    imgs = fim.transform_batch(
+                        [self.paths[i] for i in idx], mode, self.size,
+                        self.size, seeds, resize_to=resize_to,
+                        threads=self.workers)
+                except IOError:
+                    # the C++ core decodes baseline JPEG/PNG only; real
+                    # ImageNet contains a handful of CMYK JPEGs (and
+                    # IMG_EXTS admits .webp/.bmp/.ppm) that PIL handles
+                    # fine — fall back for THIS batch instead of killing
+                    # the run (same pixels the pure-PIL path would produce)
+                    if self.train:
+                        imgs = np.stack([
+                            _load_train(self.paths[i],
+                                        (self.seed, epoch, int(i)),
+                                        self.size) for i in idx])
+                    else:
+                        imgs = np.stack([_load_val(self.paths[i], self.size)
+                                         for i in idx])
                 lbls = np.asarray([self._label(int(i)) for i in idx],
                                   np.int32)
                 yield imgs, lbls
