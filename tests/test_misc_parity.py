@@ -24,6 +24,12 @@ class TestFinetuneSplits:
         params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
         trainable, frozen = finetune.split_last_blocks(params, "visual", 1)
         assert list(trainable["visual"]["blocks"].keys()) == [2]
+        # frozen EXCLUDES the trainable blocks (no aliasing/double counting)
+        assert frozen["visual"]["blocks"][2] is None
+        assert frozen["visual"]["blocks"][0] is not None
+        assert (finetune.count_params(frozen)
+                + finetune.count_params(trainable)
+                == finetune.count_params(params))
         # mutate the trainable block; merge reflects it
         tb = jax.tree_util.tree_map(lambda x: x + 1.0,
                                     trainable["visual"]["blocks"][2])

@@ -342,7 +342,11 @@ class TestTokenizer:
 
     def test_truncation(self):
         long = " ".join(["word"] * 200)
-        toks = vtok.tokenize([long], context_length=16)
+        # default truncate=False RAISES like clip.tokenize (a silently cut
+        # prompt would embed differently where the reference fails loudly)
+        with pytest.raises(RuntimeError, match="too long"):
+            vtok.tokenize([long], context_length=16)
+        toks = vtok.tokenize([long], context_length=16, truncate=True)
         assert toks.shape == (1, 16)
         assert toks[0, -1] == vtok.EOT
 

@@ -241,11 +241,12 @@ def test_moe_capacity_drops_late_tokens():
 
 def _np_moe_top2_oracle(x, p, act, capacity_factor):
     """GShard top-2 oracle: all first choices queue first (token order),
-    then all second choices; combine weights renormalized over the pair."""
+    then all second choices; combine weights renormalized over the pair;
+    capacity scales with topk like moe_mlp."""
     B, S, D = x.shape
     T = B * S
     E = p["router_w"].shape[1]
-    C = vmoe.expert_capacity(T, E, capacity_factor)
+    C = vmoe.expert_capacity(T, E, capacity_factor * 2)
     xt = x.reshape(T, D).astype(np.float64)
     logits = xt @ np.asarray(p["router_w"], np.float64)
     z = np.exp(logits - logits.max(axis=1, keepdims=True))
@@ -326,16 +327,17 @@ def test_moe_top2_saturated_router_no_double_dispatch():
     # feature 0 drives expert 0 (hard), feature 1 drives expert 1 (mild)
     p["router_w"] = jnp.asarray([[100.0, 0.0], [0.0, 1.0]], jnp.float32)
     p["fc2_b"] = p["fc2_b"] + 1.0
-    x = np.zeros((1, 8, D), np.float32)
+    x = np.zeros((1, 16, D), np.float32)
     x[0, 0] = [4.0, 0.0]    # token 0: logits [400, 0] -> probs [1, 0]
-    x[0, 1:] = [0.0, 1.0]   # tokens 1..7: expert 1 first, expert 0 second
-    C = vmoe.expert_capacity(8, E, 1.0)
-    assert C == 8  # expert-0 queue: 1 first choice + 7 second choices = 8
+    x[0, 1:] = [0.0, 1.0]   # tokens 1..15: expert 1 first, expert 0 second
+    C = vmoe.expert_capacity(16, E, 0.4 * 2)
+    assert C == 8  # e0 queue: 1 first + 15 second choices; pos 8+ shed —
+    # the buggy phantom at pos 1 would evict token 7 (real pos 7 -> 8)
     relu = lambda v: jnp.maximum(v, 0)
-    y, _ = vmoe.moe_mlp(jnp.asarray(x), p, act=relu, capacity_factor=1.0,
+    y, _ = vmoe.moe_mlp(jnp.asarray(x), p, act=relu, capacity_factor=0.4,
                         topk=2)
     y_ref = _np_moe_top2_oracle(np.asarray(x), p,
-                                lambda v: np.maximum(v, 0), 1.0)
+                                lambda v: np.maximum(v, 0), 0.4)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-6)
 
 

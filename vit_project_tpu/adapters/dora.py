@@ -96,8 +96,12 @@ def to_reference_names(trainable: dict) -> dict:
 def from_reference_names(flat: dict, spec: dict) -> dict:
     """Inverse of to_reference_names for the blocks named in `spec`.
 
-    Missing entries are skipped (reference loads with strict=False,
-    ref :1168) — callers keep their initialized values for those.
+    Fully missing blocks are skipped (reference loads with strict=False,
+    ref :1168) — callers keep their initialized values for those. A block
+    with SOME of its three params present is a torn/renamed checkpoint, not
+    a fresh block: torch's strict=False would load the present tensors, so
+    loading nothing would silently train from a half-random adapter —
+    that case is a hard error instead.
     """
     out = {"visual": {}, "text": {}}
     for tower, indices in spec.items():
@@ -110,6 +114,11 @@ def from_reference_names(flat: dict, spec: dict) -> dict:
                     entry[name] = np.asarray(flat[k])
             if len(entry) == 3:
                 out[tower][idx] = entry
+            elif entry:
+                missing = sorted({"m", "delta_D_A", "delta_D_B"} - set(entry))
+                raise ValueError(
+                    f"DoRA checkpoint is torn: block {base} has "
+                    f"{sorted(entry)} but is missing {missing}")
     return out
 
 

@@ -25,12 +25,22 @@ def split_visual_tower(clip_params: dict) -> tuple[dict, dict]:
 
 
 def split_last_blocks(clip_params: dict, tower: str, n: int) -> tuple[dict, dict]:
-    """Equivalent of unfreeze_image_layers (last-n blocks of one tower train)."""
+    """Equivalent of unfreeze_image_layers (last-n blocks of one tower train).
+
+    Like split_visual_tower, `frozen` EXCLUDES the trainable subtree (the
+    trainable block slots are None placeholders) — a frozen tree that
+    aliased the trainable blocks would double-count params and hand stale
+    pre-update weights to any frozen-only consumer. merge() restores the
+    full tree."""
     blocks = clip_params[tower]["blocks"]
     cut = len(blocks) - n
     trainable = {tower: {"blocks": {i: blocks[i]
                                     for i in range(cut, len(blocks))}}}
     frozen = dict(clip_params)
+    tower_params = dict(frozen[tower])
+    tower_params["blocks"] = [bp if i < cut else None
+                              for i, bp in enumerate(blocks)]
+    frozen[tower] = tower_params
     return trainable, frozen
 
 

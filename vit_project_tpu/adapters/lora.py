@@ -15,8 +15,11 @@ import jax.numpy as jnp
 from ..ops.dora import _kaiming_uniform
 
 
-def lora_init(key: jax.Array, in_features: int, out_features: int, r: int,
-              alpha: int = 16) -> dict:
+def lora_init(key: jax.Array, in_features: int, out_features: int,
+              r: int) -> dict:
+    """(alpha is NOT baked in here — the alpha/r scaling is applied at
+    call time by lora_linear/lora_merged_weight, matching the reference's
+    LoRALayer which stores it as a module attribute, ref :317.)"""
     ka, kb = jax.random.split(key)
     return {
         "lora_A": _kaiming_uniform(ka, (r, out_features)),
@@ -35,6 +38,9 @@ def lora_linear(x: jax.Array, base_w: jax.Array, base_b: jax.Array | None,
         y = y + base_b.astype(jnp.float32)
     xd = x
     if not deterministic and dropout_p > 0.0:
+        if dropout_key is None:  # same explicit error as ops/dora.py
+            raise ValueError("lora_linear with dropout_p > 0 and "
+                             "deterministic=False requires a dropout_key")
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_p, x.shape)
         xd = jnp.where(keep, x / (1.0 - dropout_p), 0.0)
     low = jnp.dot(jnp.dot(xd, lora["lora_B"].astype(x.dtype),

@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moe_topk", type=int, default=1, choices=[1, 2],
                    help="MoE routing: 1 = Switch top-1, 2 = GShard top-2 "
                         "(combine weights renormalized over the pair)")
+    p.add_argument("--moe_capacity", type=float, default=1.25,
+                   help="per-expert capacity factor (scaled by topk "
+                        "GShard-style; over-capacity tokens are dropped "
+                        "onto the residual)")
     p.add_argument("--ep_devices", type=int, default=1,
                    help="expert parallelism: shard the MoE expert FFNs over "
                         "N devices of a ('data','expert') mesh (needs "
@@ -102,7 +106,8 @@ def main(argv=None):
     if args.moe_experts > 0:
         import dataclasses
         vit_cfg = dataclasses.replace(vit_cfg, moe_experts=args.moe_experts,
-                                      moe_topk=args.moe_topk)
+                                      moe_topk=args.moe_topk,
+                                      moe_capacity=args.moe_capacity)
     cfg = ViTTrainConfig(
         data_path=args.data_path, output_dir=args.output_dir,
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,

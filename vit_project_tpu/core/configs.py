@@ -172,6 +172,8 @@ class ViTTrainConfig:
                           # MoE of this many experts (ops/moe.py;
                           # beyond-reference capability)
     moe_topk: int = 1     # 1 = Switch top-1 routing, 2 = GShard top-2
+    moe_capacity: float = 1.25  # per-expert capacity factor (scaled by
+                                # topk inside ops/moe.py, GShard-style)
     moe_aux_weight: float = 0.01  # weight of the MoE load-balance loss
                                   # added to the CE (Switch default)
     host_prefetch: bool = False  # async d2h of the per-epoch checkpoint

@@ -115,14 +115,12 @@ def encode_text(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
     x = x + tp["pos"].astype(x.dtype)
     adapters = adapters or {}
 
-    def _block(bp, x, ad, dk):
-        return vvit.block_forward(bp, x, cfg.text.heads, quick_gelu=True,
-                                  causal=True, adapter=ad,
-                                  adapter_cfg=adapter_cfg,
-                                  dropout_key=dk, deterministic=deterministic,
-                                  use_pallas=use_pallas)
-
-    blk = jax.checkpoint(_block) if remat else _block
+    # one _block_fn serves every trunk (key threading / remat / adapter
+    # plumbing live in one place) — only heads/quick_gelu matter from the
+    # shim config, the text tower is causal and never MoE/ring
+    blk_cfg = ViTConfig(heads=cfg.text.heads, quick_gelu=True)
+    blk = vvit._block_fn(blk_cfg, adapter_cfg, deterministic, use_pallas,
+                         remat, causal=True)
     for i, bp in enumerate(tp["blocks"]):
         ad = adapters.get(i)
         dk = None

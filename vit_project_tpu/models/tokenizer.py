@@ -168,9 +168,14 @@ class HashTokenizer:
 
 
 def tokenize(texts, tokenizer=None, context_length: int = CONTEXT_LENGTH,
-             truncate: bool = True) -> np.ndarray:
+             truncate: bool = False) -> np.ndarray:
     """texts -> int32 [N, context_length] with SOT/EOT framing (clip.tokenize
-    contract; reference tokenizes the 66 SPoSE prompts once at model build)."""
+    contract; reference tokenizes the 66 SPoSE prompts once at model build).
+
+    Default truncate=False RAISES on over-length input like clip.tokenize —
+    silently cutting a prompt would produce different text embeddings where
+    the reference fails loudly. (The 66 SPoSE prompts are single words and
+    never truncate.)"""
     if isinstance(texts, str):
         texts = [texts]
     tokenizer = tokenizer or HashTokenizer()

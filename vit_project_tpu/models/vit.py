@@ -113,6 +113,9 @@ def init_block(key, width: int, mlp_ratio: int, moe_experts: int = 0) -> dict:
 
 def init_vit_params(key, cfg: ViTConfig) -> dict:
     ks = jax.random.split(key, cfg.layers + 5)
+    # head gets the (previously unused) last key: a config with BOTH out_dim
+    # and num_classes must not draw proj and head from the same key
+    head_key = ks[cfg.layers + 4]
     p = {
         "patch_w": _trunc_normal(ks[0], (cfg.patch * cfg.patch * 3, cfg.width)),
         "patch_b": jnp.zeros(cfg.width) if cfg.patch_bias else None,
@@ -129,7 +132,7 @@ def init_vit_params(key, cfg: ViTConfig) -> dict:
         p["proj"] = _trunc_normal(ks[3], (cfg.width, cfg.out_dim),
                                   std=cfg.width ** -0.5)
     if cfg.num_classes is not None:
-        p["head_w"] = _trunc_normal(ks[3], (cfg.width, cfg.num_classes))
+        p["head_w"] = _trunc_normal(head_key, (cfg.width, cfg.num_classes))
         p["head_b"] = jnp.zeros(cfg.num_classes)
     return p
 
@@ -260,11 +263,15 @@ def _seq_parallel_enter(x: jax.Array, seq_shard, ring_attn: bool):
 
 
 def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
-              remat, with_aux: bool = False, ring: tuple | None = None):
-    """Per-block callable shared by the encoder trunks; with remat=True each
-    call is wrapped in jax.checkpoint (see vit_encode docstring)."""
+              remat, with_aux: bool = False, ring: tuple | None = None,
+              causal: bool = False):
+    """Per-block callable shared by the encoder trunks (the two visual
+    trunks here and the causal text tower in models/clip.py); with
+    remat=True each call is wrapped in jax.checkpoint (see vit_encode
+    docstring)."""
     def _block(bp, x, ad, dk):
         return block_forward(bp, x, cfg.heads, quick_gelu=cfg.quick_gelu,
+                             causal=causal,
                              adapter=ad, adapter_cfg=adapter_cfg,
                              dropout_key=dk, deterministic=deterministic,
                              use_pallas=use_pallas,

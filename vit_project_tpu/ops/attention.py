@@ -24,11 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .nn import round_up_multiple as _pad_to
+
 _NEG_INF = -1e30
-
-
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------

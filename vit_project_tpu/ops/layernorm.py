@@ -38,8 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .nn import round_up_multiple as _round_up  # noqa: E402
 
 
 def _ln_fwd_kernel(x_ref, sc_ref, bi_ref, y_ref, mu_ref, rs_ref, *,

@@ -76,7 +76,10 @@ def moe_mlp(x: jax.Array, p: dict, *, act,
     B, S, D = x.shape
     T = B * S
     E = p["router_w"].shape[-1]
-    C = expert_capacity(T, E, capacity_factor)
+    # capacity scales with topk (GShard): top-2 dispatches 2T assignments,
+    # so unscaled slots would shed ~(2 - cf)/2 of them — almost all second
+    # choices — even under a perfectly uniform router
+    C = expert_capacity(T, E, capacity_factor * topk)
     xt = x.reshape(T, D)
 
     logits = jnp.dot(xt.astype(jnp.float32), p["router_w"])        # [T, E]

@@ -18,6 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def round_up_multiple(x: int, m: int) -> int:
+    """Smallest multiple of m >= x (the tile/sublane alignment helper shared
+    by the pallas kernels — one definition, not one per kernel file)."""
+    return ((x + m - 1) // m) * m
+
+
 def trunc_normal(key, shape, std: float = 0.02) -> jax.Array:
     """timm-style truncated-normal init (the one shared by every dense and
     MoE weight in models/vit.py and ops/moe.py — keep them identical so a

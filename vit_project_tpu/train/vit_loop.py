@@ -427,7 +427,8 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     vit_cfg = vit_cfg or vvit.ViTConfig(
         patch=16, width=768, layers=12, heads=12,
         image_size=cfg.image_size, num_classes=cfg.num_classes,
-        moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk)
+        moe_experts=cfg.moe_experts, moe_topk=cfg.moe_topk,
+        moe_capacity=cfg.moe_capacity)
 
     proc_id, proc_count = dist.setup_distributed()
     pp = cfg.pp_stages > 1
