@@ -283,6 +283,33 @@ def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
     return jax.checkpoint(_block) if remat else _block
 
 
+def vit_embed(params: dict, images: jax.Array, cfg: ViTConfig, *,
+              input_norm: tuple | None = None,
+              compute_dtype=jnp.float32) -> jax.Array:
+    """The encoder stem: patchify+embed (normalization folded in when
+    `input_norm` is given — see vit_encode), CLS concat, positional add,
+    optional ln_pre. ONE implementation shared by vit_encode and the GPipe
+    pipeline (parallel/pipeline.py _embed) so the two forwards cannot
+    drift."""
+    if input_norm is not None:
+        mean, std = input_norm
+        x = vnn.patch_embed_affine(images, params["patch_w"],
+                                   params["patch_b"], cfg.patch,
+                                   mean=mean, std=std,
+                                   compute_dtype=compute_dtype)
+    else:
+        x = images.astype(compute_dtype)
+        x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos"].astype(x.dtype)
+    if cfg.pre_norm:
+        x = vnn.layer_norm(x, params["ln_pre"]["scale"],
+                           params["ln_pre"]["bias"])
+    return x
+
+
 def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                adapters: dict | None = None, adapter_cfg: dict | None = None,
                dropout_key: jax.Array | None = None, deterministic: bool = True,
@@ -331,21 +358,8 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if seq_shard is not None:
         use_pallas = False
     _seq_parallel_checks(cfg, seq_shard, ring_attn)
-    if input_norm is not None:
-        mean, std = input_norm
-        x = vnn.patch_embed_affine(images, params["patch_w"],
-                                   params["patch_b"], cfg.patch,
-                                   mean=mean, std=std,
-                                   compute_dtype=compute_dtype)
-    else:
-        x = images.astype(compute_dtype)
-        x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
-    B = x.shape[0]
-    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos"].astype(x.dtype)
-    if cfg.pre_norm:
-        x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    x = vit_embed(params, images, cfg, input_norm=input_norm,
+                  compute_dtype=compute_dtype)
     x, ring, s_real = _seq_parallel_enter(x, seq_shard, ring_attn)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,

@@ -99,22 +99,11 @@ def shard_params_pp(mesh, params: dict, n_stages: int | None = None):
 
 def _embed(rest: dict, images, cfg: vvit.ViTConfig, input_norm,
            compute_dtype):
-    """The vit_encode stem (models/vit.py:225-239) on a local batch."""
-    if input_norm is not None:
-        mean, std = input_norm
-        x = vnn.patch_embed_affine(images, rest["patch_w"], rest["patch_b"],
-                                   cfg.patch, mean=mean, std=std,
-                                   compute_dtype=compute_dtype)
-    else:
-        x = images.astype(compute_dtype)
-        x = vnn.patch_embed(x, rest["patch_w"], rest["patch_b"], cfg.patch)
-    B = x.shape[0]
-    cls = jnp.broadcast_to(rest["cls"].astype(x.dtype), (B, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + rest["pos"].astype(x.dtype)
-    if cfg.pre_norm:
-        x = vnn.layer_norm(x, rest["ln_pre"]["scale"], rest["ln_pre"]["bias"])
-    return x
+    """The encoder stem on a local batch — the SAME implementation the dp
+    trunk runs (models/vit.py vit_embed), so the pipelined forward cannot
+    drift from it."""
+    return vvit.vit_embed(rest, images, cfg, input_norm=input_norm,
+                          compute_dtype=compute_dtype)
 
 
 def pipeline_features(rest: dict, blocks_st, images, cfg: vvit.ViTConfig,

@@ -337,7 +337,6 @@ class ViTTrainer:
         tot_loss = jnp.zeros((), jnp.float32)
         tot_correct = jnp.zeros((), jnp.float32)
         tot_n = jnp.zeros((), jnp.float32)
-        nb = 0
         # each process pads its LOCAL shard to its local device count; the
         # assembled global batch is then exactly a multiple of the global
         # device count (padding to the global count here would multiply the
@@ -352,14 +351,14 @@ class ViTTrainer:
             valid_arr = vmesh.shard_batch(self.mesh, valid)
             images_u8, labels = self.shard(images_u8, labels)
             ls, c, n = self._eval_step(params, images_u8, labels, valid_arr)
-            # per-batch average over the GLOBAL valid count (the reference's
-            # per-rank average + unnormalized SUM all_reduce defect is fixed
-            # here: one global sum / one global count, train_vit_sgd.py:193-196)
-            tot_loss = tot_loss + ls / jnp.maximum(n, 1.0)
-            nb += 1
+            # ONE global sum / ONE global count for BOTH metrics (the
+            # reference's per-rank average + unnormalized SUM all_reduce
+            # defect, train_vit_sgd.py:193-196, is fixed here; averaging
+            # per-batch means would overweight a partial final batch)
+            tot_loss = tot_loss + ls
             tot_correct = tot_correct + c
             tot_n = tot_n + n
-        val_loss = float(tot_loss) / max(nb, 1)
+        val_loss = float(tot_loss) / max(float(tot_n), 1.0)
         val_acc = 100.0 * float(tot_correct) / max(float(tot_n), 1.0)
         log(f"Validation - Loss: {val_loss:.4f}, Accuracy: {val_acc:.2f}%")
         return val_loss, val_acc
@@ -400,7 +399,7 @@ class ViTTrainer:
                                      chunk.dtype)])
             embs.append(np.asarray(self._feature_step(
                 params, jnp.asarray(chunk)))[:real])
-        emb = dist.ordered_allgather_strided(np.concatenate(embs), n)[:48]
+        emb = dist.ordered_allgather_strided(np.concatenate(embs), n)
         rho, p, _ = vrsa.behavioral_rsa(jnp.asarray(emb),
                                         jnp.asarray(reference_rdm))
         return float(rho), float(p)
