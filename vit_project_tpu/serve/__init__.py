@@ -1,0 +1,5 @@
+from .engine import (InferenceEngine, clip_hba_engine, vit_classifier_engine,
+                     vit_features_engine)
+
+__all__ = ["InferenceEngine", "vit_classifier_engine", "vit_features_engine",
+           "clip_hba_engine"]
