@@ -95,6 +95,23 @@ class TestMeshServing:
         with pytest.raises(ValueError, match="multiples"):
             _engine(_tiny_vit(), buckets=(4, 8), mesh=mesh)
 
+    def test_tp_sharded_serving_matches_solo(self):
+        """shard_params=shard_vit_params_tp: tensor-parallel serving over a
+        ('data','model') mesh equals the single-device forward."""
+        params = _tiny_vit()
+        mesh = vmesh.make_mesh(n_data=4, n_model=2)
+        solo = _engine(params, buckets=(4, 8))
+        tp = _engine(params, buckets=(4, 8), mesh=mesh,
+                     shard_params=lambda m, p: vmesh.shard_vit_params_tp(
+                         m, p, heads=TINY.heads))
+        imgs = _images(7)
+        np.testing.assert_allclose(tp(imgs), solo(imgs), rtol=1e-5, atol=1e-5)
+
+    def test_shard_params_without_mesh_rejected(self):
+        with pytest.raises(ValueError, match="mesh"):
+            _engine(_tiny_vit(), buckets=(4,),
+                    shard_params=lambda m, p: p)
+
 
 class TestStreaming:
     def test_map_stream_matches_calls_in_order(self):

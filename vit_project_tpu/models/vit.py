@@ -172,8 +172,7 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     # treats heads as dh-lane slices, so NO head transpose is ever
     # materialized in HBM (the relayouts cost more than the kernel saves at
     # these shapes — BENCHLOG.md round 2).
-    w3 = p["qkv_w"].reshape(D, 3, D)
-    b3 = p["qkv_b"].reshape(3, D)
+    quantized = isinstance(p["qkv_w"], dict)  # ops.quant serving checkpoint
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     # Tensor-parallel params store qkv_w head-aligned as [D, 3, D] with the
@@ -182,11 +181,35 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     # feed a pallas_call with no GSPMD partitioning rule — both force
     # re-gathers. The layout is statically visible here, so route TP to the
     # XLA path regardless of what the caller asked for.
-    use_pallas = use_pallas and p["qkv_w"].ndim != 3 and ring is None
-    if use_pallas:
+    use_pallas = (use_pallas and ring is None
+                  and (quantized or p["qkv_w"].ndim != 3))
+    if quantized:
+        # int8 path: ONE packed int8 projection (the quantized weight stays
+        # [D, 3D] — per-output-column scales survive any column grouping),
+        # then the standard attention core on the bf16 output.
+        qkv = vnn.dense(h, p["qkv_w"], p["qkv_b"])  # [B, S, 3D]
+        if use_pallas:
+            # the packed kernel expects q lanes PRESCALED by 1/sqrt(dh)
+            qkv = qkv.at[..., :D].multiply(1.0 / (dh ** 0.5))
+            o = vattn.flash_mha_packed_qkv(qkv, num_heads=heads,
+                                           causal=causal)
+        else:
+            q = qkv[..., :D].reshape(B, S, heads, dh)
+            k = qkv[..., D:2 * D].reshape(B, S, heads, dh)
+            v = qkv[..., 2 * D:].reshape(B, S, heads, dh)
+            if ring is not None:
+                from ..parallel import ring as vring
+                o = vring.ring_attention_bshd(q, k, v, ring[0], ring[1],
+                                              s_valid=ring[2], causal=causal)
+            else:
+                o = vattn.attention_core_bshd(q, k, v, causal=causal,
+                                              use_pallas=False)
+    elif use_pallas:
         # ONE packed projection [D, 3D] (better MXU shape than 3 separate
         # [D, D] dots; one dW matmul in the backward) with the 1/sqrt(dh)
         # score scale folded into the q columns
+        w3 = p["qkv_w"].reshape(D, 3, D)
+        b3 = p["qkv_b"].reshape(3, D)
         scale = 1.0 / (dh ** 0.5)
         colscale = jnp.concatenate([jnp.full((D,), scale, jnp.float32),
                                     jnp.ones(2 * D, jnp.float32)])
@@ -194,6 +217,8 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
                         b3.reshape(3 * D) * colscale)
         o = vattn.flash_mha_packed_qkv(qkv, num_heads=heads, causal=causal)
     else:
+        w3 = p["qkv_w"].reshape(D, 3, D)
+        b3 = p["qkv_b"].reshape(3, D)
         q = (jnp.einsum("bsd,dhe->bshe", h,
                         w3[:, 0].reshape(D, heads, dh).astype(h.dtype))
              + b3[0].reshape(heads, dh).astype(h.dtype))

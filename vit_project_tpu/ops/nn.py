@@ -40,7 +40,14 @@ def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     (and therefore every backward cotangent) in bf16 keeps the backward matmuls
     on the fast MXU path — an f32 cotangent would silently turn them into
     multi-pass f32 matmuls (~3-6x slower).
+
+    Quantized weights ({"q": int8, "s": f32} from ops.quant.quantize_weight)
+    dispatch to the int8 MXU path — every dense call site (blocks, MLP,
+    patch embed, heads) serves quantized checkpoints with no caller changes.
     """
+    if isinstance(w, dict):
+        from . import quant as _quant
+        return _quant.int8_dense(x, w, b)
     y = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -16,6 +16,8 @@ module is the production-serving counterpart a TPU deployment wants:
   memory-bound small-batch regime.
 - dp serving over a `jax.sharding.Mesh`: the batch is sharded on the 'data'
   axis, params replicated; buckets must be multiples of the data-axis size.
+  For models too big for one chip, `shard_params=` swaps replication for a
+  caller-supplied placement (e.g. shard_vit_params_tp for 2-D dp x tp).
 - double-buffered streaming: `map_stream` keeps `depth` dispatched batches in
   flight, so batch k+1's h2d transfer and dispatch overlap batch k's compute
   (the same overlap design as the training loop's device-prefetch feeder).
@@ -61,10 +63,18 @@ class InferenceEngine:
     """
 
     def __init__(self, apply_fn, params, *, buckets=DEFAULT_BUCKETS,
-                 mesh=None, param_dtype=None):
+                 mesh=None, param_dtype=None, shard_params=None):
+        """shard_params: optional (mesh, params) -> sharded tree, replacing
+        the default full replication — e.g. parallel.mesh.shard_vit_params_tp
+        for tensor-parallel serving of models too big for one chip (use a
+        ('data','model') mesh; the batch still shards over 'data' only, and
+        the model forward must take the XLA attention path — see
+        shard_vit_params_tp's docstring)."""
         buckets = tuple(sorted({int(b) for b in buckets}))
         if not buckets or buckets[0] <= 0:
             raise ValueError(f"buckets must be positive ints, got {buckets}")
+        if shard_params is not None and mesh is None:
+            raise ValueError("shard_params requires a mesh")
         if mesh is not None:
             nd = mesh.shape["data"]
             bad = [b for b in buckets if b % nd]
@@ -77,7 +87,8 @@ class InferenceEngine:
         if param_dtype is not None:
             params = _cast_float_leaves(params, param_dtype)
         if mesh is not None:
-            self.params = vmesh.replicate(mesh, params)
+            self.params = (shard_params(mesh, params) if shard_params
+                           else vmesh.replicate(mesh, params))
             self._in_shard = vmesh.data_sharding(mesh)
         else:
             self.params = jax.device_put(params)
@@ -184,7 +195,8 @@ def vit_classifier_engine(params: dict, cfg: vvit.ViTConfig, *,
                           compute_dtype=jnp.bfloat16, use_pallas=None,
                           input_norm=None, buckets=DEFAULT_BUCKETS,
                           mesh=None, param_dtype=None,
-                          quantize: str | None = None) -> InferenceEngine:
+                          quantize: str | None = None,
+                          shard_params=None) -> InferenceEngine:
     """Serve ViT classifier logits [B, num_classes] (models.vit.vit_classify).
 
     quantize="int8" rewrites every block's dense weights to int8
@@ -197,7 +209,8 @@ def vit_classifier_engine(params: dict, cfg: vvit.ViTConfig, *,
                                  input_norm=input_norm,
                                  compute_dtype=compute_dtype)
     return InferenceEngine(apply_fn, params, buckets=buckets, mesh=mesh,
-                           param_dtype=param_dtype)
+                           param_dtype=param_dtype,
+                           shard_params=shard_params)
 
 
 def vit_features_engine(params: dict, cfg: vvit.ViTConfig, *,
@@ -205,7 +218,8 @@ def vit_features_engine(params: dict, cfg: vvit.ViTConfig, *,
                         use_pallas=None, input_norm=None,
                         buckets=DEFAULT_BUCKETS, mesh=None,
                         param_dtype=None,
-                        quantize: str | None = None) -> InferenceEngine:
+                        quantize: str | None = None,
+                        shard_params=None) -> InferenceEngine:
     """Serve pooled ViT embeddings [B, width] (models.vit.forward_features).
     quantize as in vit_classifier_engine."""
     params, param_dtype = _maybe_quantize(params, quantize, param_dtype,
@@ -216,7 +230,8 @@ def vit_features_engine(params: dict, cfg: vvit.ViTConfig, *,
                                      input_norm=input_norm,
                                      compute_dtype=compute_dtype)
     return InferenceEngine(apply_fn, params, buckets=buckets, mesh=mesh,
-                           param_dtype=param_dtype)
+                           param_dtype=param_dtype,
+                           shard_params=shard_params)
 
 
 def clip_hba_engine(clip_params: dict, prompt_tokens, cfg: vclip.CLIPConfig,
@@ -224,7 +239,8 @@ def clip_hba_engine(clip_params: dict, prompt_tokens, cfg: vclip.CLIPConfig,
                     r: int = 8, compute_dtype=jnp.bfloat16, use_pallas=None,
                     use_pos_embedding: bool = True, buckets=DEFAULT_BUCKETS,
                     mesh=None, param_dtype=None,
-                    quantize: str | None = None) -> InferenceEngine:
+                    quantize: str | None = None,
+                    shard_params=None) -> InferenceEngine:
     """Serve CLIP-HBA behavioral scores [B, n_prompts].
 
     When a trained adapter tree is given (trainable+static from
@@ -253,4 +269,5 @@ def clip_hba_engine(clip_params: dict, prompt_tokens, cfg: vclip.CLIPConfig,
                                       use_pos_embedding=use_pos_embedding,
                                       compute_dtype=compute_dtype)
     return InferenceEngine(apply_fn, clip_params, buckets=buckets, mesh=mesh,
-                           param_dtype=param_dtype)
+                           param_dtype=param_dtype,
+                           shard_params=shard_params)
