@@ -1,0 +1,117 @@
+"""Serving CLI: ViT logits CSV / features npy over an image tree, CLIP-HBA
+scores from a torch checkpoint + baked DoRA, and the tokenizer guardrail."""
+import csv
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vit_project_tpu.ckpt import vit_ckpt
+from vit_project_tpu.cli import serve as cli_serve
+from vit_project_tpu.models import vit as vvit
+
+TINY = vvit.VIT_CONFIGS["test-tiny"]
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("imgs")
+    rs = np.random.RandomState(0)
+    for sub in ("a", "b"):
+        os.makedirs(root / sub)
+    for i, sub in enumerate(["a", "a", "b", "b", "b"]):
+        arr = rs.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / sub / f"img{i}.png")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def vit_checkpoint(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt"))
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), TINY)
+    vit_ckpt.save_checkpoint(0, params, {"momentum": None}, {}, 1.0, 1.0,
+                             10.0, out)
+    return os.path.join(out, "checkpoint_epoch_000.pth")
+
+
+def _run(argv):
+    return cli_serve.main(argv)
+
+
+class TestViTServeCLI:
+    def test_logits_csv(self, image_dir, vit_checkpoint, tmp_path):
+        out = str(tmp_path / "preds.csv")
+        rc = _run(["--images", image_dir, "--out", out,
+                   "--model", "test-tiny", "--checkpoint", vit_checkpoint,
+                   "--buckets", "4,8", "--param_dtype", "f32",
+                   "--topk", "3"])
+        assert rc == 0
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 5
+        # deterministic sorted order, class-tree relpaths
+        assert rows[0]["filename"] == os.path.join("a", "img0.png")
+        for r in rows:
+            assert 0 <= int(r["top1_index"]) < TINY.num_classes
+            assert (float(r["top1_score"]) >= float(r["top2_score"])
+                    >= float(r["top3_score"]))
+
+    def test_deterministic_across_runs(self, image_dir, vit_checkpoint,
+                                       tmp_path):
+        outs = []
+        for name in ("p1.csv", "p2.csv"):
+            out = str(tmp_path / name)
+            _run(["--images", image_dir, "--out", out, "--model", "test-tiny",
+                  "--checkpoint", vit_checkpoint, "--buckets", "8",
+                  "--param_dtype", "f32"])
+            outs.append(open(out).read())
+        assert outs[0] == outs[1]
+
+    def test_features_npy(self, image_dir, vit_checkpoint, tmp_path):
+        out = str(tmp_path / "emb.npy")
+        rc = _run(["--images", image_dir, "--out", out, "--model",
+                   "test-tiny", "--checkpoint", vit_checkpoint,
+                   "--mode", "features", "--buckets", "8",
+                   "--param_dtype", "f32"])
+        assert rc == 0
+        emb = np.load(out)
+        assert emb.shape == (5, TINY.width)
+        names = open(str(tmp_path / "emb.filenames.txt")).read().split()
+        assert len(names) == 5
+
+    def test_missing_checkpoint_refused(self, image_dir, tmp_path):
+        with pytest.raises(SystemExit, match="checkpoint"):
+            _run(["--images", image_dir, "--out", str(tmp_path / "x.csv"),
+                  "--model", "test-tiny", "--buckets", "8"])
+
+    def test_empty_dir_refused(self, vit_checkpoint, tmp_path):
+        empty = tmp_path / "empty"
+        os.makedirs(empty)
+        with pytest.raises(SystemExit, match="no images"):
+            _run(["--images", str(empty), "--out", str(tmp_path / "x.csv"),
+                  "--model", "test-tiny", "--checkpoint", vit_checkpoint])
+
+
+class TestClipServeCLI:
+    def test_scores_and_guardrail(self, image_dir, tmp_path, monkeypatch):
+        import torch
+        from test_clip_conversion import TorchCLIP
+        monkeypatch.delenv("CLIP_BPE_PATH", raising=False)
+        torch.manual_seed(0)
+        weights = tmp_path / "tiny_clip.pt"
+        torch.save(TorchCLIP().eval().state_dict(), weights)
+
+        base = ["--images", image_dir, "--clip_weights", str(weights),
+                "--buckets", "8", "--param_dtype", "f32", "--topk", "2"]
+        with pytest.raises(SystemExit, match="BPE vocab"):
+            _run(base + ["--out", str(tmp_path / "refused.csv")])
+
+        out = str(tmp_path / "scores.csv")
+        rc = _run(base + ["--out", out, "--allow_hash_tokenizer"])
+        assert rc == 0
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 5
+        assert all(np.isfinite(float(r["top1_score"])) for r in rows)

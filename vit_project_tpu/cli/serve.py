@@ -1,0 +1,209 @@
+"""Batch-serving CLI: finished checkpoint + image folder -> predictions CSV.
+
+No reference counterpart — the reference's only way to get outputs from a
+trained model is to re-enter its measurement scripts
+(measure_single_epoch_perturbation_effect.py / the CLIP eval loop). This CLI
+is the deployment surface: it loads a finished ViT checkpoint (or CLIP
+weights + trained DoRA adapters, baked), builds a serve.InferenceEngine, and
+streams every image under a directory through it at serving throughput.
+
+  # ViT classifier top-k (or --mode features for pooled embeddings -> .npy)
+  python -m vit_project_tpu.cli.serve --model vit_base_patch16_224 \\
+      --checkpoint runs/checkpoint_epoch_010.pth --images val/ --out preds.csv
+
+  # CLIP-HBA behavioral scores over the 66 SPoSE dimensions
+  python -m vit_project_tpu.cli.serve --clip_weights ViT-L-14.pt \\
+      --dora_checkpoint runs/epoch10_dora.pth --bpe_vocab bpe.txt.gz \\
+      --images things/ --out scores.csv
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def collect_images(root: str) -> list[str]:
+    """Every image file under `root` (a file, a flat dir, or a class tree),
+    sorted for a deterministic output order."""
+    if os.path.isfile(root):
+        return [root]
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.lower().endswith(IMAGE_EXTS):
+                out.append(os.path.join(dirpath, f))
+    out.sort()
+    if not out:
+        raise SystemExit(f"no images found under {root}")
+    return out
+
+
+def batched_reader(paths: list[str], batch: int, size: int, *,
+                   normalize=None):
+    """Decode + Resize/CenterCrop `batch` images at a time (the ViT val
+    transform, data.imagenet.resize_center_crop). normalize=(mean,std)
+    emits f32 normalized batches (the CLIP pipeline contract); None emits
+    uint8 (the ViT engines fold normalization into the patch matmul)."""
+    from PIL import Image
+    from ..data import imagenet as dimg
+    for s in range(0, len(paths), batch):
+        imgs = []
+        for p in paths[s:s + batch]:
+            img = Image.open(p).convert("RGB")
+            imgs.append(np.asarray(dimg.resize_center_crop(img, size),
+                                   np.uint8))
+        arr = np.stack(imgs)
+        if normalize is not None:
+            mean, std = normalize
+            arr = ((arr.astype(np.float32) / 255.0 - np.asarray(mean))
+                   / np.asarray(std)).astype(np.float32)
+        yield arr
+
+
+def build_vit_engine(args):
+    from ..ckpt import vit_ckpt
+    from ..core.configs import IMAGENET_MEAN, IMAGENET_STD
+    from ..models import vit as vvit
+    from ..serve import vit_classifier_engine, vit_features_engine
+    cfg = vvit.VIT_CONFIGS[args.model]
+    if args.checkpoint:
+        params = vit_ckpt.load_checkpoint(args.checkpoint)["params"]
+    elif args.random_init:
+        import jax
+        params = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
+    else:
+        raise SystemExit("pass --checkpoint (or --random_init for smoke "
+                         "tests; random weights serve garbage)")
+    ctor = (vit_features_engine if args.mode == "features"
+            else vit_classifier_engine)
+    eng = ctor(params, cfg, buckets=args.bucket_list,
+               input_norm=(IMAGENET_MEAN, IMAGENET_STD),
+               param_dtype=args.dtype, quantize=args.quantize)
+    return eng, cfg.image_size, None
+
+
+def build_clip_engine(args):
+    from ..adapters import dora as adora
+    from ..ckpt import clip_ckpt
+    from ..core.configs import THINGS_MEAN, THINGS_STD
+    from ..data.spose66 import SPOSE_DIMENSIONS_66
+    from ..models import convert as vconvert
+    from ..models import tokenizer as vtok
+    from ..serve import clip_hba_engine
+    sd = vconvert.load_torch_state_dict(args.clip_weights)
+    params, clip_cfg = vconvert.clip_params_from_state_dict(sd)
+    tok = vtok.default_tokenizer(args.bpe_vocab)
+    if isinstance(tok, vtok.HashTokenizer) and not args.allow_hash_tokenizer:
+        raise SystemExit(
+            "pretrained CLIP weights need the BPE vocab (--bpe_vocab / "
+            "CLIP_BPE_PATH); hash-tokenized prompts serve meaningless "
+            "scores. --allow_hash_tokenizer overrides (testing only).")
+    prompts = vtok.tokenize(
+        SPOSE_DIMENSIONS_66, tokenizer=tok,
+        context_length=clip_cfg.text.context_length,
+        truncate=isinstance(tok, vtok.HashTokenizer))
+    prompts = np.minimum(prompts, clip_cfg.text.vocab_size - 1)
+    trainable = static = None
+    if args.dora_checkpoint:
+        import jax
+        spec = adora.dora_spec(clip_cfg.visual.layers, clip_cfg.text.layers,
+                               args.vision_layers, args.transformer_layers)
+        init_tr, static, _ = adora.apply_dora(
+            params, spec, r=args.rank, alpha=args.dora_alpha,
+            key=jax.random.PRNGKey(0))
+        trainable = clip_ckpt.load_dora_parameters(args.dora_checkpoint,
+                                                   init_tr, spec)
+    eng = clip_hba_engine(params, prompts, clip_cfg, trainable=trainable,
+                          static=static, alpha=args.dora_alpha, r=args.rank,
+                          buckets=args.bucket_list, param_dtype=args.dtype,
+                          quantize=args.quantize)
+    return eng, clip_cfg.visual.image_size, (THINGS_MEAN, THINGS_STD)
+
+
+def write_outputs(paths, outputs, args):
+    names = [os.path.relpath(p, args.images) if os.path.isdir(args.images)
+             else os.path.basename(p) for p in paths]
+    if args.mode == "features":
+        out = args.out if args.out.endswith(".npy") else args.out + ".npy"
+        np.save(out, outputs)
+        with open(os.path.splitext(out)[0] + ".filenames.txt", "w") as f:
+            f.write("\n".join(names) + "\n")
+        return out
+    import csv
+    k = min(args.topk, outputs.shape[1])
+    top = np.argsort(-outputs, axis=1)[:, :k]
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        hdr = ["filename"]
+        for i in range(k):
+            hdr += [f"top{i+1}_index", f"top{i+1}_score"]
+        w.writerow(hdr)
+        for name, row, idxs in zip(names, outputs, top):
+            rec = [name]
+            for i in idxs:
+                rec += [int(i), f"{row[i]:.6f}"]
+            w.writerow(rec)
+    return args.out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--images", required=True,
+                    help="image file, flat dir, or class tree")
+    ap.add_argument("--out", required=True, help="output CSV (.npy for "
+                    "--mode features)")
+    ap.add_argument("--model", default="vit_base_patch16_224")
+    ap.add_argument("--checkpoint", help="ViT full checkpoint (.pth/.orbax)")
+    ap.add_argument("--random_init", action="store_true")
+    ap.add_argument("--clip_weights", help="torch CLIP .pt — switches to "
+                    "CLIP-HBA scoring over the 66 SPoSE prompts")
+    ap.add_argument("--dora_checkpoint", help="trained DoRA adapters to bake")
+    ap.add_argument("--bpe_vocab")
+    ap.add_argument("--allow_hash_tokenizer", action="store_true")
+    ap.add_argument("--vision_layers", type=int, default=2)
+    ap.add_argument("--transformer_layers", type=int, default=1)
+    ap.add_argument("--rank", type=int, default=8)
+    ap.add_argument("--dora_alpha", type=int, default=16)
+    ap.add_argument("--mode", choices=["logits", "features"],
+                    default="logits")
+    ap.add_argument("--topk", type=int, default=5)
+    ap.add_argument("--buckets", default="8,32,128,256")
+    ap.add_argument("--param_dtype", choices=["bf16", "f32"], default="bf16")
+    ap.add_argument("--quantize", choices=["int8"], default=None)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="map_stream in-flight chunks")
+    args = ap.parse_args(argv)
+    args.bucket_list = tuple(int(b) for b in args.buckets.split(","))
+    args.dtype = jnp.bfloat16 if args.param_dtype == "bf16" else None
+
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    if args.clip_weights:
+        eng, size, norm = build_clip_engine(args)
+        if args.mode == "features":
+            raise SystemExit("--mode features is the ViT surface; the CLIP "
+                             "engine serves [B,66] behavioral scores")
+    else:
+        eng, size, norm = build_vit_engine(args)
+
+    paths = collect_images(args.images)
+    batch = args.bucket_list[-1]
+    reader = batched_reader(paths, batch, size, normalize=norm)
+    import time
+    t0 = time.time()
+    outputs = np.concatenate(list(eng.map_stream(reader, depth=args.depth)))
+    dt = time.time() - t0
+    out = write_outputs(paths, outputs, args)
+    print(f"served {len(paths)} images in {dt:.1f}s "
+          f"({len(paths)/dt:.1f} img/s incl. decode) -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
