@@ -132,6 +132,77 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_gradients_padded_causal_match_dense(self):
+        """The ring backward (custom_vjp, lse-recompute) under masking:
+        padded-tail keys AND causal masks, grads vs the dense oracle.
+        Padded QUERY rows receive garbage grads by design — compare only the
+        valid [:17] rows (callers slice the same way)."""
+        from vit_project_tpu.parallel import ring as vring
+        from vit_project_tpu.ops import attention as vattn
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv(S=17)
+        qp, s = vring.pad_seq(q, 8)
+        kp, _ = vring.pad_seq(k, 8)
+        vp, _ = vring.pad_seq(v, 8)
+        for causal in (False, True):
+            g_ref = jax.grad(lambda q, k, v: jnp.sum(
+                vattn.mha_fused_xla_bshd(q, k, v, causal=causal) ** 2),
+                argnums=(0, 1, 2))(q, k, v)
+            g_got = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+                vring.ring_attention_bshd(
+                    q, k, v, mesh, "model", s_valid=17,
+                    causal=causal)[:, :17] ** 2),
+                argnums=(0, 1, 2)))(qp, kp, vp)
+            for a, b in zip(g_ref, g_got):
+                # atol 3e-6: on exactly-zero oracle entries (a causal row's
+                # self-only softmax has ds == 0 analytically) the lse-replay
+                # p = exp(s - lse) is 1 +- 1 ulp, leaving ~1e-6 residue
+                np.testing.assert_allclose(np.asarray(b)[:, :17],
+                                           np.asarray(a),
+                                           rtol=1e-5, atol=3e-6)
+
+    def test_memory_efficient_backward_matches_naive(self):
+        """custom_vjp ring backward == lax.scan linearization (the retained
+        oracle path), bit-for-bit up to f32 reassociation."""
+        from vit_project_tpu.parallel import ring as vring
+        mesh = vmesh.make_mesh(n_data=2, n_model=4)
+        q, k, v = self._qkv()
+
+        def grads(me):
+            return jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+                vring.ring_attention_bshd(
+                    q, k, v, mesh, "model",
+                    memory_efficient=me) ** 2),
+                argnums=(0, 1, 2)))(q, k, v)
+
+        for a, b in zip(grads(False), grads(True)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_memory_efficient_backward_memory_drops(self):
+        """The point of the custom_vjp: backward residuals are O(one block)
+        per device, not the O(full k/v) the scan linearization keeps. At 8
+        sequence shards the compiled grad program's temp allocation must
+        drop by well over the 3x asserted here (measured ~7.7x)."""
+        from vit_project_tpu.parallel import ring as vring
+        mesh = vmesh.make_mesh(n_data=1, n_model=8)
+        rs = np.random.RandomState(0)
+        q, k, v = (jnp.asarray(rs.randn(2, 8 * 256, 4, 64), jnp.float32)
+                   for _ in range(3))
+
+        def temp_bytes(me):
+            f = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+                vring.ring_attention_bshd(
+                    q, k, v, mesh, "model", batch_axis=None,
+                    memory_efficient=me) ** 2), argnums=(0, 1, 2)))
+            ma = f.lower(q, k, v).compile().memory_analysis()
+            if ma is None:
+                pytest.skip("backend exposes no memory_analysis")
+            return ma.temp_size_in_bytes
+
+        naive, efficient = temp_bytes(False), temp_bytes(True)
+        assert efficient * 3 < naive, (efficient, naive)
+
     def test_nondividing_seq_rejected(self):
         from vit_project_tpu.parallel import ring as vring
         mesh = vmesh.make_mesh(n_data=2, n_model=4)
