@@ -280,3 +280,42 @@ class TestNanBatchSkipAggregation:
         rows = read_csv_rows(os.path.join(out, "training_res.csv"))
         assert np.isfinite(float(rows[1][1])), rows[1]   # train loss
         assert np.isfinite(float(rows[1][2]))            # test loss
+
+
+class TestClipPreemption:
+    """Epoch-boundary preemption (core/preempt.py): a SIGTERM-style stop
+    after epoch N leaves the standard per-epoch artifact tree, and the
+    in-place resume reproduces the uninterrupted run bit-exactly."""
+
+    class _Trip:
+        def __init__(self, n):
+            self.n = n
+            self.calls = 0
+
+        def should_stop(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    def test_preempt_then_resume_bitexact(self, things_fixture, tmp_path):
+        ref = base_config(things_fixture, str(tmp_path / "ref"), epochs=3)
+        clip_loop.run_behavioral_training(ref)
+        ref_rows = read_csv_rows(ref["training_res_path"])
+
+        out = str(tmp_path / "pre")
+        cfg = base_config(things_fixture, out, epochs=3)
+        g = self._Trip(1)  # polled once per epoch -> stop after epoch 1
+        res = clip_loop.run_behavioral_training(cfg, preempt_guard=g)
+        assert res["preempted"] is True
+        assert g.stopped_at_epoch == 1
+        rows = read_csv_rows(cfg["training_res_path"])
+        assert [r[0] for r in rows[1:]] == ["1"]  # only the finished epoch
+
+        # in-place resume (the lengths-CLI key pattern) finishes the run
+        rcfg = base_config(things_fixture, out, epochs=3,
+                           resume_from_epoch=1)
+        rcfg["previous_training_res_path"] = rcfg["training_res_path"]
+        rcfg["resume_dora_parameters_path"] = os.path.join(out, "dora_params")
+        rcfg["resume_random_state_path"] = os.path.join(out, "random_states")
+        res2 = clip_loop.run_behavioral_training(rcfg)
+        assert res2["preempted"] is False
+        assert read_csv_rows(rcfg["training_res_path"]) == ref_rows

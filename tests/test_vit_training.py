@@ -418,3 +418,100 @@ class TestShardedCheckpoint:
         pth = os.path.join(out, "checkpoint_epoch_004.pth")
         os.utime(pth, (4_000_000_0, 4_000_000_0))
         assert vit_ckpt.epoch_checkpoint(out, 4) == pth
+
+
+# ---------------------------------------------------------------- preemption --
+
+class _TripAfter:
+    """Duck-typed preemption guard: requests a stop at the Nth batch-boundary
+    poll (run_vit_training wraps injected guards in a nullcontext, so no
+    signal handlers are involved)."""
+
+    def __init__(self, n):
+        self.n = n
+        self.calls = 0
+        self.mid_state = None
+
+    def should_stop(self):
+        self.calls += 1
+        return self.calls >= self.n
+
+
+class TestPreemption:
+    def test_sigterm_guard_unit(self):
+        """SIGTERM sets the flag inside the scope; handlers are restored."""
+        import signal as sig
+        from vit_project_tpu.core.preempt import PreemptionGuard
+        g = PreemptionGuard()
+        prev = sig.getsignal(sig.SIGTERM)
+        with g:
+            assert not g.requested and not g.should_stop()
+            os.kill(os.getpid(), sig.SIGTERM)
+            assert g.requested and g.should_stop()
+            assert g.signaled_by == sig.SIGTERM
+        assert sig.getsignal(sig.SIGTERM) is prev
+        # programmatic request (out-of-band preemption notice)
+        g2 = PreemptionGuard()
+        g2.request()
+        assert g2.should_stop()
+
+    def test_preempt_mid_epoch_resume_bitexact(self, imagenet_fixture,
+                                               tmp_path):
+        """A run preempted mid-epoch (with and without a prior full
+        checkpoint) resumes from checkpoint_preempt.pth and reproduces the
+        uninterrupted run bit-exactly: same metrics CSV, same final params."""
+        from vit_project_tpu.ckpt import serialization as ser
+        ref_out = str(tmp_path / "ref")
+        run_vit_training(tiny_cfg(imagenet_fixture, ref_out, epochs=2),
+                         vit_cfg=TINY)
+        ref_df = pd.read_csv(os.path.join(ref_out, "training_metrics.csv"))
+        ref_final = ser.load(
+            os.path.join(ref_out, "checkpoint_epoch_001.pth"))
+
+        # the fixture epoch is 6 batches (48 imgs / batch 8, drop_last).
+        # trip=1: preempt at epoch 0 batch 0 (NO full checkpoint exists yet);
+        # trip=7: preempt at epoch 1 batch 0 (resumes past a full checkpoint)
+        for trip, p_epoch, csv_rows_before in ((1, 0, []), (7, 1, [0])):
+            out = str(tmp_path / f"pre{trip}")
+            res = run_vit_training(
+                tiny_cfg(imagenet_fixture, out, epochs=2), vit_cfg=TINY,
+                preempt_guard=_TripAfter(trip))
+            assert res.get("preempted") is True
+            ppath = os.path.join(out, "checkpoint_preempt.pth")
+            assert os.path.exists(ppath)
+            pc = ser.load(ppath)
+            assert pc["epoch"] == p_epoch
+            assert pc["batch_idx"] == 1  # stopped after one trained batch
+            csv = os.path.join(out, "training_metrics.csv")
+            got_rows = (list(pd.read_csv(csv)["epoch"])
+                        if os.path.exists(csv) else [])
+            assert got_rows == csv_rows_before  # no row for the torn epoch
+
+            # second invocation: resumes INSIDE the epoch and finishes
+            res2 = run_vit_training(
+                tiny_cfg(imagenet_fixture, out, epochs=2), vit_cfg=TINY)
+            assert not res2.get("preempted")
+            assert not os.path.exists(ppath)  # superseded and removed
+            pd.testing.assert_frame_equal(pd.read_csv(csv), ref_df)
+            final = ser.load(os.path.join(out, "checkpoint_epoch_001.pth"))
+            for a, b in zip(jax.tree_util.tree_leaves(ref_final["params"]),
+                            jax.tree_util.tree_leaves(final["params"])):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stale_preempt_checkpoint_removed(self, imagenet_fixture,
+                                              tmp_path):
+        """A preempt checkpoint older than the latest full checkpoint is
+        dead state: resume ignores and deletes it."""
+        from vit_project_tpu.ckpt import serialization as ser
+        out = str(tmp_path / "run")
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=2),
+                         vit_cfg=TINY)
+        ppath = os.path.join(out, "checkpoint_preempt.pth")
+        ser.save(ppath, {"epoch": 0, "batch_idx": 1, "total_loss": 0.0,
+                         "num_batches": 1, "params": {}, "opt_state": {},
+                         "scheduler_state": {}})
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=3),
+                         vit_cfg=TINY)
+        assert not os.path.exists(ppath)
+        df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        assert list(df["epoch"]) == [0, 1, 2]

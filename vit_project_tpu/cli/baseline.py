@@ -113,7 +113,10 @@ def main(argv=None):
         "nod_img_dir": args.nod_img_dir,
         "nod_dump_dir": f"{out}/nod_inference_results",
     }
-    run_behavioral_training(config)
+    result = run_behavioral_training(config)
+    if result.get("preempted"):
+        import sys
+        sys.exit(143)  # SIGTERM convention: interrupted, resume in place
 
 
 if __name__ == "__main__":

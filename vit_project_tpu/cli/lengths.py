@@ -344,7 +344,12 @@ def main(argv=None):
                             "baseline epoch.")
 
     try:
-        run_behavioral_training(config)
+        summary = run_behavioral_training(config)
+        if summary.get("preempted"):
+            logger.info("TRAINING RUN PREEMPTED (artifacts saved; re-invoke "
+                        "to resume in place)")
+            import sys
+            sys.exit(143)
         logger.info("TRAINING RUN COMPLETED SUCCESSFULLY")
         logger.info(f"Results saved to: {out_dir}")
     except Exception as e:

@@ -390,7 +390,14 @@ def main(argv=None):
             run_dir, f"random_states_run{training_run}")
         config["resume_from_epoch"] = training_run - 1
         try:
-            run_behavioral_training(dict(config))
+            summary = run_behavioral_training(dict(config))
+            if summary.get("preempted"):
+                # the interrupted run resumes from its own artifacts; the
+                # untouched forks re-dispatch on the next invocation
+                logger.info(f"  PREEMPTED during training run {training_run};"
+                            f" stopping the sweep (re-invoke to resume)")
+                import sys
+                sys.exit(143)
             successful_runs += 1
             _report_done([training_run])
             logger.info(f"  Training run {training_run} completed successfully")

@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expert parallelism: shard the MoE expert FFNs over "
                         "N devices of a ('data','expert') mesh (needs "
                         "--moe_experts); 1 = off")
+    p.add_argument("--no_preempt_save", action="store_true",
+                   help="disable the SIGTERM mid-epoch checkpoint "
+                        "(core/preempt.py); by default a preemption notice "
+                        "saves checkpoint_preempt.pth and exits 143, and "
+                        "the next invocation resumes inside the epoch")
     return p
 
 
@@ -124,8 +129,14 @@ def main(argv=None):
         zero1=args.zero1, host_prefetch=args.host_prefetch,
         sp_devices=args.sp_devices, sp_ring=args.sp_ring,
         ep_devices=args.ep_devices, moe_experts=args.moe_experts,
-        moe_topk=args.moe_topk)
-    run_vit_training(cfg, vit_cfg=vit_cfg)
+        moe_topk=args.moe_topk, preempt_save=not args.no_preempt_save)
+    result = run_vit_training(cfg, vit_cfg=vit_cfg)
+    if result.get("preempted"):
+        # conventional SIGTERM exit status: orchestration layers (and the
+        # reference's SLURM habit of requeueing nonzero exits) see the run
+        # as interrupted, not finished
+        import sys
+        sys.exit(143)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,11 @@ class ClipRunConfig:
                                            # checkpoint trees (core/hostcopy);
                                            # measured -19% steady per-epoch
                                            # on-chip (BENCHLOG round 3)
+    preempt_save: bool = True              # stop cleanly at the next epoch
+                                           # boundary on SIGTERM (the epoch
+                                           # is ONE scan dispatch; per-epoch
+                                           # checkpoints make the stop
+                                           # exactly resumable in place)
 
     # perturbation
     perturb_type: str = "baseline"         # random_target | label_shuffle |
@@ -179,6 +184,10 @@ class ViTTrainConfig:
     host_prefetch: bool = False  # async d2h of the per-epoch checkpoint
                                  # trees (core/hostcopy.py); opt-in until
                                  # measured on-chip
+    preempt_save: bool = True  # catch SIGTERM mid-epoch, write
+                               # checkpoint_preempt.pth, exit resumable
+                               # (core/preempt.py; single-process — pods
+                               # fall back to the per-epoch cadence)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

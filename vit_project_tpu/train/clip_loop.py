@@ -528,9 +528,16 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 previous_training_res_path: str | None = None,
                 dump_dir: str | None = None, inference_names=None,
                 nod_images=None, nod_names=None, nod_dump_dir=None,
-                host_prefetch: bool = False):
+                host_prefetch: bool = False, preempt_guard=None):
     """The per-epoch loop (reference train_model :782-1063). Returns the final
-    (trainable, opt_state, last_epoch0)."""
+    (trainable, opt_state, last_epoch0).
+
+    `preempt_guard` (core/preempt.py) is polled at EPOCH boundaries — a
+    CLIP epoch is one whole-epoch scan dispatch (~seconds), so an epoch
+    boundary is always inside a preemption notice window; the per-epoch
+    artifacts written just above the poll make the stop exactly resumable
+    (resume_from_epoch = the stopped epoch). Sets
+    `preempt_guard.stopped_at_epoch` when it stops."""
     log = logger.info if logger else print
     best_test_loss = 500000.0  # reference initializes to 500000 (ref :790)
     epochs_no_improve = 0
@@ -691,6 +698,12 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         if epochs_no_improve == early_stopping_patience:
             log(f"Early stopping triggered at epoch {epoch + 1}")
             break
+        if preempt_guard is not None and preempt_guard.should_stop():
+            log(f"Preemption requested - stopped cleanly after epoch "
+                f"{epoch + 1} (its checkpoints are saved; resume with "
+                f"resume_from_epoch={epoch + 1})")
+            preempt_guard.stopped_at_epoch = epoch + 1
+            break
 
     return trainable, opt_state, last_epoch0
 
@@ -832,11 +845,17 @@ def build_run_assets(cfg: ClipRunConfig, logger):
         acfg=acfg)
 
 
-def run_behavioral_training(config) -> dict:
+def run_behavioral_training(config, preempt_guard=None) -> dict:
     """Config-dict entry point (reference run_behavioral_training :1066-1227).
 
     Accepts the reference's dict config surface or a ClipRunConfig. Returns a
-    summary dict {last_epoch0, training_res_path, ...}.
+    summary dict {last_epoch0, training_res_path, preempted, ...}.
+
+    With cfg.preempt_save (default) a SIGTERM stops the run cleanly at the
+    next epoch boundary and the summary carries `preempted=True` — CLIs
+    translate that into exit 143 so orchestration re-queues instead of
+    treating the run as finished. `preempt_guard` injects a prebuilt guard
+    (the sweep driver shares one across runs; tests use stubs).
     """
     cfg = (config if isinstance(config, ClipRunConfig)
            else ClipRunConfig.from_dict(config))
@@ -977,24 +996,35 @@ def run_behavioral_training(config) -> dict:
             clip_cfg.visual.image_size)
         logger.info(f"Loaded NOD inference set: {len(nod_names)} images")
 
-    trainable, opt_state, last_epoch0 = train_model(
-        trainer, trainable, opt_state,
-        train_images=train_images, train_targets=train_targets,
-        test_images=test_images, test_targets=test_targets,
-        inference_images=inference.images_u8, reference_rdm=reference_rdm,
-        shuffler=shuffler, epochs=cfg.epochs, batch_size=cfg.batch_size,
-        training_res_path=cfg.training_res_path, training_run=training_run,
-        perturb_length=cfg.perturb_length, perturb_seed=cfg.perturb_seed,
-        perturb_type=cfg.perturb_type, logger=logger,
-        early_stopping_patience=cfg.early_stopping_patience,
-        dora_parameters_path=cfg.dora_parameters_path,
-        random_state_path=cfg.random_state_path,
-        dropout_seed=cfg.random_seed, data_seed=data_seed,
-        resume_from_epoch=cfg.resume_from_epoch,
-        previous_training_res_path=cfg.previous_training_res_path,
-        dump_dir=dump_dir, inference_names=inference.names,
-        nod_images=nod_images, nod_names=nod_names,
-        nod_dump_dir=cfg.nod_dump_dir, host_prefetch=cfg.host_prefetch)
+    guard = preempt_guard
+    own_guard = False
+    if guard is None and getattr(cfg, "preempt_save", True):
+        from ..core.preempt import PreemptionGuard
+        guard = PreemptionGuard()
+        own_guard = True  # install/restore signal handlers only for a
+        #                   guard this run owns (injected guards may be
+        #                   shared across sweep runs or be test stubs)
+    import contextlib
+    guard_cm = guard if own_guard else contextlib.nullcontext()
+    with guard_cm:
+        trainable, opt_state, last_epoch0 = train_model(
+            trainer, trainable, opt_state, preempt_guard=guard,
+            train_images=train_images, train_targets=train_targets,
+            test_images=test_images, test_targets=test_targets,
+            inference_images=inference.images_u8, reference_rdm=reference_rdm,
+            shuffler=shuffler, epochs=cfg.epochs, batch_size=cfg.batch_size,
+            training_res_path=cfg.training_res_path, training_run=training_run,
+            perturb_length=cfg.perturb_length, perturb_seed=cfg.perturb_seed,
+            perturb_type=cfg.perturb_type, logger=logger,
+            early_stopping_patience=cfg.early_stopping_patience,
+            dora_parameters_path=cfg.dora_parameters_path,
+            random_state_path=cfg.random_state_path,
+            dropout_seed=cfg.random_seed, data_seed=data_seed,
+            resume_from_epoch=cfg.resume_from_epoch,
+            previous_training_res_path=cfg.previous_training_res_path,
+            dump_dir=dump_dir, inference_names=inference.names,
+            nod_images=nod_images, nod_names=nod_names,
+            nod_dump_dir=cfg.nod_dump_dir, host_prefetch=cfg.host_prefetch)
 
     if cfg.nod_dump_dir and nod_names is not None \
             and dist.is_primary():  # reads proc-0's dumps; one writer
@@ -1011,4 +1041,6 @@ def run_behavioral_training(config) -> dict:
 
     return {"last_epoch0": last_epoch0,
             "training_res_path": cfg.training_res_path,
-            "trainable": trainable}
+            "trainable": trainable,
+            "preempted": bool(getattr(guard, "stopped_at_epoch", None)
+                              if guard is not None else False)}

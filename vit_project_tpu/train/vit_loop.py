@@ -16,7 +16,9 @@ TPU-native differences (SURVEY.md sections 2.2, 0-defects):
 """
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 import time
 
 import jax
@@ -295,24 +297,42 @@ class ViTTrainer:
     def train_one_epoch(self, params, momentum_buf, loader, epoch: int,
                         lr: float, *, perturbation_type: str | None = None,
                         epsilon: float = 0.1, perturb_seed: int = 42,
-                        log_every: int = 100, logger=None) -> tuple:
+                        log_every: int = 100, logger=None,
+                        guard=None, start_batch: int = 0,
+                        loss_carry: tuple | None = None) -> tuple:
+        """One epoch. `guard` (core/preempt.py) is polled at batch
+        boundaries; on a stop request the loop finishes its current step
+        and returns early with `guard.mid_state` set to the loop position
+        (batch index to resume at + the running loss accumulator). A later
+        call with `start_batch`/`loss_carry` from that state replays the
+        deterministic loader past the trained prefix and continues the
+        epoch bit-exactly (per-batch perturb keys depend only on
+        (seed, epoch, batch_idx))."""
         log = logger.info if logger else print
         step = self._make_train_step(perturbation_type)
         # Loss accumulates ON DEVICE; the host only syncs every `log_every`
         # steps (matching the reference's per-100-batch print cadence,
         # train_vit_sgd.py:146-150). A per-step float(loss) would force a
         # device round-trip per batch (~4-5 ms each on this backend).
-        total_loss = jnp.zeros((), jnp.float32)
-        num_batches = 0
+        carry_l, carry_n = loss_carry if loss_carry else (0.0, 0)
+        total_loss = jnp.asarray(carry_l, jnp.float32)
+        num_batches = carry_n
         t0 = time.time()
         n_batches = len(loader)
+        raw = loader.epoch(epoch)
+        if start_batch:
+            # mid-epoch resume: decode-and-discard the already-trained
+            # prefix BEFORE the device-placement stage (the skip costs host
+            # decode only, no h2d transfers)
+            raw = (b for i, b in enumerate(raw) if i >= start_batch)
         depth = getattr(self.cfg, "device_prefetch", 2)
         if depth > 0:
-            batches = _device_prefetch(loader.epoch(epoch), self.shard,
-                                       depth)
+            batches = _device_prefetch(raw, self.shard, depth)
         else:
-            batches = (self.shard(i, l) for i, l in loader.epoch(epoch))
-        for batch_idx, (images_u8, labels) in enumerate(batches):
+            batches = (self.shard(i, l) for i, l in raw)
+        preempted = False
+        for off, (images_u8, labels) in enumerate(batches):
+            batch_idx = start_batch + off
             pkey = injectors.batch_perturb_key(perturb_seed, epoch, batch_idx)
             params, momentum_buf, loss = step(params, momentum_buf, images_u8,
                                               labels, lr, pkey, epsilon)
@@ -321,7 +341,20 @@ class ViTTrainer:
             if batch_idx % log_every == 0:
                 log(f"  Epoch {epoch} [{batch_idx:4d}/{n_batches}] "
                     f"Loss: {float(loss):.4f} LR: {lr:.6f}")
+            if guard is not None and guard.should_stop():
+                guard.mid_state = {
+                    "epoch": epoch,
+                    "batch_idx": batch_idx + 1,
+                    "total_loss": float(total_loss),
+                    "num_batches": num_batches,
+                }
+                log(f"  Preemption requested - stopping epoch {epoch} after "
+                    f"batch {batch_idx} ({num_batches}/{n_batches} done)")
+                preempted = True
+                break
         avg_loss = float(total_loss) / max(num_batches, 1)
+        if preempted:
+            return params, momentum_buf, avg_loss
         # loader.batch_size is the per-process shard; report GLOBAL throughput
         n_images = num_batches * loader.batch_size * jax.process_count()
         dt = time.time() - t0
@@ -406,10 +439,20 @@ class ViTTrainer:
 
 
 def run_vit_training(cfg: ViTTrainConfig, logger=None,
-                     vit_cfg: vvit.ViTConfig | None = None) -> dict:
+                     vit_cfg: vvit.ViTConfig | None = None,
+                     preempt_guard=None) -> dict:
     """Full ViT-B/16 ImageNet training with auto-resume (reference main,
-    train_vit_sgd.py:246-371)."""
+    train_vit_sgd.py:246-371).
+
+    Preemption (cfg.preempt_save, beyond-reference): a SIGTERM mid-epoch
+    checkpoints {params, momentum, scheduler, epoch, batch_idx, running
+    loss} to checkpoint_preempt.pth and returns {"preempted": True}; the
+    next invocation resumes INSIDE that epoch and reproduces the
+    uninterrupted run bit-exactly. `preempt_guard` injects a prebuilt
+    core.preempt.PreemptionGuard (tests use a stub that trips after N
+    batches)."""
     from ..ckpt import vit_ckpt
+    from ..ckpt import serialization as ser
     from ..train.schedules import CosineAnnealingLRWithWarmup
     from ..parallel import dist
 
@@ -504,6 +547,30 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         start_epoch = ckpt["epoch"] + 1
         log(f"Resumed from epoch {ckpt['epoch']}")
 
+    # mid-epoch preemption checkpoint: valid only if it continues exactly
+    # the NEXT epoch (start_epoch); anything older is superseded by the
+    # per-epoch checkpoint above and is deleted, anything newer means a
+    # torn tree (an epoch checkpoint vanished) and is ignored loudly
+    mid_resume = None
+    preempt_path = os.path.join(cfg.output_dir, "checkpoint_preempt.pth")
+    if proc_count == 1 and os.path.exists(preempt_path):
+        pc = ser.load(preempt_path)
+        if pc["epoch"] == start_epoch:
+            params = jax.tree_util.tree_map(jnp.asarray, pc["params"])
+            momentum_buf = jax.tree_util.tree_map(jnp.asarray,
+                                                  pc["opt_state"])
+            scheduler.load_state_dict(pc["scheduler_state"])
+            mid_resume = {k: pc[k] for k in (
+                "epoch", "batch_idx", "total_loss", "num_batches")}
+            log(f"Resuming mid-epoch {pc['epoch']} at batch "
+                f"{pc['batch_idx']} (preemption checkpoint)")
+            del pc  # drop the host param trees (device copies made above)
+        elif pc["epoch"] < start_epoch:
+            os.unlink(preempt_path)
+        else:
+            log(f"WARNING: ignoring checkpoint_preempt.pth for epoch "
+                f"{pc['epoch']} > next epoch {start_epoch} (torn tree?)")
+
     if pp:
         from ..parallel import pipeline as vpp
         # (rest, blocks_st) stage-stacked state; checkpoints stay in the
@@ -521,32 +588,75 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                         else vmesh.replicate(mesh, momentum_buf))
 
     from ..core.profiling import trace
-    for epoch in range(start_epoch, cfg.epochs):
-        log(f"Epoch {epoch}/{cfg.epochs - 1}")
-        lr = scheduler.peek()
-        with trace(cfg.profile_dir if epoch == start_epoch else None):
-            params, momentum_buf, train_loss = trainer.train_one_epoch(
-                params, momentum_buf, train_loader, epoch, lr, logger=logger)
-        scheduler.step()
-        if cfg.host_prefetch and not pp:
-            # start the checkpoint trees' d2h now so the transfer overlaps
-            # the validation dispatches below (core/hostcopy.py; pp excluded
-            # — its save tree is rebuilt by unstage_blocks after validate)
-            hostcopy.prefetch_to_host(params, momentum_buf)
-        val_loss, val_acc = trainer.validate(params, val_loader, logger=logger)
-        # EVERY process calls save_checkpoint: the pod-sharded orbax writer is
-        # a collective (each host writes its own shards + global barrier) and
-        # would deadlock behind a primary-only gate; the single-host pickle
-        # path gates non-primary writes internally.
-        if pp:  # persist in the flat solo layout (dp runs can resume it)
-            save_p = vpp.unstage_blocks(*params)
-            save_m = vpp.unstage_blocks(*momentum_buf)
-        else:
-            save_p, save_m = params, momentum_buf
-        vit_ckpt.save_checkpoint(epoch, save_p, save_m,
-                                 scheduler.state_dict(), train_loss,
-                                 val_loss, val_acc, cfg.output_dir,
-                                 logger=logger if dist.is_primary() else None)
+    from ..core.preempt import PreemptionGuard
+    guard = preempt_guard
+    if guard is None and cfg.preempt_save:
+        guard = PreemptionGuard()
+    guard_cm = guard if (guard is not None and preempt_guard is None) \
+        else contextlib.nullcontext()
+    with guard_cm:
+        for epoch in range(start_epoch, cfg.epochs):
+            log(f"Epoch {epoch}/{cfg.epochs - 1}")
+            lr = scheduler.peek()
+            mid_kw = {}
+            if mid_resume is not None and epoch == start_epoch:
+                mid_kw = dict(start_batch=mid_resume["batch_idx"],
+                              loss_carry=(mid_resume["total_loss"],
+                                          mid_resume["num_batches"]))
+            with trace(cfg.profile_dir if epoch == start_epoch else None):
+                params, momentum_buf, train_loss = trainer.train_one_epoch(
+                    params, momentum_buf, train_loader, epoch, lr,
+                    logger=logger, guard=guard, **mid_kw)
+            if guard is not None and getattr(guard, "mid_state", None):
+                # the scheduler state saved here is the epoch-START state
+                # (step() has not run), so the resume's peek() re-derives
+                # the same lr this partial epoch trained with
+                ms = guard.mid_state
+                if pp:
+                    save_p = vpp.unstage_blocks(*params)
+                    save_m = vpp.unstage_blocks(*momentum_buf)
+                else:
+                    save_p, save_m = params, momentum_buf
+                ser.save(preempt_path, {
+                    "epoch": ms["epoch"], "batch_idx": ms["batch_idx"],
+                    "total_loss": ms["total_loss"],
+                    "num_batches": ms["num_batches"],
+                    "params": save_p, "opt_state": save_m,
+                    "scheduler_state": scheduler.state_dict()})
+                log(f"Preempted: saved {preempt_path} (epoch {ms['epoch']}, "
+                    f"next batch {ms['batch_idx']}); exiting resumable")
+                return {"preempted": True, "params": params,
+                        "momentum_buf": momentum_buf, "scheduler": scheduler}
+            scheduler.step()
+            if cfg.host_prefetch and not pp:
+                # start the checkpoint trees' d2h now so the transfer
+                # overlaps the validation dispatches below (core/hostcopy.py;
+                # pp excluded — its save tree is rebuilt by unstage_blocks
+                # after validate)
+                hostcopy.prefetch_to_host(params, momentum_buf)
+            val_loss, val_acc = trainer.validate(params, val_loader,
+                                                 logger=logger)
+            # EVERY process calls save_checkpoint: the pod-sharded orbax
+            # writer is a collective (each host writes its own shards +
+            # global barrier) and would deadlock behind a primary-only gate;
+            # the single-host pickle path gates non-primary writes
+            # internally.
+            if pp:  # persist in the flat solo layout (dp runs can resume it)
+                save_p = vpp.unstage_blocks(*params)
+                save_m = vpp.unstage_blocks(*momentum_buf)
+            else:
+                save_p, save_m = params, momentum_buf
+            vit_ckpt.save_checkpoint(
+                epoch, save_p, save_m, scheduler.state_dict(), train_loss,
+                val_loss, val_acc, cfg.output_dir,
+                logger=logger if dist.is_primary() else None)
+            if mid_resume is not None and epoch == start_epoch:
+                # this epoch completed past its preemption point; the
+                # mid-epoch checkpoint is superseded by the full one above
+                try:
+                    os.unlink(preempt_path)
+                except OSError:
+                    pass
     log("Training Complete!")
     return {"params": params, "momentum_buf": momentum_buf,
             "scheduler": scheduler}
