@@ -1,0 +1,181 @@
+"""Online-serving tests: MicroBatcher coalescing/correctness and the HTTP
+daemon (predict round-trip vs the direct engine, top-k JSON, healthz/stats,
+malformed-request handling) — tiny ViT engine on the CPU mesh."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_project_tpu.models import vit as vvit
+from vit_project_tpu.serve import MicroBatcher, ServingDaemon, \
+    vit_classifier_engine
+
+TINY = vvit.VIT_CONFIGS["test-tiny"]
+
+
+def _engine(**kw):
+    params = vvit.init_vit_params(jax.random.PRNGKey(0), TINY)
+    kw.setdefault("compute_dtype", jnp.float32)
+    kw.setdefault("use_pallas", False)
+    kw.setdefault("buckets", (4, 8))
+    return vit_classifier_engine(params, TINY, **kw)
+
+
+def _images(n, seed=0):
+    rs = np.random.RandomState(seed)
+    return rs.rand(n, TINY.image_size, TINY.image_size, 3).astype(np.float32)
+
+
+class TestMicroBatcher:
+    def test_concurrent_submits_correct_per_request(self):
+        """Results are scattered back to the right caller regardless of how
+        the window coalesced them."""
+        eng = _engine()
+        mb = MicroBatcher(eng, max_delay_ms=30.0)
+        try:
+            reqs = [_images(n, seed=n) for n in (1, 2, 3, 1)]
+            futs = [mb.submit(r) for r in reqs]
+            for r, f in zip(reqs, futs):
+                got = f.result(timeout=60)
+                want = eng(r)
+                np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+                assert got.shape == (len(r), TINY.num_classes)
+        finally:
+            mb.close()
+
+    def test_coalescing_reduces_dispatches(self):
+        """Requests submitted inside one window share an engine dispatch."""
+        eng = _engine()
+        eng(_images(4))  # warm the bucket compile so the window isn't eaten
+        mb = MicroBatcher(eng, max_delay_ms=500.0)
+        try:
+            futs = [mb.submit(_images(1, seed=i)) for i in range(4)]
+            for f in futs:
+                f.result(timeout=60)
+            assert mb.dispatches < 4  # 4 singles did NOT dispatch 4 times
+            assert mb.images == 4
+        finally:
+            mb.close()
+
+    def test_error_delivered_not_fatal(self):
+        """A bad request fails ITS future; the dispatcher keeps serving."""
+        eng = _engine()
+        mb = MicroBatcher(eng, max_delay_ms=1.0)
+        try:
+            bad = mb.submit(np.zeros((2, 7, 7, 3), np.float32))  # wrong HW
+            with pytest.raises(Exception):
+                bad.result(timeout=60)
+            good = mb.submit(_images(2))
+            assert good.result(timeout=60).shape == (2, TINY.num_classes)
+        finally:
+            mb.close()
+
+    def test_close_rejects_new_submits(self):
+        mb = MicroBatcher(_engine(), max_delay_ms=1.0)
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.submit(_images(1))
+
+
+def _post_npy(port, arr, query=""):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/predict{query}", data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    return urllib.request.urlopen(req, timeout=60)
+
+
+class TestHttpDaemon:
+    @pytest.fixture(scope="class")
+    def daemon(self):
+        eng = _engine()
+        d = ServingDaemon(eng, image_shape=(TINY.image_size, TINY.image_size,
+                                            3), port=0, max_delay_ms=2.0)
+        d.start()
+        yield d, eng
+        d.shutdown()
+
+    def test_predict_roundtrip_matches_engine(self, daemon):
+        d, eng = daemon
+        imgs = _images(3)
+        resp = _post_npy(d.port, imgs)
+        assert resp.headers["Content-Type"] == "application/x-npy"
+        got = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(got, eng(imgs), rtol=1e-6, atol=1e-6)
+
+    def test_single_unbatched_image(self, daemon):
+        d, eng = daemon
+        img = _images(1)[0]
+        got = np.load(io.BytesIO(_post_npy(d.port, img).read()))
+        assert got.shape == (1, TINY.num_classes)
+        np.testing.assert_allclose(got, eng(img[None]), rtol=1e-6, atol=1e-6)
+
+    def test_topk_json(self, daemon):
+        d, eng = daemon
+        imgs = _images(2)
+        resp = _post_npy(d.port, imgs, query="?topk=2")
+        body = json.loads(resp.read())
+        want = eng(imgs)
+        for row, preds in zip(want, body["predictions"]):
+            assert len(preds) == 2
+            assert preds[0]["index"] == int(np.argmax(row))
+            assert preds[0]["score"] >= preds[1]["score"]
+
+    def test_concurrent_clients(self, daemon):
+        d, eng = daemon
+        results = {}
+
+        def client(i):
+            imgs = _images(2, seed=100 + i)
+            out = np.load(io.BytesIO(_post_npy(d.port, imgs).read()))
+            results[i] = (imgs, out)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(4)]
+        [t.start() for t in threads]
+        [t.join(timeout=120) for t in threads]
+        assert len(results) == 4
+        for imgs, out in results.values():
+            np.testing.assert_allclose(out, eng(imgs), rtol=1e-6, atol=1e-6)
+
+    def test_healthz_and_stats(self, daemon):
+        d, eng = daemon
+        h = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{d.port}/v1/healthz", timeout=30).read())
+        assert h["status"] == "ok"
+        assert h["buckets"] == list(eng.buckets)
+        _post_npy(d.port, _images(2))
+        s = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{d.port}/v1/stats", timeout=30).read())
+        assert s["requests"] >= 1 and s["images"] >= 2
+        assert s["latency_ms"]["p50"] is not None
+
+    def test_malformed_body_400(self, daemon):
+        d, _ = daemon
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{d.port}/v1/predict", data=b"not npy")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_wrong_shape_400(self, daemon):
+        d, _ = daemon
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npy(d.port, np.zeros((2, 7, 7, 3), np.float32))
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "expected" in body["error"]
+
+    def test_unknown_route_404(self, daemon):
+        d, _ = daemon
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{d.port}/v1/nope", timeout=30)
+        assert ei.value.code == 404

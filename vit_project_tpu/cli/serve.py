@@ -151,12 +151,40 @@ def write_outputs(paths, outputs, args):
     return args.out
 
 
+class _NormalizingEngine:
+    """Engine wrapper that applies (mean, std) normalization server-side so
+    HTTP clients post RAW uint8/float images for the CLIP engine too (the
+    ViT engines fold normalization into the patch matmul themselves)."""
+
+    def __init__(self, engine, mean, std):
+        self._eng = engine
+        self.buckets = engine.buckets
+        self._mean = np.asarray(mean, np.float32)
+        self._std = np.asarray(std, np.float32)
+
+    def __call__(self, images):
+        arr = np.asarray(images)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        return self._eng(((arr - self._mean) / self._std)
+                         .astype(np.float32))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--images", required=True,
-                    help="image file, flat dir, or class tree")
-    ap.add_argument("--out", required=True, help="output CSV (.npy for "
-                    "--mode features)")
+    ap.add_argument("--images",
+                    help="image file, flat dir, or class tree (batch mode)")
+    ap.add_argument("--out", help="output CSV (.npy for --mode features)")
+    ap.add_argument("--http_port", type=int, default=None,
+                    help="run as an online HTTP daemon on this port instead "
+                         "of batch mode (0 = ephemeral; serve/server.py: "
+                         "micro-batching onto the bucket ladder; POST .npy "
+                         "arrays to /v1/predict, GET /v1/healthz, /v1/stats)")
+    ap.add_argument("--http_host", default="127.0.0.1",
+                    help="bind address for --http_port (0.0.0.0 to expose)")
+    ap.add_argument("--max_delay_ms", type=float, default=5.0,
+                    help="micro-batching window: max wait for more requests "
+                         "before dispatching a partial batch")
     ap.add_argument("--model", default="vit_base_patch16_224")
     ap.add_argument("--checkpoint", help="ViT full checkpoint (.pth/.orbax)")
     ap.add_argument("--random_init", action="store_true")
@@ -192,6 +220,20 @@ def main(argv=None):
     else:
         eng, size, norm = build_vit_engine(args)
 
+    if args.http_port is not None:
+        from ..serve import ServingDaemon
+        serve_eng = _NormalizingEngine(eng, *norm) if norm is not None else eng
+        daemon = ServingDaemon(serve_eng, image_shape=(size, size, 3),
+                               port=args.http_port, host=args.http_host,
+                               max_delay_ms=args.max_delay_ms)
+        print(f"serving on http://{args.http_host}:{daemon.port} "
+              f"(buckets {eng.buckets}, POST /v1/predict)", flush=True)
+        daemon.serve_forever()
+        return 0
+
+    if not args.images or not args.out:
+        raise SystemExit("batch mode needs --images and --out "
+                         "(or pass --http_port for the online daemon)")
     paths = collect_images(args.images)
     batch = args.bucket_list[-1]
     reader = batched_reader(paths, batch, size, normalize=norm)
