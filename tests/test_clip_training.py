@@ -319,3 +319,15 @@ class TestClipPreemption:
         res2 = clip_loop.run_behavioral_training(rcfg)
         assert res2["preempted"] is False
         assert read_csv_rows(rcfg["training_res_path"]) == ref_rows
+
+    def test_final_epoch_preempt_not_flagged(self, things_fixture, tmp_path):
+        """A notice landing during the FINAL epoch must not mark a completed
+        run as preempted (the CLI would exit 143 and orchestration would
+        re-queue finished work)."""
+        out = str(tmp_path / "final")
+        cfg = base_config(things_fixture, out, epochs=2)
+        g = self._Trip(2)  # polls: epoch-0 boundary (1); epoch 1 is final
+        res = clip_loop.run_behavioral_training(cfg, preempt_guard=g)
+        assert res["preempted"] is False
+        rows = read_csv_rows(cfg["training_res_path"])
+        assert [r[0] for r in rows[1:]] == ["1", "2"]  # ran to completion

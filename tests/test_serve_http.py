@@ -179,3 +179,63 @@ class TestHttpDaemon:
             urllib.request.urlopen(
                 f"http://127.0.0.1:{d.port}/v1/nope", timeout=30)
         assert ei.value.code == 404
+
+
+class TestReviewFixes:
+    def test_close_with_queued_request_does_not_hang(self):
+        """A close() racing a long coalescing window must not strand the
+        dispatcher: the sentinel is re-enqueued, the in-hand batch is
+        served, and the thread exits promptly."""
+        import time
+        eng = _engine()
+        eng(_images(1))  # pre-compile so serving is instant
+        mb = MicroBatcher(eng, max_delay_ms=30_000.0)
+        fut = mb.submit(_images(2))
+        time.sleep(0.3)  # let the dispatcher enter its coalescing window
+        t0 = time.monotonic()
+        mb.close()
+        assert time.monotonic() - t0 < 8  # not the 10s join timeout
+        assert not mb._thread.is_alive()
+        assert fut.result(timeout=1).shape == (2, TINY.num_classes)
+
+    def test_invalid_topk_is_400_before_inference(self, ):
+        eng = _engine()
+        d = ServingDaemon(eng, image_shape=(TINY.image_size, TINY.image_size,
+                                            3), port=0, max_delay_ms=1.0)
+        d.start()
+        try:
+            before = d.batcher.dispatches
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post_npy(d.port, _images(1), query="?topk=abc")
+            assert ei.value.code == 400
+            assert "topk" in json.loads(ei.value.read())["error"]
+            assert d.batcher.dispatches == before  # no TPU work was spent
+        finally:
+            d.shutdown()
+
+    def test_oversized_body_is_413(self):
+        eng = _engine()
+        d = ServingDaemon(eng, image_shape=(TINY.image_size, TINY.image_size,
+                                            3), port=0, max_delay_ms=1.0,
+                          max_body_mb=0.001)
+        d.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post_npy(d.port, _images(4))
+            assert ei.value.code == 413
+        finally:
+            d.shutdown()
+
+    def test_http_preprocess_uint8_float_agree(self):
+        """The per-request canonicalization (cli.serve._http_preprocess)
+        maps a uint8 image and its float [0,1] twin to the SAME engine
+        input for both engine families — the mixed-window dtype-promotion
+        hazard the per-request placement exists to prevent."""
+        from vit_project_tpu.cli.serve import _http_preprocess
+        rs = np.random.RandomState(0)
+        u8 = rs.randint(0, 256, (2, 8, 8, 3), np.uint8)
+        f01 = u8.astype(np.float32) / 255.0
+        for norm in (None, ((0.5, 0.4, 0.3), (0.2, 0.3, 0.4))):
+            pre = _http_preprocess(norm)
+            np.testing.assert_allclose(pre(u8), pre(f01),
+                                       rtol=1e-6, atol=1e-6)

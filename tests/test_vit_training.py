@@ -515,3 +515,57 @@ class TestPreemption:
         assert not os.path.exists(ppath)
         df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
         assert list(df["epoch"]) == [0, 1, 2]
+
+    def test_epoch_boundary_collective_stop(self, imagenet_fixture, tmp_path):
+        """The pod-cadence stop: a guard whose COLLECTIVE poll trips (the
+        local mid-epoch poll stays quiet, as on a pod) stops the run after
+        the epoch's full checkpoint, without a preempt file; plain
+        auto-resume finishes the run."""
+
+        class _CollTrip:
+            def __init__(self, n):
+                self.n = n
+                self.calls = 0
+                self.mid_state = None
+
+            def should_stop(self):
+                return False  # pods: local mid-epoch polls always decline
+
+            def should_stop_collective(self):
+                self.calls += 1
+                return self.calls >= self.n
+
+        out = str(tmp_path / "coll")
+        res = run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=3),
+                               vit_cfg=TINY, preempt_guard=_CollTrip(1))
+        assert res.get("preempted") is True
+        assert not os.path.exists(os.path.join(out, "checkpoint_preempt.pth"))
+        assert os.path.exists(os.path.join(out, "checkpoint_epoch_000.pth"))
+        df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        assert list(df["epoch"]) == [0]  # epoch 0 completed, then stopped
+        res2 = run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=3),
+                                vit_cfg=TINY)
+        assert not res2.get("preempted")
+        df2 = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        assert list(df2["epoch"]) == [0, 1, 2]
+
+    def test_final_epoch_boundary_not_flagged(self, imagenet_fixture,
+                                              tmp_path):
+        """The collective boundary poll is skipped on the last epoch — a
+        finished run must not report preempted."""
+
+        class _AlwaysColl:
+            def should_stop(self):
+                return False
+
+            def should_stop_collective(self):
+                return True
+
+            mid_state = None
+
+        out = str(tmp_path / "fin")
+        res = run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=1),
+                               vit_cfg=TINY, preempt_guard=_AlwaysColl())
+        assert not res.get("preempted")
+        df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        assert list(df["epoch"]) == [0]

@@ -151,23 +151,31 @@ def write_outputs(paths, outputs, args):
     return args.out
 
 
-class _NormalizingEngine:
-    """Engine wrapper that applies (mean, std) normalization server-side so
-    HTTP clients post RAW uint8/float images for the CLIP engine too (the
-    ViT engines fold normalization into the patch matmul themselves)."""
+def _http_preprocess(norm):
+    """Per-request input canonicalization for the HTTP daemon.
 
-    def __init__(self, engine, mean, std):
-        self._eng = engine
-        self.buckets = engine.buckets
-        self._mean = np.asarray(mean, np.float32)
-        self._std = np.asarray(std, np.float32)
+    Wire contract: clients post RAW images — uint8 in 0..255 or float in
+    [0, 1]. This runs per request BEFORE micro-batch coalescing (see
+    serve/server.py), so the uint8/float distinction can never be lost to
+    dtype promotion across a mixed window.
+    - CLIP engines (`norm=(mean, std)`) expect normalized float inputs:
+      scale uint8 to [0,1], then apply (x - mean) / std.
+    - ViT engines (norm=None here) fold normalization into the patch matmul
+      and expect RAW 0..255-scale values: uint8 casts, [0,1] floats scale up.
+    """
+    if norm is not None:
+        mean = np.asarray(norm[0], np.float32)
+        std = np.asarray(norm[1], np.float32)
 
-    def __call__(self, images):
-        arr = np.asarray(images)
-        if arr.dtype == np.uint8:
-            arr = arr.astype(np.float32) / 255.0
-        return self._eng(((arr - self._mean) / self._std)
-                         .astype(np.float32))
+        def pre(arr):
+            arr = (arr.astype(np.float32) / 255.0 if arr.dtype == np.uint8
+                   else arr.astype(np.float32))
+            return (arr - mean) / std
+    else:
+        def pre(arr):
+            return (arr.astype(np.float32) if arr.dtype == np.uint8
+                    else arr.astype(np.float32) * 255.0)
+    return pre
 
 
 def main(argv=None):
@@ -206,6 +214,10 @@ def main(argv=None):
     ap.add_argument("--depth", type=int, default=2,
                     help="map_stream in-flight chunks")
     args = ap.parse_args(argv)
+    if args.http_port is None and (not args.images or not args.out):
+        # fail BEFORE the (possibly minutes-long) engine/checkpoint build
+        ap.error("batch mode needs --images and --out "
+                 "(or pass --http_port for the online daemon)")
     args.bucket_list = tuple(int(b) for b in args.buckets.split(","))
     args.dtype = jnp.bfloat16 if args.param_dtype == "bf16" else None
 
@@ -222,18 +234,15 @@ def main(argv=None):
 
     if args.http_port is not None:
         from ..serve import ServingDaemon
-        serve_eng = _NormalizingEngine(eng, *norm) if norm is not None else eng
-        daemon = ServingDaemon(serve_eng, image_shape=(size, size, 3),
+        daemon = ServingDaemon(eng, image_shape=(size, size, 3),
                                port=args.http_port, host=args.http_host,
-                               max_delay_ms=args.max_delay_ms)
+                               max_delay_ms=args.max_delay_ms,
+                               preprocess=_http_preprocess(norm))
         print(f"serving on http://{args.http_host}:{daemon.port} "
               f"(buckets {eng.buckets}, POST /v1/predict)", flush=True)
         daemon.serve_forever()
         return 0
 
-    if not args.images or not args.out:
-        raise SystemExit("batch mode needs --images and --out "
-                         "(or pass --http_port for the online daemon)")
     paths = collect_images(args.images)
     batch = args.bucket_list[-1]
     reader = batched_reader(paths, batch, size, normalize=norm)

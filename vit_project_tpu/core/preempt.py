@@ -61,6 +61,21 @@ class PreemptionGuard:
         import jax
         return jax.process_count() == 1
 
+    def should_stop_collective(self) -> bool:
+        """Pod-safe poll for EPOCH boundaries: every process must call this
+        at the same loop point (it is a collective on pods). Any one host's
+        flag stops all of them, so a notice delivered to a subset of hosts
+        cannot desync the collective program — the cost is one tiny
+        all-gather per epoch, nothing next to an epoch's work."""
+        import jax
+        if jax.process_count() == 1:
+            return self._event.is_set()
+        import numpy as np
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([1.0 if self._event.is_set() else 0.0]))
+        return bool(np.asarray(flags).sum() > 0)
+
     # -- scoped handler installation ------------------------------------------
 
     def _handler(self, signum, frame):

@@ -20,6 +20,12 @@ Wire protocol (all under one port):
                          JSON top-k when `?topk=K` is given.
 - GET  /v1/healthz       {"status": "ok", ...engine/bucket info}
 - GET  /v1/stats         request/image counters + latency quantiles.
+
+Dtype-dependent input conversion (uint8 -> scaled float, normalization)
+must happen PER REQUEST via the `preprocess=` hook — never inside the
+engine below the MicroBatcher, where np.concatenate's dtype promotion
+across a mixed uint8/float window would silently change a uint8 client's
+pixel scale. cli/serve.py wires the right preprocess per engine family.
 """
 from __future__ import annotations
 
@@ -96,7 +102,12 @@ class MicroBatcher:
             except queue.Empty:
                 break
             if nxt is None:
-                break  # stop sentinel; serve what we have first
+                # stop sentinel mid-window: serve what we have first, but
+                # RE-ENQUEUE it so _run still sees it (otherwise the
+                # dispatcher would block forever on the next get() and the
+                # post-close drain would never run)
+                self._q.put(None)
+                break
             batch.append(nxt)
             n += len(nxt[0])
         return batch
@@ -169,8 +180,15 @@ def _expected_rank(image_shape):
 
 
 def make_handler(batcher: MicroBatcher, image_shape: tuple,
-                 stats: _Stats, request_timeout: float = 60.0):
-    """BaseHTTPRequestHandler subclass bound to one batcher instance."""
+                 stats: _Stats, request_timeout: float = 60.0,
+                 preprocess=None, max_body_mb: float = 256.0):
+    """BaseHTTPRequestHandler subclass bound to one batcher instance.
+
+    `preprocess(arr) -> arr` runs PER REQUEST (before micro-batch
+    coalescing), so dtype-dependent conversions — e.g. uint8 -> normalized
+    float for the CLIP engine — can never be confused by np.concatenate's
+    dtype promotion across a mixed uint8/float window. `max_body_mb` bounds
+    the request body BEFORE it is read into memory (413 past it)."""
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -190,6 +208,16 @@ def make_handler(batcher: MicroBatcher, image_shape: tuple,
 
         def _send_json(self, code: int, obj):
             self._send(code, json.dumps(obj).encode())
+
+        def _drain_body(self):
+            """Consume the request body so a keep-alive connection is not
+            poisoned by unread bytes being parsed as the next request."""
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            while n > 0:
+                chunk = self.rfile.read(min(n, 1 << 20))
+                if not chunk:
+                    break
+                n -= len(chunk)
 
         # -- routes -----------------------------------------------------------
 
@@ -212,11 +240,37 @@ def make_handler(batcher: MicroBatcher, image_shape: tuple,
         def do_POST(self):
             path, _, query = self.path.partition("?")
             if path != "/v1/predict":
+                self._drain_body()
                 self._send_json(404, {"error": f"no route {path}"})
                 return
+            # parse + validate the query BEFORE any inference is spent on a
+            # request whose response could not be rendered anyway
+            topk = None
+            for kv in query.split("&"):
+                if kv.startswith("topk="):
+                    try:
+                        topk = max(1, int(kv[5:]))
+                    except ValueError:
+                        self._drain_body()
+                        stats.error()
+                        self._send_json(400, {"error": f"topk must be a "
+                                                       f"positive int, got "
+                                                       f"{kv[5:]!r}"})
+                        return
             t0 = time.monotonic()
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            if n > max_body_mb * (1 << 20):
+                # reject by the declared size BEFORE buffering it: a
+                # ThreadingHTTPServer reads one body per connection thread,
+                # so unbounded reads are an easy OOM on an exposed host
+                stats.error()
+                self.send_response(413)
+                self.send_header("Content-Length", "0")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.close_connection = True
+                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
             except Exception as e:
@@ -233,6 +287,8 @@ def make_handler(batcher: MicroBatcher, image_shape: tuple,
                     "error": f"expected [B, {', '.join(map(str, image_shape))}]"
                              f" (or one unbatched image), got {list(arr.shape)}"})
                 return
+            if preprocess is not None:
+                arr = preprocess(arr)
             try:
                 out = np.asarray(batcher.submit(arr).result(request_timeout))
             except Exception as e:
@@ -240,11 +296,8 @@ def make_handler(batcher: MicroBatcher, image_shape: tuple,
                 self._send_json(500, {"error": str(e)})
                 return
             stats.record(len(arr), time.monotonic() - t0)
-            topk = None
-            for kv in query.split("&"):
-                if kv.startswith("topk="):
-                    topk = max(1, min(int(kv[5:]), out.shape[-1]))
             if topk is not None:
+                topk = min(topk, out.shape[-1])
                 idx = np.argsort(-out, axis=-1)[:, :topk]
                 body = [[{"index": int(i), "score": float(row[i])}
                          for i in r] for row, r in zip(out, idx)]
@@ -268,12 +321,14 @@ class ServingDaemon:
 
     def __init__(self, engine, image_shape: tuple, port: int = 8000,
                  host: str = "127.0.0.1", max_batch: int | None = None,
-                 max_delay_ms: float = 5.0, request_timeout: float = 60.0):
+                 max_delay_ms: float = 5.0, request_timeout: float = 60.0,
+                 preprocess=None, max_body_mb: float = 256.0):
         self.batcher = MicroBatcher(engine, max_batch=max_batch,
                                     max_delay_ms=max_delay_ms)
         self.stats = _Stats()
         handler = make_handler(self.batcher, tuple(image_shape), self.stats,
-                               request_timeout)
+                               request_timeout, preprocess=preprocess,
+                               max_body_mb=max_body_mb)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(target=self.httpd.serve_forever,

@@ -698,12 +698,20 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         if epochs_no_improve == early_stopping_patience:
             log(f"Early stopping triggered at epoch {epoch + 1}")
             break
-        if preempt_guard is not None and preempt_guard.should_stop():
-            log(f"Preemption requested - stopped cleanly after epoch "
-                f"{epoch + 1} (its checkpoints are saved; resume with "
-                f"resume_from_epoch={epoch + 1})")
-            preempt_guard.stopped_at_epoch = epoch + 1
-            break
+        # epoch-boundary preemption poll: collective form so a notice seen
+        # by ANY pod host stops all of them in lockstep (every process is at
+        # this same loop point). Skipped on the final epoch — the loop is
+        # about to exit anyway and flagging a COMPLETED run as preempted
+        # would make the CLI exit 143 and orchestration re-queue it.
+        if preempt_guard is not None and epoch + 1 < epochs:
+            poll = getattr(preempt_guard, "should_stop_collective",
+                           preempt_guard.should_stop)
+            if poll():
+                log(f"Preemption requested - stopped cleanly after epoch "
+                    f"{epoch + 1} (its checkpoints are saved; resume with "
+                    f"resume_from_epoch={epoch + 1})")
+                preempt_guard.stopped_at_epoch = epoch + 1
+                break
 
     return trainable, opt_state, last_epoch0
 

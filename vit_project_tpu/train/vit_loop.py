@@ -657,6 +657,19 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                     os.unlink(preempt_path)
                 except OSError:
                     pass
+            # epoch-boundary poll in the COLLECTIVE form: on pods the
+            # mid-epoch (local) poll always answers False, so this is where
+            # a pod run stops — after the collective save above, with every
+            # host at the same loop point (a notice seen by any host stops
+            # all of them). Skipped on the last epoch (loop exits anyway)
+            # and for duck-typed test guards without the collective method.
+            coll = getattr(guard, "should_stop_collective", None)
+            if coll is not None and epoch + 1 < cfg.epochs and coll():
+                log(f"Preemption requested - stopped cleanly after epoch "
+                    f"{epoch} (checkpoint saved; auto-resume continues at "
+                    f"epoch {epoch + 1})")
+                return {"preempted": True, "params": params,
+                        "momentum_buf": momentum_buf, "scheduler": scheduler}
     log("Training Complete!")
     return {"params": params, "momentum_buf": momentum_buf,
             "scheduler": scheduler}
