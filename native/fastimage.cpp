@@ -69,7 +69,10 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(e->jb, 1);
 }
 
-bool decode_jpeg(FILE* f, ImageU8* out) {
+bool decode_jpeg(FILE* f, const uint8_t* buf, size_t len, ImageU8* out) {
+    // exactly one source: a stdio stream (f) or a memory buffer (buf+len —
+    // the packed-dataset path, which decodes records straight out of the
+    // mmapped shard with zero per-image file opens)
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -79,7 +82,11 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
         return false;
     }
     jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
+    if (f != nullptr) {
+        jpeg_stdio_src(&cinfo, f);
+    } else {
+        jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+    }
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;
     jpeg_start_decompress(&cinfo);
@@ -96,7 +103,24 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
 }
 
 // ----------------------------------------------------------------- PNG -----
-bool decode_png(FILE* f, ImageU8* out) {
+struct PngMemSrc {
+    const uint8_t* buf;
+    size_t len;
+    size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+    PngMemSrc* src = reinterpret_cast<PngMemSrc*>(png_get_io_ptr(png));
+    if (src->pos + n > src->len) {
+        png_error(png, "read past end of memory buffer");
+        return;
+    }
+    std::memcpy(out, src->buf + src->pos, n);
+    src->pos += n;
+}
+
+bool decode_png(FILE* f, const uint8_t* buf, size_t len, ImageU8* out) {
+    // one source: stdio stream or memory buffer (see decode_jpeg)
     png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
                                              nullptr, nullptr, nullptr);
     if (!png) return false;
@@ -109,7 +133,12 @@ bool decode_png(FILE* f, ImageU8* out) {
         png_destroy_read_struct(&png, &info, nullptr);
         return false;
     }
-    png_init_io(png, f);
+    PngMemSrc src = {buf, len, 0};
+    if (f != nullptr) {
+        png_init_io(png, f);
+    } else {
+        png_set_read_fn(png, &src, png_mem_read);
+    }
     png_read_info(png, info);
     png_uint_32 w, h;
     int bit_depth, color_type;
@@ -149,11 +178,22 @@ bool decode_file(const char* path, ImageU8* out) {
     rewind(f);
     bool ok = false;
     if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
-        ok = decode_jpeg(f, out);
+        ok = decode_jpeg(f, nullptr, 0, out);
     } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-        ok = decode_png(f, out);
+        ok = decode_png(f, nullptr, 0, out);
     }
     fclose(f);
+    return ok && out->w > 0 && out->h > 0;
+}
+
+bool decode_mem(const uint8_t* buf, size_t len, ImageU8* out) {
+    if (buf == nullptr || len < 8) return false;
+    bool ok = false;
+    if (buf[0] == 0xFF && buf[1] == 0xD8) {
+        ok = decode_jpeg(nullptr, buf, len, out);
+    } else if (png_sig_cmp(const_cast<png_bytep>(buf), 0, 8) == 0) {
+        ok = decode_png(nullptr, buf, len, out);
+    }
     return ok && out->w > 0 && out->h > 0;
 }
 
@@ -288,10 +328,8 @@ void sample_rrc(SplitMix64& rng, int W, int H, int* x0, int* y0, int* cw,
     *ch = h;
 }
 
-int transform_one(const char* path, int mode, int out_h, int out_w,
-                  int resize_to, uint64_t seed, uint8_t* out) {
-    ImageU8 img;
-    if (!decode_file(path, &img)) return -1;
+int transform_decoded(ImageU8& img, int mode, int out_h, int out_w,
+                      int resize_to, uint64_t seed, uint8_t* out) {
     if (mode == 0) {  // plain resize
         resize_bilinear_crop(img, 0, 0, img.w, img.h, out_w, out_h, false, out);
     } else if (mode == 1) {  // RandomResizedCrop + flip
@@ -330,6 +368,20 @@ int transform_one(const char* path, int mode, int out_h, int out_w,
     return 0;
 }
 
+int transform_one(const char* path, int mode, int out_h, int out_w,
+                  int resize_to, uint64_t seed, uint8_t* out) {
+    ImageU8 img;
+    if (!decode_file(path, &img)) return -1;
+    return transform_decoded(img, mode, out_h, out_w, resize_to, seed, out);
+}
+
+int transform_one_mem(const uint8_t* buf, size_t len, int mode, int out_h,
+                      int out_w, int resize_to, uint64_t seed, uint8_t* out) {
+    ImageU8 img;
+    if (!decode_mem(buf, len, &img)) return -1;
+    return transform_decoded(img, mode, out_h, out_w, resize_to, seed, out);
+}
+
 }  // namespace
 
 extern "C" {
@@ -366,6 +418,34 @@ int fi_transform_batch(const char** paths, int n, int mode, int out_h,
     return failed.load();
 }
 
-int fi_version() { return 1; }
+// Memory-buffer batched variant (the packed-dataset path: records decode
+// straight out of the mmapped shard — no per-image file opens).
+// bufs: n pointers to encoded JPEG/PNG bytes; lens: their byte lengths;
+// seeds/out/threads as fi_transform_batch. Returns number of failed images.
+int fi_transform_mem_batch(const uint8_t* const* bufs, const size_t* lens,
+                           int n, int mode, int out_h, int out_w,
+                           int resize_to, const uint64_t* seeds,
+                           uint8_t* out, int threads) {
+    std::atomic<int> next(0), failed(0);
+    const size_t stride = (size_t)out_h * out_w * 3;
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) return;
+            if (transform_one_mem(bufs[i], lens[i], mode, out_h, out_w,
+                                  resize_to, seeds[i],
+                                  out + stride * i) != 0)
+                failed.fetch_add(1);
+        }
+    };
+    int t = std::max(1, std::min(threads, n));
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return failed.load();
+}
+
+int fi_version() { return 2; }
 
 }  // extern "C"

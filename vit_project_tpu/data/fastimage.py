@@ -49,6 +49,13 @@ def _load():
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int]
     lib.fi_transform_batch.restype = ctypes.c_int
+    if hasattr(lib, "fi_transform_mem_batch"):  # fi_version >= 2
+        lib.fi_transform_mem_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.fi_transform_mem_batch.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -98,4 +105,40 @@ def transform_batch(paths: list[str], mode: int, out_h: int, out_w: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     if failed:
         raise IOError(f"fastimage: {failed}/{n} images failed to decode")
+    return out
+
+
+def transform_mem_batch(buffers, mode: int, out_h: int, out_w: int,
+                        seeds, resize_to: int = 256,
+                        threads: int = 16) -> np.ndarray:
+    """Like transform_batch, but decodes ENCODED BYTES (memoryview/bytes of
+    JPEG/PNG) instead of file paths — the packed-dataset hot path: records
+    feed straight from the mmapped shard with zero per-image file opens."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libfastimage.so not built (make -C native)")
+    if not hasattr(lib, "fi_transform_mem_batch"):
+        raise RuntimeError("libfastimage.so predates the memory-decode API "
+                           "(rebuild: make -C native)")
+    n = len(buffers)
+    seeds = np.ascontiguousarray(np.asarray(seeds, np.uint64))
+    if len(seeds) != n:
+        raise ValueError(f"seeds ({len(seeds)}) must match buffers ({n})")
+    if mode == MODE_CENTER_CROP and max(out_h, out_w) > resize_to:
+        raise ValueError(f"center crop {out_h}x{out_w} exceeds resize_to="
+                         f"{resize_to}; pass a proportionally larger "
+                         f"resize_to")
+    # materialize each record as a contiguous uint8 view; keep the np arrays
+    # alive for the duration of the native call
+    views = [np.frombuffer(b, np.uint8) for b in buffers]
+    ptrs = (ctypes.c_void_p * n)(
+        *[v.ctypes.data_as(ctypes.c_void_p).value for v in views])
+    lens = (ctypes.c_size_t * n)(*[v.size for v in views])
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    failed = lib.fi_transform_mem_batch(
+        ptrs, lens, n, mode, out_h, out_w, resize_to,
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    if failed:
+        raise IOError(f"fastimage: {failed}/{n} buffers failed to decode")
     return out

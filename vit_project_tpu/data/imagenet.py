@@ -104,6 +104,25 @@ def _load_val(path: str, size: int) -> np.ndarray:
     return np.asarray(resize_center_crop(img, size), np.uint8)
 
 
+def _load_train_bytes(data, seed_tuple, size: int) -> np.ndarray:
+    """_load_train over in-memory encoded bytes (the packed-dataset PIL
+    path, data/packed.py) — same PIL calls, so pixels are bit-identical to
+    decoding the original file."""
+    import io
+    from PIL import Image
+    rng = np.random.Generator(np.random.PCG64(list(seed_tuple)))
+    img = Image.open(io.BytesIO(bytes(data))).convert("RGB")
+    img = random_resized_crop_flip(img, rng, size)
+    return np.asarray(img, np.uint8)
+
+
+def _load_val_bytes(data, size: int) -> np.ndarray:
+    import io
+    from PIL import Image
+    img = Image.open(io.BytesIO(bytes(data))).convert("RGB")
+    return np.asarray(resize_center_crop(img, size), np.uint8)
+
+
 class ImageFolderLoader:
     """Deterministic, prefetching ImageFolder loader.
 

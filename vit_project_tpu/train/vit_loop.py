@@ -524,12 +524,16 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         raise ValueError(f"global batch {cfg.batch_size} must divide by "
                          f"{proc_count} processes")
     local_bs = cfg.batch_size // proc_count
-    train_loader = dimg.ImageFolderLoader(
+    # make_loader routes each split to PackedLoader when it is a packed
+    # (fipack) directory — cli.pack converts an ImageFolder tree once and
+    # training becomes source-agnostic (identical batches either way)
+    from ..data.packed import make_loader
+    train_loader = make_loader(
         f"{cfg.data_path}/train", local_bs, train=True,
         seed=cfg.random_seed, size=cfg.image_size, workers=cfg.num_workers,
         drop_last=True, use_native=cfg.use_native_loader,
         num_shards=proc_count, shard_id=proc_id, echo=cfg.data_echo)
-    val_loader = dimg.ImageFolderLoader(
+    val_loader = make_loader(
         f"{cfg.data_path}/val", local_bs, train=False,
         size=cfg.image_size, workers=cfg.num_workers,
         use_native=cfg.use_native_loader,
