@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--shard_mb", type=int, default=512,
                     help="target shard size in MB")
     args = ap.parse_args(argv)
+    if not args.split:
+        ap.error("--split needs at least one value (use --split '' to pack "
+                 "--src itself)")
 
     from ..data.packed import pack_image_folder
     for split in args.split:
