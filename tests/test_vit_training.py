@@ -569,3 +569,33 @@ class TestPreemption:
         assert not res.get("preempted")
         df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
         assert list(df["epoch"]) == [0]
+
+
+class TestCheckpointRetention:
+    def test_keep_last_prunes_and_resume_survives(self, imagenet_fixture,
+                                                  tmp_path):
+        """keep_last=2 over 4 epochs leaves only the last two per-epoch
+        files; 'latest' survives and auto-resume continues from it."""
+        import dataclasses
+        from vit_project_tpu.ckpt import vit_ckpt
+        out = str(tmp_path / "run")
+        cfg = dataclasses.replace(tiny_cfg(imagenet_fixture, out, epochs=4),
+                                  keep_last=2)
+        run_vit_training(cfg, vit_cfg=TINY)
+        have = sorted(f for f in os.listdir(out)
+                      if f.startswith("checkpoint_epoch_"))
+        assert have == ["checkpoint_epoch_002.pth", "checkpoint_epoch_003.pth"]
+        assert os.path.exists(os.path.join(out, "checkpoint_latest.pth"))
+        # resume still works (latest is intact)
+        run_vit_training(dataclasses.replace(cfg, epochs=5), vit_cfg=TINY)
+        df = pd.read_csv(os.path.join(out, "training_metrics.csv"))
+        assert list(df["epoch"]) == [0, 1, 2, 3, 4]
+        assert vit_ckpt.epoch_checkpoint(out, 4) is not None
+
+    def test_default_keeps_all(self, imagenet_fixture, tmp_path):
+        out = str(tmp_path / "all")
+        run_vit_training(tiny_cfg(imagenet_fixture, out, epochs=3),
+                         vit_cfg=TINY)
+        have = [f for f in os.listdir(out)
+                if f.startswith("checkpoint_epoch_")]
+        assert len(have) == 3

@@ -97,6 +97,38 @@ def load_checkpoint(path: str, template=None):
     return ser.load(path)
 
 
+def prune_checkpoints(output_dir: str, keep_last: int, current_epoch: int,
+                      logger=None) -> list[str]:
+    """Delete per-epoch checkpoints older than the last `keep_last` epochs
+    (both container formats). OPT-IN retention for pure-training runs — the
+    experimental paradigms need every epoch (sweep forks load epoch N-1,
+    vit_measure restores arbitrary epochs), so the default everywhere is
+    keep-all. 'latest' (byte copy / pointer) is never touched, and the
+    pointer's target epoch is always within the kept window. Primary-only
+    (deleting a FINISHED old epoch's files is not a collective)."""
+    removed: list[str] = []
+    if keep_last <= 0 or not _primary():
+        return removed
+    import re
+    import shutil
+    pat = re.compile(r"^checkpoint_epoch_(\d{3,})\.(pth|orbax)$")
+    cutoff = current_epoch - keep_last
+    for name in os.listdir(output_dir):
+        m = pat.match(name)
+        if not m or int(m.group(1)) > cutoff:
+            continue
+        p = os.path.join(output_dir, name)
+        try:
+            shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+            removed.append(name)
+        except OSError:
+            pass  # a vanished/locked old file must not kill training
+    if removed and logger:
+        logger.info(f"Pruned {len(removed)} old checkpoint(s) "
+                    f"(keep_last={keep_last})")
+    return removed
+
+
 def epoch_checkpoint(output_dir: str, epoch: int) -> str | None:
     """Resolve `checkpoint_epoch_{N:03d}` in either container format — the
     single-host .pth pickle or the pod-written .orbax directory — picking the

@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expert parallelism: shard the MoE expert FFNs over "
                         "N devices of a ('data','expert') mesh (needs "
                         "--moe_experts); 1 = off")
+    p.add_argument("--keep_last", type=int, default=0,
+                   help="delete per-epoch checkpoints older than the last N "
+                        "after each save (0 = keep all, the default — sweep "
+                        "forks and the measurement grid restore arbitrary "
+                        "epochs)")
     p.add_argument("--no_preempt_save", action="store_true",
                    help="disable the SIGTERM mid-epoch checkpoint "
                         "(core/preempt.py); by default a preemption notice "
@@ -129,7 +134,8 @@ def main(argv=None):
         zero1=args.zero1, host_prefetch=args.host_prefetch,
         sp_devices=args.sp_devices, sp_ring=args.sp_ring,
         ep_devices=args.ep_devices, moe_experts=args.moe_experts,
-        moe_topk=args.moe_topk, preempt_save=not args.no_preempt_save)
+        moe_topk=args.moe_topk, preempt_save=not args.no_preempt_save,
+        keep_last=args.keep_last)
     result = run_vit_training(cfg, vit_cfg=vit_cfg)
     if result.get("preempted"):
         # conventional SIGTERM exit status: orchestration layers (and the

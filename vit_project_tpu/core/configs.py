@@ -188,6 +188,10 @@ class ViTTrainConfig:
                                # checkpoint_preempt.pth, exit resumable
                                # (core/preempt.py; single-process — pods
                                # fall back to the per-epoch cadence)
+    keep_last: int = 0  # >0: delete per-epoch checkpoints older than the
+                        # last N after each save (~350 MB each at ViT-B
+                        # scale). Keep-all default: the measurement grid
+                        # and sweep forks restore arbitrary epochs.
 
     @classmethod
     def from_dict(cls, d: dict) -> "ViTTrainConfig":

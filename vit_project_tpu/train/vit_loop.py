@@ -654,6 +654,9 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                 epoch, save_p, save_m, scheduler.state_dict(), train_loss,
                 val_loss, val_acc, cfg.output_dir,
                 logger=logger if dist.is_primary() else None)
+            if cfg.keep_last > 0:
+                vit_ckpt.prune_checkpoints(cfg.output_dir, cfg.keep_last,
+                                           epoch, logger=logger)
             if mid_resume is not None and epoch == start_epoch:
                 # this epoch completed past its preemption point; the
                 # mid-epoch checkpoint is superseded by the full one above
