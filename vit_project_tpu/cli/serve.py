@@ -193,6 +193,12 @@ def main(argv=None):
     ap.add_argument("--max_delay_ms", type=float, default=5.0,
                     help="micro-batching window: max wait for more requests "
                          "before dispatching a partial batch")
+    ap.add_argument("--request_timeout", type=float, default=300.0,
+                    help="per-request wait bound on the micro-batcher "
+                         "(covers a cold bucket compile when --no_warmup)")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip pre-compiling every bucket before the daemon "
+                         "binds (first requests then pay the XLA compiles)")
     ap.add_argument("--model", default="vit_base_patch16_224")
     ap.add_argument("--checkpoint", help="ViT full checkpoint (.pth/.orbax)")
     ap.add_argument("--random_init", action="store_true")
@@ -234,9 +240,19 @@ def main(argv=None):
 
     if args.http_port is not None:
         from ..serve import ServingDaemon
+        if not args.no_warmup:
+            # compile every bucket BEFORE binding: no live request ever
+            # waits on XLA (first TPU compiles run 20-40s+, far above any
+            # sane request timeout)
+            import time
+            t0 = time.time()
+            eng.warmup((size, size, 3), dtype=np.float32)
+            print(f"warmed {len(eng.buckets)} buckets in "
+                  f"{time.time() - t0:.0f}s", flush=True)
         daemon = ServingDaemon(eng, image_shape=(size, size, 3),
                                port=args.http_port, host=args.http_host,
                                max_delay_ms=args.max_delay_ms,
+                               request_timeout=args.request_timeout,
                                preprocess=_http_preprocess(norm))
         print(f"serving on http://{args.http_host}:{daemon.port} "
               f"(buckets {eng.buckets}, POST /v1/predict)", flush=True)
