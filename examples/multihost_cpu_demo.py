@@ -241,6 +241,21 @@ def _worker(process_id: int, num_processes: int, port: int, root: str):
     with open(out_csv) as f:
         _check(len(f.readlines()) == 2)  # header + the single grid cell
 
+    # 8) collective preemption poll (core/preempt.py): a SIGTERM delivered
+    # to ONE host must stop BOTH at the same epoch boundary — the local
+    # poll always declines on pods (a mid-epoch stop seen by a subset of
+    # hosts would desync the collective program), while the collective
+    # poll agrees ring-wide.
+    from vit_project_tpu.core.preempt import PreemptionGuard
+    g = PreemptionGuard()
+    if pid == 1:
+        g.request()  # the notice lands on one host only
+    _check(g.should_stop() is False)          # pod-local poll never fires
+    _check(g.should_stop_collective() is True)   # ...but both hosts agree
+    quiet = PreemptionGuard()
+    _check(quiet.should_stop_collective() is False)  # and quiet stays quiet
+    dist.barrier("preempt_done")
+
     print(f"proc {pid}: dp loss {loss:.4f} rsa {rho:.4f} "
           f"(oracle {float(rho1):.4f}) clip eval {loss_mh:.4f}/"
           f"{loss_mhr:.4f} (oracle {loss_lo:.4f}) "
