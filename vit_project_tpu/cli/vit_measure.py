@@ -182,13 +182,14 @@ def main(argv=None):
             f"global batch {args.batch_size} must divide by {proc_count} "
             f"processes")
     local_bs = args.batch_size // proc_count
-    train_loader = dimg.ImageFolderLoader(
+    from ..data.packed import make_loader
+    train_loader = make_loader(
         f"{args.data_path}/train", local_bs, train=True,
         seed=args.random_seed,  # replay the BASELINE's shuffle/aug stream
         size=vit_cfg.image_size, workers=args.num_workers, drop_last=True,
         use_native=args.use_native_loader,
         num_shards=proc_count, shard_id=proc_id)
-    val_loader = dimg.ImageFolderLoader(
+    val_loader = make_loader(
         f"{args.data_path}/val", local_bs, train=False,
         size=vit_cfg.image_size, workers=args.num_workers,
         use_native=args.use_native_loader,

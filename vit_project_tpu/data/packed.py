@@ -225,6 +225,10 @@ class PackedLoader(ImageFolderLoader):
 def make_loader(root: str, batch_size: int, **kw):
     """Route to PackedLoader when `root` is a packed directory, else the
     plain ImageFolderLoader — training code stays source-agnostic (the
-    vit_train CLI accepts either layout for --data_path)."""
-    cls = PackedLoader if is_packed(root) else ImageFolderLoader
+    vit_train/vit_measure CLIs accept either layout for --data_path).
+    The folder class is resolved through the module attribute so test
+    harnesses that patch data.imagenet.ImageFolderLoader (e.g. the
+    multihost demo's sharding recorder) still observe every construction."""
+    from . import imagenet as _dimg
+    cls = PackedLoader if is_packed(root) else _dimg.ImageFolderLoader
     return cls(root, batch_size, **kw)

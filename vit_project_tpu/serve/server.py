@@ -32,6 +32,7 @@ from __future__ import annotations
 import io
 import json
 import queue
+import signal
 import threading
 import time
 from collections import deque
@@ -333,21 +334,44 @@ class ServingDaemon:
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True, name="serving-http")
+        self._down = False
+        self._down_lock = threading.Lock()
 
     def start(self):
         self._thread.start()
         return self
 
-    def serve_forever(self):
-        """Foreground mode (the CLI path): Ctrl-C / SIGTERM shuts down."""
+    def serve_forever(self, install_sigterm: bool = True):
+        """Foreground mode (the CLI path). Ctrl-C and SIGTERM both shut
+        down GRACEFULLY: in-flight requests finish, the listener closes,
+        the dispatcher drains (the same contract the training loops honor
+        for preemption notices). The SIGTERM handler must not call
+        shutdown() synchronously — it would interrupt serve_forever's own
+        polling loop and deadlock on its is-shut-down event — so it hands
+        the call to a helper thread."""
+        prev = None
+        if install_sigterm:
+            try:
+                prev = signal.signal(
+                    signal.SIGTERM,
+                    lambda s, f: threading.Thread(
+                        target=self.shutdown, daemon=True).start())
+            except ValueError:
+                prev = None  # not the main thread; Ctrl-C still works
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:
             pass
         finally:
+            if prev is not None:
+                signal.signal(signal.SIGTERM, prev)
             self.shutdown()
 
     def shutdown(self):
+        with self._down_lock:
+            if self._down:
+                return
+            self._down = True
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.close()
