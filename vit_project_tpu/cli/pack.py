@@ -33,11 +33,16 @@ def main(argv=None):
                  "--src itself)")
 
     from ..data.packed import pack_image_folder
+    pairs = []
     for split in args.split:
         src = os.path.join(args.src, split) if split else args.src
         out = os.path.join(args.out, split) if split else args.out
+        # validate EVERY split before packing ANY: discovering a missing
+        # val/ only after hours of packing train/ would waste the whole run
         if not os.path.isdir(src):
             raise SystemExit(f"not a directory: {src}")
+        pairs.append((src, out))
+    for src, out in pairs:
         pack_image_folder(src, out, shard_mb=args.shard_mb)
     return 0
 

@@ -64,6 +64,14 @@ def available() -> bool:
     return _load() is not None
 
 
+def mem_available() -> bool:
+    """True when the library also exposes the memory-decode API
+    (fi_version >= 2) — the packed-dataset loaders must check THIS at
+    construction so a stale v1 .so fails fast, not at the first batch."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "fi_transform_mem_batch")
+
+
 def transform(path: str, mode: int, out_h: int, out_w: int,
               resize_to: int = 256, seed: int = 0) -> np.ndarray:
     lib = _load()

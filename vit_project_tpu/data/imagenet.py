@@ -140,6 +140,19 @@ class ImageFolderLoader:
                  num_shards: int = 1, shard_id: int = 0,
                  echo: int = 1):
         self.paths, self.labels, self.classes = scan_image_folder(root)
+        self._init_common(batch_size, train=train, seed=seed, size=size,
+                          workers=workers, prefetch=prefetch,
+                          drop_last=drop_last, label_table=label_table,
+                          use_native=use_native, num_shards=num_shards,
+                          shard_id=shard_id, echo=echo)
+
+    def _init_common(self, batch_size: int, *, train: bool, seed: int,
+                     size: int, workers: int, prefetch: int,
+                     drop_last: bool, label_table, use_native: bool,
+                     num_shards: int, shard_id: int, echo: int):
+        """Construction shared with the packed-dataset loader
+        (data/packed.py PackedLoader) — ONE home for the batching/sharding
+        invariants so the 'identical semantics' contract cannot drift."""
         self.batch_size = batch_size
         # Multi-host sharding with reference DistributedSampler semantics
         # (train_vit_sgd.py:58-66): every shard sees the same seeded global
@@ -163,10 +176,7 @@ class ImageFolderLoader:
         # instead of PIL. Same (seed, epoch, index) determinism contract, but a
         # different RNG/filter implementation — a run must not mix decoders.
         if use_native:
-            from . import fastimage
-            if not fastimage.available():
-                raise RuntimeError("use_native=True but libfastimage.so is not "
-                                   "built (make -C native)")
+            self._check_native()
         self.use_native = use_native
         # data echo: yield each decoded batch `echo` times, the standard
         # mitigation when host decode cannot feed the device step rate
@@ -174,6 +184,14 @@ class ImageFolderLoader:
         # increases but convergence is robust at small factors)
         assert echo >= 1
         self.echo = echo
+
+    def _check_native(self):
+        """Fail at CONSTRUCTION, not at the first batch after model init
+        and compiles. Subclasses with extra native requirements override."""
+        from . import fastimage
+        if not fastimage.available():
+            raise RuntimeError("use_native=True but libfastimage.so is not "
+                               "built (make -C native)")
 
     def _shard_len(self):
         n = len(self.paths)

@@ -154,25 +154,21 @@ class PackedLoader(ImageFolderLoader):
         self.paths = list(range(len(self.ds)))
         self.labels = self.ds.labels
         self.classes = self.ds.classes
-        self.batch_size = batch_size
-        assert 0 <= shard_id < num_shards
-        self.num_shards = num_shards
-        self.shard_id = shard_id
-        self.train = train
-        self.seed = seed
-        self.size = size
-        self.workers = workers
-        self.prefetch = prefetch
-        self.drop_last = drop_last
-        self.label_table = label_table
-        if use_native:
-            from . import fastimage
-            if not fastimage.available():
-                raise RuntimeError("use_native=True but libfastimage.so is "
-                                   "not built (make -C native)")
-        self.use_native = use_native
-        assert echo >= 1
-        self.echo = echo
+        self._init_common(batch_size, train=train, seed=seed, size=size,
+                          workers=workers, prefetch=prefetch,
+                          drop_last=drop_last, label_table=label_table,
+                          use_native=use_native, num_shards=num_shards,
+                          shard_id=shard_id, echo=echo)
+
+    def _check_native(self):
+        # the packed path needs the MEMORY-decode API (fi_version >= 2) —
+        # a stale v1 .so must fail here, not at the first batch after the
+        # model builds and compiles
+        from . import fastimage
+        if not fastimage.mem_available():
+            raise RuntimeError(
+                "use_native=True over a packed dataset needs the memory-"
+                "decode API; rebuild the library (make -C native)")
 
     def _batch_iter(self, order, end: int, epoch: int):
         from concurrent.futures import ThreadPoolExecutor

@@ -336,6 +336,7 @@ class ServingDaemon:
                                         daemon=True, name="serving-http")
         self._down = False
         self._down_lock = threading.Lock()
+        self._down_done = threading.Event()
 
     def start(self):
         self._thread.start()
@@ -368,12 +369,22 @@ class ServingDaemon:
             self.shutdown()
 
     def shutdown(self):
+        """Idempotent AND race-safe: the loser of a concurrent shutdown
+        (e.g. serve_forever's finally racing the SIGTERM helper thread)
+        BLOCKS until the winner finishes the drain — returning early would
+        let the process exit while the daemon helper is still mid-drain,
+        resetting in-flight clients."""
         with self._down_lock:
-            if self._down:
-                return
+            first = not self._down
             self._down = True
-        self.httpd.shutdown()
-        self.httpd.server_close()
-        self.batcher.close()
-        if self._thread.is_alive():
-            self._thread.join(timeout=10)
+        if not first:
+            self._down_done.wait(timeout=30)
+            return
+        try:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+            self.batcher.close()
+            if self._thread.is_alive():
+                self._thread.join(timeout=10)
+        finally:
+            self._down_done.set()
