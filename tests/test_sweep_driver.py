@@ -985,3 +985,71 @@ class TestBatchedEvalCap:
         assert mf.per_chip_forks(8, Mesh()) == 2
         assert mf.per_chip_forks(5, Mesh()) == 2
         assert mf.per_chip_forks(1, None) == 1
+
+
+class TestBatchedPreemption:
+    """A preemption notice between vmapped groups stops the batched drivers
+    cleanly: finished groups' trees stand, the rest stay undispatched and
+    are recorded on the guard for the CLI's exit-143 + re-invoke story."""
+
+    def _stub_setup(self, tmp_path):
+        import types
+
+        class StubSetup:
+            def __init__(self, base_config, logger, mesh, group_size=1):
+                self.cfg = types.SimpleNamespace(
+                    perturb_length=1, perturb_type="random_target",
+                    baseline_dora_directory=str(tmp_path),
+                    baseline_random_state_path=str(tmp_path), epochs=30)
+                self.log = lambda msg: None
+
+            def load_state(self, label, dora_file, rs_dir, rfe, **kw):
+                return (None, None, 0)
+
+        return StubSetup
+
+    class _TripAfter:
+        def __init__(self, n):
+            self.n = n
+            self.calls = 0
+
+        def should_stop(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    def test_sweep_stops_between_groups(self, tmp_path, monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+        trained = []
+
+        def record(su, forks, inits):
+            trained.extend(f.run for f in forks)
+            for f in forks:
+                f.finished = True
+
+        monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
+        monkeypatch.setattr(mf, "_run_group", record)
+        g = self._TripAfter(1)  # polled after each group -> stop after g1
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [1, 2, 3, 4],
+            group_size=2, preempt_guard=g)
+        assert failed == []
+        assert trained == [1, 2]          # group 1 ran to completion
+        assert g.undispatched == [3, 4]   # group 2 never dispatched
+
+    def test_sweep_quiet_guard_runs_everything(self, tmp_path, monkeypatch):
+        from vit_project_tpu.train import multi_fork as mf
+        trained = []
+
+        def record(su, forks, inits):
+            trained.extend(f.run for f in forks)
+            for f in forks:
+                f.finished = True
+
+        monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
+        monkeypatch.setattr(mf, "_run_group", record)
+        g = self._TripAfter(10)  # never trips within 2 polls
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [1, 2, 3, 4],
+            group_size=2, preempt_guard=g)
+        assert failed == [] and trained == [1, 2, 3, 4]
+        assert not getattr(g, "undispatched", None)

@@ -228,11 +228,18 @@ def _main_batched(args, timestamp: str):
         f"lengths_batched_log_{timestamp}.txt"))
     logger.info(f"Batched lengths mode: type={args.perturb_type} "
                 f"length={args.perturb_length} onsets={onsets}")
-    failed = run_batched_lengths(
-        config, onsets, args.perturb_length,
-        group_size=args.batched_forks, logger=logger, mesh=fork_mesh)
+    from ..core.preempt import PreemptionGuard
+    guard = PreemptionGuard()
+    with guard:
+        failed = run_batched_lengths(
+            config, onsets, args.perturb_length,
+            group_size=args.batched_forks, logger=logger, mesh=fork_mesh,
+            preempt_guard=guard)
     if failed:
         logger.info(f"Failed conditions: {failed}")
+    if getattr(guard, "undispatched", None):
+        import sys
+        sys.exit(143)  # interrupted: undispatched conditions resume in place
     return failed
 
 

@@ -353,12 +353,19 @@ def main(argv=None):
                     f"vmapped groups of {args.batched_forks}"
                     + (f" over {fork_mesh.devices.size} devices"
                        if fork_mesh is not None else ""))
-        failed_run_list = run_batched_sweep(
-            config, training_order, group_size=args.batched_forks,
-            logger=logger, mesh=fork_mesh, done_report=_report_done)
+        from ..core.preempt import PreemptionGuard
+        guard = PreemptionGuard()
+        with guard:
+            failed_run_list = run_batched_sweep(
+                config, training_order, group_size=args.batched_forks,
+                logger=logger, mesh=fork_mesh, done_report=_report_done,
+                preempt_guard=guard)
         if failed_run_list:
             logger.info(f"Failed runs: {failed_run_list}")
         _report_failed(failed_run_list)
+        if getattr(guard, "undispatched", None):
+            import sys
+            sys.exit(143)  # interrupted, not finished: orchestration re-queues
         return failed_run_list
 
     logger.info("=" * 80)

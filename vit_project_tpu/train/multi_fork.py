@@ -343,7 +343,8 @@ class _Setup:
 
 def run_batched_sweep(base_config: dict, training_order: list[int], *,
                       group_size: int = 8, logger=None,
-                      mesh=None, done_report=None) -> list[int]:
+                      mesh=None, done_report=None,
+                      preempt_guard=None) -> list[int]:
     """Train the sweep's forks in vmapped groups of `group_size`.
 
     `base_config` is the sweep CLI's per-run config template WITHOUT the
@@ -360,6 +361,11 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
     `done_report`: optional callable receiving the list of run numbers whose
     trees completed, invoked after every group (success or failure) — a
     dispatcher's crash-survivable progress ledger.
+
+    `preempt_guard` (core/preempt.py) is polled BETWEEN groups: on a stop
+    request the remaining groups stay undispatched (recorded on
+    `preempt_guard.undispatched`) and the finished groups' artifact trees
+    stand — re-invoking with the undispatched run list completes the sweep.
 
     `base_config["host_prefetch"]` enqueues the per-epoch checkpoint trees'
     d2h copies right after the train program returns (core/hostcopy.py) so
@@ -425,12 +431,28 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
             failed.extend(bad)
             if done_report is not None and done:
                 done_report(done)
+        if _poll_preempt(preempt_guard) and gi + 1 < len(groups):
+            remaining = [r for g in groups[gi + 1:] for r in g]
+            preempt_guard.undispatched = remaining
+            log(f"Preemption requested - stopping the batched sweep with "
+                f"{len(remaining)} undispatched run(s): {remaining} "
+                f"(re-invoke with --training_order "
+                f"{','.join(map(str, remaining))})")
+            break
     return failed
+
+
+def _poll_preempt(guard) -> bool:
+    """Between-group preemption poll: collective form when available so a
+    pod-delivered notice stops every host at the same group boundary."""
+    if guard is None:
+        return False
+    return getattr(guard, "should_stop_collective", guard.should_stop)()
 
 
 def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
                         group_size: int = 8, logger=None,
-                        mesh=None) -> list[str]:
+                        mesh=None, preempt_guard=None) -> list[str]:
     """Train one length's (onset x L) conditions of the variable-length grid
     as vmapped fork groups — the batched counterpart of cli/lengths.py
     (reference clip_train_behavior_lengths.py trains its 136 conditions one
@@ -484,6 +506,13 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
             log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e} "
                 f"(incomplete conditions: {bad})")
             failed.extend(bad)
+        if _poll_preempt(preempt_guard) and gi + 1 < len(groups):
+            remaining = [name for g in groups[gi + 1:] for _, name in g]
+            preempt_guard.undispatched = remaining
+            log(f"Preemption requested - stopping the batched grid with "
+                f"{len(remaining)} undispatched condition(s): {remaining} "
+                f"(conditions resume in place on re-invoke)")
+            break
     return failed
 
 
