@@ -327,7 +327,7 @@ def _main():
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=600)
+                out, _ = p.communicate(timeout=1200)
             except subprocess.TimeoutExpired:
                 # a worker hung (e.g. in the distributed rendezvous): kill
                 # BOTH processes and reap them so the retry loop below can
@@ -337,7 +337,7 @@ def _main():
                     if q.poll() is None:
                         q.kill()
                 out, _ = p.communicate()
-                out = (out or "") + "\n[worker timed out after 600s]"
+                out = (out or "") + "\n[worker timed out after 1200s]"
                 ok = False
             outs.append(out)
             ok = ok and (p.returncode == 0)
