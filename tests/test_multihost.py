@@ -259,6 +259,6 @@ class TestTwoProcessDistributed:
         env.pop("JAX_PLATFORMS", None)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # skip remote-plugin startup
         out = subprocess.run([sys.executable, str(demo)], env=env,
-                             capture_output=True, text=True, timeout=1500)
+                             capture_output=True, text=True, timeout=3000)
         assert out.returncode == 0, out.stdout + out.stderr
         assert "multihost_cpu_demo: OK" in out.stdout

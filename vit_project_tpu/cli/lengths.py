@@ -228,7 +228,7 @@ def _main_batched(args, timestamp: str):
         f"lengths_batched_log_{timestamp}.txt"))
     logger.info(f"Batched lengths mode: type={args.perturb_type} "
                 f"length={args.perturb_length} onsets={onsets}")
-    from ..core.preempt import PreemptionGuard
+    from ..core.preempt import PreemptionGuard, exit_if_undispatched
     guard = PreemptionGuard()
     with guard:
         failed = run_batched_lengths(
@@ -237,9 +237,7 @@ def _main_batched(args, timestamp: str):
             preempt_guard=guard)
     if failed:
         logger.info(f"Failed conditions: {failed}")
-    if getattr(guard, "undispatched", None):
-        import sys
-        sys.exit(143)  # interrupted: undispatched conditions resume in place
+    exit_if_undispatched(guard)  # 143: undispatched conditions resume in place
     return failed
 
 

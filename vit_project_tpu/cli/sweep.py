@@ -353,7 +353,7 @@ def main(argv=None):
                     f"vmapped groups of {args.batched_forks}"
                     + (f" over {fork_mesh.devices.size} devices"
                        if fork_mesh is not None else ""))
-        from ..core.preempt import PreemptionGuard
+        from ..core.preempt import PreemptionGuard, exit_if_undispatched
         guard = PreemptionGuard()
         with guard:
             failed_run_list = run_batched_sweep(
@@ -362,10 +362,13 @@ def main(argv=None):
                 preempt_guard=guard)
         if failed_run_list:
             logger.info(f"Failed runs: {failed_run_list}")
+        # exit 143 BEFORE writing the failed-report file: a parent
+        # --workers dispatcher treats a written report as authoritative and
+        # would otherwise account the undispatched runs as neither failed
+        # nor done ('completed cleanly with no failures'); with no report
+        # and rc != 0 it reconstructs them from the done ledger instead.
+        exit_if_undispatched(guard)
         _report_failed(failed_run_list)
-        if getattr(guard, "undispatched", None):
-            import sys
-            sys.exit(143)  # interrupted, not finished: orchestration re-queues
         return failed_run_list
 
     logger.info("=" * 80)

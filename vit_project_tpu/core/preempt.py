@@ -25,6 +25,17 @@ import signal
 import threading
 
 
+def exit_if_undispatched(guard) -> None:
+    """Shared CLI epilogue for the batched drivers: when a preemption left
+    runs/conditions undispatched, exit 143 so orchestration re-queues. The
+    caller must NOT have reported those items as failed first — a worker
+    dispatcher reading a failed-report file would otherwise account the
+    preempted worker as cleanly finished (see cli/sweep.py)."""
+    if getattr(guard, "undispatched", None):
+        import sys
+        sys.exit(143)
+
+
 class PreemptionGuard:
     """Signal-flag holder with scoped handler installation.
 

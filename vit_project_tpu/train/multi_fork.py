@@ -387,6 +387,10 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
 
     failed: list[int] = []
     for gi, runs in enumerate(groups):
+        if _stop_batched(preempt_guard, gi, groups, lambda g: g, log,
+                         "re-invoke with --training_order "
+                         "<the undispatched list>"):
+            break
         # per-fork init isolation: one run's unreadable fork state must not
         # take down its co-grouped (healthy) runs — it alone is reported
         # failed and the group trains without it
@@ -431,23 +435,27 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
             failed.extend(bad)
             if done_report is not None and done:
                 done_report(done)
-        if _poll_preempt(preempt_guard) and gi + 1 < len(groups):
-            remaining = [r for g in groups[gi + 1:] for r in g]
-            preempt_guard.undispatched = remaining
-            log(f"Preemption requested - stopping the batched sweep with "
-                f"{len(remaining)} undispatched run(s): {remaining} "
-                f"(re-invoke with --training_order "
-                f"{','.join(map(str, remaining))})")
-            break
     return failed
 
 
-def _poll_preempt(guard) -> bool:
-    """Between-group preemption poll: collective form when available so a
-    pod-delivered notice stops every host at the same group boundary."""
-    if guard is None:
+def _stop_batched(guard, gi: int, groups, items_of, log, hint) -> bool:
+    """Group-boundary preemption poll, shared by the batched sweep and
+    lengths drivers. Called at the TOP of every group iteration after the
+    first — i.e. exactly once per boundary on EVERY host regardless of how
+    the previous group's inits fared, so the collective poll's all-gather
+    counts can never diverge across a pod. On a stop request the remaining
+    groups (including group gi) stay undispatched, recorded on
+    `guard.undispatched` for the CLI's exit-143 contract."""
+    if guard is None or gi == 0:
         return False
-    return getattr(guard, "should_stop_collective", guard.should_stop)()
+    poll = getattr(guard, "should_stop_collective", guard.should_stop)
+    if not poll():
+        return False
+    remaining = [it for g in groups[gi:] for it in items_of(g)]
+    guard.undispatched = remaining
+    log(f"Preemption requested - stopping with {len(remaining)} "
+        f"undispatched item(s): {remaining} ({hint})")
+    return True
 
 
 def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
@@ -480,6 +488,10 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
 
     failed: list[str] = []
     for gi, group in enumerate(groups):
+        if _stop_batched(preempt_guard, gi, groups,
+                         lambda g: [name for _, name in g], log,
+                         "conditions resume in place on re-invoke"):
+            break
         names = [name for _, name in group]
         # per-condition init isolation: one condition's torn sibling or
         # unreadable checkpoint must not take down its co-grouped (healthy)
@@ -506,13 +518,6 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
             log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e} "
                 f"(incomplete conditions: {bad})")
             failed.extend(bad)
-        if _poll_preempt(preempt_guard) and gi + 1 < len(groups):
-            remaining = [name for g in groups[gi + 1:] for _, name in g]
-            preempt_guard.undispatched = remaining
-            log(f"Preemption requested - stopping the batched grid with "
-                f"{len(remaining)} undispatched condition(s): {remaining} "
-                f"(conditions resume in place on re-invoke)")
-            break
     return failed
 
 
