@@ -239,3 +239,60 @@ class TestReviewFixes:
             pre = _http_preprocess(norm)
             np.testing.assert_allclose(pre(u8), pre(f01),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestHttpRobustness:
+    def test_garbage_requests_never_kill_the_daemon(self):
+        """Random garbage bodies/paths/queries always produce an HTTP error
+        response (or a clean 413 close) — never an unhandled exception that
+        drops the connection or kills a handler thread — and the daemon
+        still serves a valid request afterwards."""
+        import http.client
+        eng = _engine()
+        d = ServingDaemon(eng, image_shape=(TINY.image_size, TINY.image_size,
+                                            3), port=0, max_delay_ms=1.0,
+                          max_body_mb=1.0)
+        d.start()
+        rs = np.random.RandomState(0)
+        try:
+            cases = [
+                ("POST", "/v1/predict", rs.bytes(64)),            # not npy
+                ("POST", "/v1/predict", b""),                      # empty
+                ("POST", "/v1/predict?topk=", rs.bytes(16)),       # bad topk
+                ("POST", "/v1/predict?topk=-3", _npy(_images(1))), # neg topk
+                ("POST", "/v1/nope", rs.bytes(32)),                # bad route
+                ("POST", "/v1/predict", _npy(np.zeros((2, 2), np.float32))),
+                ("GET", "/v1/predict", None),                      # bad verb
+                ("POST", "/v1/predict",
+                 _npy(np.zeros((99, 99), np.uint8))),              # bad shape
+            ]
+            for method, path, body in cases:
+                conn = http.client.HTTPConnection("127.0.0.1", d.port,
+                                                  timeout=60)
+                try:
+                    conn.request(method, path, body=body)
+                    resp = conn.getresponse()
+                    assert 200 <= resp.status < 600
+                    resp.read()
+                finally:
+                    conn.close()
+            # oversized body: rejected by declared length (413, conn closed)
+            conn = http.client.HTTPConnection("127.0.0.1", d.port, timeout=60)
+            try:
+                conn.request("POST", "/v1/predict",
+                             body=b"x" * (2 << 20))
+                assert conn.getresponse().status == 413
+            finally:
+                conn.close()
+            # the daemon still serves correctly after all of the above
+            imgs = _images(2)
+            got = np.load(io.BytesIO(_post_npy(d.port, imgs).read()))
+            np.testing.assert_allclose(got, eng(imgs), rtol=1e-6, atol=1e-6)
+        finally:
+            d.shutdown()
+
+
+def _npy(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
