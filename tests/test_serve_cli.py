@@ -115,3 +115,46 @@ class TestClipServeCLI:
             rows = list(csv.DictReader(f))
         assert len(rows) == 5
         assert all(np.isfinite(float(r["top1_score"])) for r in rows)
+
+
+class TestAotExportCLI:
+    def test_export_then_serve_equals_live(self, image_dir, vit_checkpoint,
+                                           tmp_path):
+        """--export_dir writes the artifact; --from_export serves it and the
+        predictions CSV equals the live engine's byte-for-byte."""
+        art = str(tmp_path / "artifact")
+        rc = _run(["--export_dir", art, "--model", "test-tiny",
+                   "--checkpoint", vit_checkpoint, "--buckets", "4,8",
+                   "--param_dtype", "f32"])
+        assert rc == 0
+        assert os.path.exists(os.path.join(art, "manifest.json"))
+
+        live_out = str(tmp_path / "live.csv")
+        _run(["--images", image_dir, "--out", live_out, "--model",
+              "test-tiny", "--checkpoint", vit_checkpoint,
+              "--buckets", "4,8", "--param_dtype", "f32"])
+        aot_out = str(tmp_path / "aot.csv")
+        rc = _run(["--from_export", art, "--images", image_dir,
+                   "--out", aot_out])
+        assert rc == 0
+        assert open(aot_out).read() == open(live_out).read()
+
+    def test_export_features_mode_pinned_by_manifest(self, image_dir,
+                                                     vit_checkpoint,
+                                                     tmp_path):
+        """A features artifact serves features even without --mode (the
+        manifest pins the output surface)."""
+        art = str(tmp_path / "feat_art")
+        _run(["--export_dir", art, "--model", "test-tiny",
+              "--checkpoint", vit_checkpoint, "--buckets", "8",
+              "--param_dtype", "f32", "--mode", "features"])
+        out = str(tmp_path / "emb.npy")
+        rc = _run(["--from_export", art, "--images", image_dir,
+                   "--out", out])
+        assert rc == 0
+        assert np.load(out).shape == (5, TINY.width)
+
+    def test_export_and_from_export_are_exclusive(self, tmp_path):
+        with pytest.raises(SystemExit):
+            _run(["--export_dir", str(tmp_path / "a"),
+                  "--from_export", str(tmp_path / "b")])

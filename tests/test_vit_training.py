@@ -232,6 +232,53 @@ class TestViTTraining:
                 tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1),
                 zero1=True, pp_stages=2, pp_micro=2))
 
+    def test_fsdp_matches_replicated_and_shards_params(self,
+                                                       imagenet_fixture,
+                                                       tmp_path):
+        """FSDP (--fsdp) changes WHERE the params and momentum live (1/N
+        per chip; XLA all-gathers weights at use and reduce-scatters grads),
+        never the numbers: trajectory and final checkpoint equal the
+        replicated dp run's, and the live param AND momentum leaves really
+        are sharded over 'data'. Also composes with grad_accum (the scanned
+        microbatch grads accumulate in the sharded layout)."""
+        import dataclasses
+        base_out = str(tmp_path / "base")
+        run_vit_training(tiny_cfg(imagenet_fixture, base_out, epochs=2),
+                         vit_cfg=TINY)
+        f_out = str(tmp_path / "fsdp")
+        res = run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, f_out, epochs=2), fsdp=True,
+            grad_accum=2), vit_cfg=TINY)
+
+        base = pd.read_csv(os.path.join(base_out, "training_metrics.csv"))
+        fs = pd.read_csv(os.path.join(f_out, "training_metrics.csv"))
+        np.testing.assert_allclose(fs["train_loss"], base["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(fs["val_loss"], base["val_loss"],
+                                   rtol=1e-4)
+        from vit_project_tpu.ckpt import vit_ckpt
+        ck_b = vit_ckpt.load_checkpoint(
+            os.path.join(base_out, "checkpoint_latest.pth"))
+        ck_f = vit_ckpt.load_checkpoint(
+            os.path.join(f_out, "checkpoint_latest.pth"))
+        for a, b in zip(jax.tree_util.tree_leaves(ck_f["params"]),
+                        jax.tree_util.tree_leaves(ck_b["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+        for tree in (res["params"], res["momentum_buf"]):
+            sharded = [x for x in jax.tree_util.tree_leaves(tree)
+                       if x.ndim >= 1 and x.shape[0] % 8 == 0]
+            assert sharded and all(not x.sharding.is_fully_replicated
+                                   for x in sharded)
+
+    def test_fsdp_rejects_pp(self, imagenet_fixture):
+        import dataclasses
+        with pytest.raises(ValueError, match="fsdp"):
+            from vit_project_tpu.train.vit_loop import ViTTrainer
+            ViTTrainer(TINY, dataclasses.replace(
+                tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1),
+                fsdp=True, pp_stages=2, pp_micro=2))
+
     def test_grad_accum_matches_unsplit(self, imagenet_fixture, tmp_path):
         """grad_accum=2 (two scanned gradient microbatches per step) trains
         the same trajectory as the unsplit step — CE is a mean over the

@@ -219,8 +219,21 @@ def main(argv=None):
     ap.add_argument("--quantize", choices=["int8"], default=None)
     ap.add_argument("--depth", type=int, default=2,
                     help="map_stream in-flight chunks")
+    ap.add_argument("--export_dir", default=None,
+                    help="build the engine, serialize its bucket programs + "
+                         "params as an AOT artifact (serve/export.py) to "
+                         "this directory, and exit — later `--from_export` "
+                         "serves the artifact with no model tracing")
+    ap.add_argument("--from_export", default=None,
+                    help="serve from an --export_dir artifact instead of "
+                         "building an engine (model/checkpoint/bucket flags "
+                         "are ignored; the manifest pins them)")
     args = ap.parse_args(argv)
-    if args.http_port is None and (not args.images or not args.out):
+    if args.export_dir and args.from_export:
+        ap.error("--export_dir produces an artifact, --from_export consumes "
+                 "one; pass at most one of them")
+    if (args.http_port is None and not args.export_dir
+            and (not args.images or not args.out)):
         # fail BEFORE the (possibly minutes-long) engine/checkpoint build
         ap.error("batch mode needs --images and --out "
                  "(or pass --http_port for the online daemon)")
@@ -230,13 +243,42 @@ def main(argv=None):
     from ..core.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
-    if args.clip_weights:
+    if args.from_export:
+        from ..serve.export import load_serving
+        eng = load_serving(args.from_export)
+        size = eng.manifest["example_shape"][0]
+        norm = eng.manifest.get("normalize")
+        if norm is not None:
+            norm = (tuple(norm[0]), tuple(norm[1]))
+        # the artifact pins the output surface; ignore a stale --mode
+        args.mode = eng.manifest.get("mode", args.mode)
+        print(f"loaded AOT artifact {args.from_export} "
+              f"(buckets {eng.buckets}, platform "
+              f"{eng.manifest['platforms']})", flush=True)
+    elif args.clip_weights:
         eng, size, norm = build_clip_engine(args)
         if args.mode == "features":
             raise SystemExit("--mode features is the ViT surface; the CLIP "
                              "engine serves [B,66] behavioral scores")
     else:
         eng, size, norm = build_vit_engine(args)
+
+    if args.export_dir:
+        from ..serve.export import export_serving
+        # float32 input dtype serves BOTH request paths losslessly: the
+        # batch reader's uint8 (ViT raw 0..255 — upcast exact) and the HTTP
+        # daemon's float32. The normalize constants (CLIP host-side
+        # preprocessing) ride the manifest so --from_export rebuilds the
+        # same preprocessing.
+        manifest = export_serving(
+            eng, (size, size, 3), args.export_dir,
+            input_dtype=np.float32,
+            extra={"normalize": norm, "mode": args.mode,
+                   "model": args.model})
+        print(f"exported {len(manifest['buckets'])} bucket programs + "
+              f"params to {args.export_dir} "
+              f"(platforms {manifest['platforms']})")
+        return 0
 
     if args.http_port is not None:
         from ..serve import ServingDaemon

@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the SGD momentum over the data axis (ZeRO-1):"
                         " ~Nx less optimizer memory per chip for one "
                         "all-gather per step; numbers unchanged")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard the model params AND momentum over the data "
+                        "axis (FSDP/ZeRO-3): ~Nx less param+optimizer "
+                        "memory per chip — XLA all-gathers each weight at "
+                        "use and reduce-scatters its grad; numbers "
+                        "unchanged; subsumes --zero1 (dp-only)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="split each batch into N gradient microbatches "
                         "inside one jitted step (lax.scan): peak activation "
@@ -131,7 +137,8 @@ def main(argv=None):
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
-        zero1=args.zero1, host_prefetch=args.host_prefetch,
+        zero1=args.zero1, fsdp=args.fsdp,
+        host_prefetch=args.host_prefetch,
         sp_devices=args.sp_devices, sp_ring=args.sp_ring,
         ep_devices=args.ep_devices, moe_experts=args.moe_experts,
         moe_topk=args.moe_topk, preempt_save=not args.no_preempt_save,

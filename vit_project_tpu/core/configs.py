@@ -160,6 +160,13 @@ class ViTTrainConfig:
                          # (ZeRO-1): per-chip optimizer state drops ~Nx for
                          # one all-gather per step; numbers unchanged.
                          # dp-only (not with pp_stages).
+    fsdp: bool = False  # shard the PARAMS (and momentum) over the 'data'
+                        # axis (FSDP / ZeRO-3, parallel/mesh.
+                        # shard_params_fsdp): per-chip param + optimizer
+                        # memory drops ~Nx; XLA inserts the per-weight
+                        # all-gathers and grad reduce-scatters. Numbers
+                        # unchanged. dp-only (not with pp/ep); subsumes
+                        # zero1.
     sp_devices: int = 1  # >1: sequence parallelism — activations token-
                          # sharded over the 'model' axis of a
                          # ('data','model') mesh (parallel/mesh.seq_sharding)

@@ -109,15 +109,19 @@ class ViTTrainer:
                              f"axis, got {self.mesh.axis_names}")
         self._seq_shard = vmesh.seq_sharding(self.mesh) if self.sp else None
         self.zero1 = getattr(train_cfg, "zero1", False)
-        if self.zero1 and self.pp:
-            raise ValueError("zero1 shards over the 'data' axis of the dp "
-                             "mesh; it does not compose with pp_stages")
-        if self.zero1 and self.ep:
+        self.fsdp = getattr(train_cfg, "fsdp", False)
+        if self.fsdp:
+            self.zero1 = False  # fsdp's constraints shard the momentum too
+        if (self.zero1 or self.fsdp) and self.pp:
+            raise ValueError("zero1/fsdp shard over the 'data' axis of the "
+                             "dp mesh; they do not compose with pp_stages")
+        if (self.zero1 or self.fsdp) and self.ep:
             raise ValueError(
-                "zero1 does not compose with ep_devices: its step "
+                "zero1/fsdp do not compose with ep_devices: their step "
                 "constraints would pin the expert-sharded FFN weights "
-                "replicated (defeating expert parallelism) and reshard the "
-                "momentum between 'expert' and 'data' every step")
+                "to the 'data' layout (defeating expert parallelism) and "
+                "reshard the momentum between 'expert' and 'data' every "
+                "step")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
@@ -228,11 +232,13 @@ class ViTTrainer:
                 new_buf = jax.tree_util.tree_map(
                     lambda p, g, b: momentum * b + (g + wd * p),
                     params, grads, momentum_buf)
-                if self.zero1:
-                    # pin the buffer SHARDED and the params REPLICATED: the
-                    # p - lr*buf contraction then lowers to exactly ZeRO-1's
-                    # per-step all-gather of the update, and each chip keeps
-                    # only its 1/N slice of the momentum between steps
+                if self.zero1 or self.fsdp:
+                    # pin the buffer SHARDED: under zero1 this makes the
+                    # p - lr*buf contraction lower to exactly ZeRO-1's
+                    # per-step all-gather of the update; under fsdp the
+                    # grads feeding it reduce-scatter instead (params stay
+                    # sharded below, so nothing re-gathers here). Each chip
+                    # keeps only its 1/N momentum slice between steps.
                     new_buf = jax.tree_util.tree_map(
                         lambda x: jax.lax.with_sharding_constraint(
                             x, vmesh.zero1_sharding(self.mesh, x)), new_buf)
@@ -242,6 +248,13 @@ class ViTTrainer:
                     rep = vmesh.replicated(self.mesh)
                     new_params = jax.tree_util.tree_map(
                         lambda x: jax.lax.with_sharding_constraint(x, rep),
+                        new_params)
+                elif self.fsdp:
+                    # FSDP: params LIVE sharded — the next step's forward
+                    # all-gathers each weight right before its matmuls
+                    new_params = jax.tree_util.tree_map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, vmesh.zero1_sharding(self.mesh, x)),
                         new_params)
                 return new_params, new_buf, loss
 
@@ -585,6 +598,11 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         # expert FFNs (and their momentum) live sharded over 'expert'
         params = vmesh.shard_vit_params_ep(mesh, params)
         momentum_buf = vmesh.shard_vit_params_ep(mesh, momentum_buf)
+    elif cfg.fsdp:
+        # FSDP: params AND momentum live 1/N per chip; the step's sharding
+        # constraints keep them there (XLA gathers weights on use)
+        params = vmesh.shard_params_fsdp(mesh, params)
+        momentum_buf = vmesh.shard_params_fsdp(mesh, momentum_buf)
     else:
         params = vmesh.replicate(mesh, params)
         momentum_buf = (vmesh.shard_opt_state(mesh, momentum_buf)
