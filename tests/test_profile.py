@@ -92,3 +92,46 @@ class TestBucketing:
         p = tmp_path / "raw.json"
         p.write_text(json.dumps(ROWS))
         assert json.loads(p.read_text())[0]["c"][2]["v"] == "convolution fusion"
+
+
+class TestMemoryMode:
+    """--memory: abstract lowering + XLA buffer-assignment stats. Runs on
+    the test env's 8-virtual-device CPU mesh — the whole point of the mode
+    is that it needs no real chip."""
+
+    def _stats(self, **kw):
+        kw.setdefault("compute_dtype", "float32")
+        return prof.analyze_memory("test-tiny", 4, **kw)
+
+    def test_dp_stats_and_render(self):
+        ma, n_dev, gb = self._stats()
+        assert n_dev == 8
+        assert ma.peak_memory_in_bytes > 0
+        assert ma.argument_size_in_bytes > 0
+        assert gb["params"] == gb["momentum"] > 0
+        out = prof.render_memory(ma, n_dev, gb)
+        assert "compiled per-device memory (SPMD over 8 device(s))" in out
+        assert "peak live" in out and "global (unsharded)" in out
+
+    def test_fsdp_and_zero1_shrink_per_device_arguments(self):
+        # dp: params + momentum replicated per device; zero1: momentum 1/8;
+        # fsdp: both 1/8 — strict ordering of per-device argument bytes
+        # (the batch shards over 'data' identically in all three)
+        dp = self._stats()[0].argument_size_in_bytes
+        z1 = self._stats(zero1=True)[0].argument_size_in_bytes
+        fs = self._stats(fsdp=True)[0].argument_size_in_bytes
+        assert fs < z1 < dp, (fs, z1, dp)
+
+    def test_cli_prints_table(self, capsys):
+        rc = prof.main(["--memory", "--model", "test-tiny", "--batch", "4",
+                        "--compute_dtype", "float32", "--fsdp"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "fsdp" in out and "| buffer class | bytes/device |" in out
+
+    def test_trace_mode_refuses_memory_only_flags(self):
+        import pytest
+        with pytest.raises(SystemExit):
+            prof.main(["--fsdp", "--model", "test-tiny"])
+        with pytest.raises(SystemExit):
+            prof.main(["--virtual_devices", "4", "--model", "test-tiny"])

@@ -158,3 +158,49 @@ class TestAotExportCLI:
         with pytest.raises(SystemExit):
             _run(["--export_dir", str(tmp_path / "a"),
                   "--from_export", str(tmp_path / "b")])
+
+    def test_clip_export_normalize_rides_manifest(self, image_dir, tmp_path):
+        """A CLIP-HBA artifact reproduces the live scores byte-for-byte:
+        the host-side normalize constants (THINGS mean/std) and the scoring
+        mode travel in the manifest, so --from_export needs none of the
+        CLIP flags (weights, vocab, DoRA) at serve time."""
+        import json
+        import torch
+        from test_clip_conversion import TorchCLIP
+        torch.manual_seed(0)
+        weights = tmp_path / "tiny_clip.pt"
+        torch.save(TorchCLIP().eval().state_dict(), weights)
+
+        base = ["--clip_weights", str(weights), "--buckets", "8",
+                "--param_dtype", "f32", "--allow_hash_tokenizer",
+                "--topk", "2"]
+        art = str(tmp_path / "clip_art")
+        rc = _run(base + ["--export_dir", art])
+        assert rc == 0
+        m = json.load(open(os.path.join(art, "manifest.json")))
+        assert m["normalize"] is not None and len(m["normalize"]) == 2
+
+        live = str(tmp_path / "live.csv")
+        _run(base + ["--images", image_dir, "--out", live])
+        aot = str(tmp_path / "aot.csv")
+        rc = _run(["--from_export", art, "--images", image_dir,
+                   "--out", aot, "--topk", "2"])
+        assert rc == 0
+        assert open(aot).read() == open(live).read()
+
+    def test_int8_quantized_export(self, image_dir, vit_checkpoint,
+                                   tmp_path):
+        """--quantize int8 engines export too: the quantized param tree
+        (int8 weights + scales) is the stored params, and the artifact
+        serves the same CSV as the live quantized engine."""
+        base = ["--model", "test-tiny", "--checkpoint", vit_checkpoint,
+                "--buckets", "8", "--param_dtype", "f32",
+                "--quantize", "int8"]
+        art = str(tmp_path / "q_art")
+        assert _run(base + ["--export_dir", art]) == 0
+        live = str(tmp_path / "live.csv")
+        _run(base + ["--images", image_dir, "--out", live])
+        aot = str(tmp_path / "aot.csv")
+        assert _run(["--from_export", art, "--images", image_dir,
+                     "--out", aot]) == 0
+        assert open(aot).read() == open(live).read()

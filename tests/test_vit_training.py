@@ -271,6 +271,71 @@ class TestViTTraining:
             assert sharded and all(not x.sharding.is_fully_replicated
                                    for x in sharded)
 
+    def test_tp_training_matches_dp_and_saves_flat(self, imagenet_fixture,
+                                                   tmp_path):
+        """tp_devices=2 (--tp_devices): block weights live model-sharded in
+        the head-aligned [D,3,D] layout over a ('data','model') mesh — same
+        math as dp (XLA resolves one all-reduce per block), checkpoints
+        flatten back to the solo layout, and dp and tp runs resume each
+        other (the tp resume re-shards the flat checkpoint)."""
+        import dataclasses
+        dp_out = str(tmp_path / "dp")
+        run_vit_training(tiny_cfg(imagenet_fixture, dp_out, epochs=2),
+                         vit_cfg=TINY)
+        tp_out = str(tmp_path / "tp")
+        res = run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, tp_out, epochs=2), tp_devices=2),
+            vit_cfg=TINY)
+
+        dp = pd.read_csv(os.path.join(dp_out, "training_metrics.csv"))
+        tp = pd.read_csv(os.path.join(tp_out, "training_metrics.csv"))
+        np.testing.assert_allclose(tp["train_loss"], dp["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(tp["val_loss"], dp["val_loss"], rtol=1e-4)
+        np.testing.assert_allclose(tp["val_acc"], dp["val_acc"], atol=1e-3)
+
+        # the LIVE tree kept the tp layout and sharding through training
+        for bp in res["params"]["blocks"]:
+            assert bp["qkv_w"].ndim == 3
+            assert not bp["qkv_w"].sharding.is_fully_replicated
+
+        # checkpoints are FLAT and equal to the dp run's
+        from vit_project_tpu.ckpt import vit_ckpt
+        ck_dp = vit_ckpt.load_checkpoint(
+            os.path.join(dp_out, "checkpoint_latest.pth"))
+        ck_tp = vit_ckpt.load_checkpoint(
+            os.path.join(tp_out, "checkpoint_latest.pth"))
+        for bp in ck_tp["params"]["blocks"]:
+            assert np.asarray(bp["qkv_w"]).ndim == 2
+        for a, b in zip(jax.tree_util.tree_leaves(ck_tp["params"]),
+                        jax.tree_util.tree_leaves(ck_dp["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+        # dp resumes the tp run's tree; a tp run resumes the dp run's
+        run_vit_training(tiny_cfg(imagenet_fixture, tp_out, epochs=3),
+                         vit_cfg=TINY)
+        assert list(pd.read_csv(os.path.join(
+            tp_out, "training_metrics.csv"))["epoch"]) == [0, 1, 2]
+        run_vit_training(dataclasses.replace(
+            tiny_cfg(imagenet_fixture, dp_out, epochs=3), tp_devices=2),
+            vit_cfg=TINY)
+        assert list(pd.read_csv(os.path.join(
+            dp_out, "training_metrics.csv"))["epoch"]) == [0, 1, 2]
+
+    def test_tp_rejects_conflicting_modes(self, imagenet_fixture):
+        import dataclasses
+        from vit_project_tpu.train.vit_loop import ViTTrainer
+        base = tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1)
+        with pytest.raises(ValueError, match="tp_devices"):
+            ViTTrainer(TINY, dataclasses.replace(base, tp_devices=2,
+                                                 sp_devices=2))
+        with pytest.raises(ValueError, match="tp_devices"):
+            ViTTrainer(TINY, dataclasses.replace(base, tp_devices=2,
+                                                 fsdp=True))
+        with pytest.raises(ValueError, match="heads"):
+            ViTTrainer(TINY, dataclasses.replace(base, tp_devices=3))
+
     def test_fsdp_rejects_pp(self, imagenet_fixture):
         import dataclasses
         with pytest.raises(ValueError, match="fsdp"):

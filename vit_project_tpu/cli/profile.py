@@ -19,6 +19,17 @@ so the perf story in BASELINE.md is one command to re-derive on any chip:
 Needs a real accelerator plane (TPU): the converter's hlo_stats tool is
 empty for host-CPU execution. The classification itself (`bucket_of`,
 `summarize`) is pure and unit-tested on synthetic tables.
+
+`--memory` is the compile-only sibling: it lowers the SAME production step
+abstractly (ShapeDtypeStruct args — no weights materialized, no execution)
+and prints XLA's buffer-assignment memory analysis (arguments / donated /
+outputs / temps / peak, per device), the fits-on-chip planner for
+`--remat`, `--grad_accum`, `--fsdp`, `--zero1`. Runs on any backend;
+`--virtual_devices N` re-execs over an N-device virtual CPU mesh to plan
+pod memory from a chipless host:
+
+    python -m vit_project_tpu.cli.profile --memory --batch 64 \
+        --fsdp --virtual_devices 8
 """
 from __future__ import annotations
 
@@ -137,6 +148,143 @@ def hlo_stats_rows(trace_dir: str):
     return data["rows"]
 
 
+def _mib(n: float) -> str:
+    return f"{n / (1 << 20):,.1f} MiB"
+
+
+def tree_bytes(shapes) -> int:
+    """Global (unsharded) bytes of a ShapeDtypeStruct / array pytree."""
+    import jax
+    import numpy as np
+    return sum(int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+               for x in jax.tree_util.tree_leaves(shapes))
+
+
+def render_memory(ma, n_dev: int, global_bytes: dict) -> str:
+    """CompiledMemoryStats + global tree sizes -> the planning table.
+
+    Every XLA figure is PER DEVICE (the SPMD module is per-device); the
+    `global_bytes` dict gives the unsharded tree sizes for contrast, so the
+    fsdp/zero1 sharding factor is visible at a glance."""
+    lines = [f"compiled per-device memory (SPMD over {n_dev} device(s)):",
+             "",
+             "| buffer class | bytes/device |",
+             "|---|---|",
+             f"| arguments (params + momentum + batch) | "
+             f"{_mib(ma.argument_size_in_bytes)} |",
+             f"| donated/aliased (params, momentum -> outputs) | "
+             f"{_mib(ma.alias_size_in_bytes)} |",
+             f"| outputs | {_mib(ma.output_size_in_bytes)} |",
+             f"| temps (activations, grads, collectives) | "
+             f"{_mib(ma.temp_size_in_bytes)} |",
+             f"| **peak live** | **{_mib(ma.peak_memory_in_bytes)}** |",
+             f"| generated code | {_mib(ma.generated_code_size_in_bytes)} |",
+             "",
+             "global (unsharded) tree sizes for reference:"]
+    for name, b in global_bytes.items():
+        lines.append(f"  {name}: {_mib(b)} ({_mib(b / n_dev)}/device if "
+                     "fully sharded)")
+    return "\n".join(lines)
+
+
+def analyze_memory(model: str, batch: int, *, compute_dtype="bfloat16",
+                   remat=False, grad_accum=1, fsdp=False, zero1=False):
+    """Abstractly lower + compile the production train step at the given
+    flags and return (CompiledMemoryStats, n_devices, global_bytes dict) —
+    the fits-on-chip planner for --remat/--grad_accum/--fsdp/--zero1. No
+    step is executed and no weights are materialized (ShapeDtypeStruct
+    lowering), so it runs anywhere, including a chipless host."""
+    import jax
+    import numpy as np
+    from ..core.configs import ViTTrainConfig
+    from ..models import vit as vvit
+    from ..parallel import mesh as vmesh
+    from ..train.vit_loop import ViTTrainer
+
+    vit_cfg = vvit.VIT_CONFIGS[model]
+    tcfg = ViTTrainConfig(batch_size=batch, compute_dtype=compute_dtype,
+                          remat=remat, grad_accum=grad_accum,
+                          fsdp=fsdp, zero1=zero1)
+    mesh = vmesh.make_mesh()
+    trainer = ViTTrainer(vit_cfg, tcfg, mesh)
+    # key passed as an eval_shape ARGUMENT so the init traces abstractly
+    # (a closed-over concrete key would constant-fold the init eagerly)
+    pshapes = jax.eval_shape(lambda k: vvit.init_vit_params(k, vit_cfg),
+                             jax.random.PRNGKey(0))
+
+    rep = vmesh.replicated(mesh)
+    pshard = ((lambda x: vmesh.zero1_sharding(mesh, x)) if fsdp
+              else (lambda x: rep))
+    bshard = ((lambda x: vmesh.zero1_sharding(mesh, x))
+              if (fsdp or zero1) else (lambda x: rep))
+
+    def sds(tree, sh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh(x)),
+            tree)
+
+    n_dev = mesh.devices.size
+    n = batch * n_dev
+    side = vit_cfg.image_size
+    ds = vmesh.data_sharding(mesh)
+    img_s = jax.ShapeDtypeStruct((n, side, side, 3), np.dtype(np.uint8),
+                                 sharding=ds)
+    lbl_s = jax.ShapeDtypeStruct((n,), np.dtype(np.int32), sharding=ds)
+    step = trainer._make_train_step(None)
+    lowered = step.lower(sds(pshapes, pshard), sds(pshapes, bshard),
+                         img_s, lbl_s, 0.1, jax.random.PRNGKey(1), 0.1)
+    ma = lowered.compile().memory_analysis()
+    global_bytes = {
+        "params": tree_bytes(pshapes),
+        "momentum": tree_bytes(pshapes),
+        "batch (uint8 images + labels)": (tree_bytes([img_s])
+                                          + tree_bytes([lbl_s])),
+    }
+    return ma, n_dev, global_bytes
+
+
+def _memory_main(args) -> int:
+    ma, n_dev, global_bytes = analyze_memory(
+        args.model, args.batch, compute_dtype=args.compute_dtype,
+        remat=args.remat, grad_accum=args.grad_accum,
+        fsdp=args.fsdp, zero1=args.zero1)
+    flags = [f for f, on in (("remat", args.remat), ("fsdp", args.fsdp),
+                             ("zero1", args.zero1)) if on]
+    if args.grad_accum > 1:
+        flags.append(f"grad_accum={args.grad_accum}")
+    print(f"{args.model} train step, global batch {args.batch * n_dev}, "
+          f"{args.compute_dtype}" + (f", {'+'.join(flags)}" if flags else ""))
+    print(render_memory(ma, n_dev, global_bytes))
+    return 0
+
+
+def _reexec_virtual(args, argv) -> int:
+    """Re-run this CLI in a subprocess seeing N virtual CPU devices (the
+    dryrun_multichip recipe — the calling process may already have pinned a
+    1-chip backend, which cannot be undone in-process)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(
+        f"--xla_force_host_platform_device_count={args.virtual_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip remote-plugin registration
+    child = list(argv)
+    if "--virtual_devices" in child:  # split form: flag + value
+        i = child.index("--virtual_devices")
+        del child[i:i + 2]
+    else:  # --virtual_devices=N form
+        child = [a for a in child
+                 if not a.startswith("--virtual_devices=")]
+    return subprocess.run(
+        [sys.executable, "-m", "vit_project_tpu.cli.profile"] + child,
+        env=env).returncode
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--model", default="vit_base_patch16_224",
@@ -155,11 +303,36 @@ def parse_args(argv=None):
                    help="dump the raw hlo_stats JSON table to this path")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--memory", action="store_true",
+                   help="compile-only: print XLA's per-device memory "
+                        "analysis of the step instead of tracing execution "
+                        "(no weights materialized, runs without a TPU)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="analyze the FSDP/ZeRO-3 step (params + momentum "
+                        "sharded 1/N; --memory mode)")
+    p.add_argument("--zero1", action="store_true",
+                   help="analyze the ZeRO-1 step (momentum sharded 1/N; "
+                        "--memory mode)")
+    p.add_argument("--virtual_devices", type=int, default=None,
+                   help="with --memory: re-exec over an N-device virtual "
+                        "CPU mesh (plan pod memory from any host)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
     args = parse_args(argv)
+    if args.virtual_devices and not args.memory:
+        raise SystemExit("--virtual_devices is a --memory planning option "
+                         "(tracing needs real devices)")
+    if args.memory:
+        if args.virtual_devices:
+            return _reexec_virtual(args, argv)
+        return _memory_main(args)
+    if args.fsdp or args.zero1:
+        raise SystemExit("--fsdp/--zero1 profiling applies to --memory mode; "
+                         "trace mode runs the plain dp step")
     import jax
     import numpy as np
     from ..core.compile_cache import enable_persistent_cache

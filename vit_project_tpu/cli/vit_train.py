@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the SGD momentum over the data axis (ZeRO-1):"
                         " ~Nx less optimizer memory per chip for one "
                         "all-gather per step; numbers unchanged")
+    p.add_argument("--tp_devices", type=int, default=1,
+                   help="Megatron tensor parallelism: block weights sharded "
+                        "over the 'model' axis of a ('data','model') mesh "
+                        "(head-aligned qkv; one all-reduce per block); "
+                        "checkpoints stay flat so dp and tp runs resume "
+                        "each other; must divide the model heads")
     p.add_argument("--fsdp", action="store_true",
                    help="shard the model params AND momentum over the data "
                         "axis (FSDP/ZeRO-3): ~Nx less param+optimizer "
@@ -137,7 +143,7 @@ def main(argv=None):
         data_echo=args.data_echo,
         pp_stages=args.pp_stages, pp_micro=args.pp_micro,
         grad_accum=args.grad_accum, device_prefetch=args.device_prefetch,
-        zero1=args.zero1, fsdp=args.fsdp,
+        zero1=args.zero1, fsdp=args.fsdp, tp_devices=args.tp_devices,
         host_prefetch=args.host_prefetch,
         sp_devices=args.sp_devices, sp_ring=args.sp_ring,
         ep_devices=args.ep_devices, moe_experts=args.moe_experts,

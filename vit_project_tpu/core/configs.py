@@ -167,6 +167,14 @@ class ViTTrainConfig:
                         # all-gathers and grad reduce-scatters. Numbers
                         # unchanged. dp-only (not with pp/ep); subsumes
                         # zero1.
+    tp_devices: int = 1  # >1: Megatron-style tensor parallelism — block
+                         # weights sharded over the 'model' axis of a
+                         # ('data','model') mesh (parallel/mesh.
+                         # shard_vit_params_tp: head-aligned [D,3,D] qkv,
+                         # col/row-split MLP; one all-reduce per block).
+                         # Checkpoints stay in the flat solo layout, so dp
+                         # and tp runs resume each other. Must divide
+                         # model heads; exclusive with sp/pp/ep/zero1/fsdp.
     sp_devices: int = 1  # >1: sequence parallelism — activations token-
                          # sharded over the 'model' axis of a
                          # ('data','model') mesh (parallel/mesh.seq_sharding)

@@ -143,6 +143,27 @@ def shard_vit_params_tp(mesh: Mesh, params: dict,
     return out
 
 
+def unshard_vit_params_tp(params: dict) -> dict:
+    """Inverse of shard_vit_params_tp's LAYOUT change: reshape the
+    head-aligned qkv leaves ([D, 3, D] weight, [3, D] bias) back to the flat
+    solo layout ([D, 3D] / [3D]) so a tp run's checkpoints are
+    byte-compatible with dp/pp runs (same contract as pipeline.
+    unstage_blocks). Pure tree transform — placement is untouched; callers
+    persisting the result fetch to host anyway (the reshape merges the
+    model-sharded minor axis, i.e. the save pays tp's one gather)."""
+    def unshard_block(bp: dict) -> dict:
+        out = dict(bp)
+        w = bp["qkv_w"]
+        if getattr(w, "ndim", 2) == 3:
+            out["qkv_w"] = w.reshape(w.shape[0], -1)
+            out["qkv_b"] = bp["qkv_b"].reshape(-1)
+        return out
+
+    out = dict(params)
+    out["blocks"] = [unshard_block(bp) for bp in params["blocks"]]
+    return out
+
+
 def seq_sharding(mesh: Mesh) -> NamedSharding:
     """Sequence-parallel constraint for [B, S, D] activations: batch over
     'data', TOKENS over 'model' (Megatron-SP rides the tensor-parallel axis).

@@ -74,10 +74,20 @@ class ViTTrainer:
         self.n_micro = getattr(train_cfg, "pp_micro", 1)
         self.sp = getattr(train_cfg, "sp_devices", 1) > 1
         self.ep = getattr(train_cfg, "ep_devices", 1) > 1
+        self.tp = getattr(train_cfg, "tp_devices", 1) > 1
         self.moe = getattr(vit_cfg, "moe_experts", 0) > 0
-        if sum((self.pp, self.sp, self.ep)) > 1:
-            raise ValueError("pp_stages / sp_devices / ep_devices each need "
-                             "their own second mesh axis; enable at most one")
+        if sum((self.pp, self.sp, self.ep, self.tp)) > 1:
+            raise ValueError("pp_stages / sp_devices / ep_devices / "
+                             "tp_devices each need the whole second mesh "
+                             "axis; enable at most one")
+        if self.tp and self.moe:
+            raise ValueError("tp_devices does not compose with MoE blocks: "
+                             "the expert FFNs shard over 'expert', not "
+                             "'model' (use ep_devices)")
+        if self.tp and vit_cfg.heads % train_cfg.tp_devices != 0:
+            raise ValueError(f"tp_devices ({train_cfg.tp_devices}) must "
+                             f"divide the model heads ({vit_cfg.heads}) for "
+                             "head-aligned qkv sharding")
         if self.ep and not self.moe:
             raise ValueError("ep_devices > 1 needs a MoE model "
                              "(vit_cfg.moe_experts > 0)")
@@ -97,7 +107,8 @@ class ViTTrainer:
                 "never pads")
         self.mesh = mesh if mesh is not None else vmesh.make_mesh(
             n_stage=train_cfg.pp_stages if self.pp else 1,
-            n_model=train_cfg.sp_devices if self.sp else 1,
+            n_model=(train_cfg.sp_devices if self.sp
+                     else train_cfg.tp_devices if self.tp else 1),
             n_expert=train_cfg.ep_devices if self.ep else 1)
         if self.pp and "stage" not in self.mesh.axis_names:
             raise ValueError("pp_stages > 1 needs a mesh with a 'stage' "
@@ -106,6 +117,10 @@ class ViTTrainer:
             # shard_vit_params_ep silently replicates without the axis —
             # the run would quietly provide none of ep's memory reduction
             raise ValueError("ep_devices > 1 needs a mesh with an 'expert' "
+                             f"axis, got {self.mesh.axis_names}")
+        if self.tp and "model" not in self.mesh.axis_names:
+            # same trap as ep: shard_vit_params_tp replicates without it
+            raise ValueError("tp_devices > 1 needs a mesh with a 'model' "
                              f"axis, got {self.mesh.axis_names}")
         self._seq_shard = vmesh.seq_sharding(self.mesh) if self.sp else None
         self.zero1 = getattr(train_cfg, "zero1", False)
@@ -122,6 +137,11 @@ class ViTTrainer:
                 "to the 'data' layout (defeating expert parallelism) and "
                 "reshard the momentum between 'expert' and 'data' every "
                 "step")
+        if (self.zero1 or self.fsdp) and self.tp:
+            raise ValueError(
+                "zero1/fsdp do not compose with tp_devices: their "
+                "zero1_sharding constraints would re-layout the "
+                "model-sharded block weights to the 'data' axis every step")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
@@ -488,11 +508,13 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
     proc_id, proc_count = dist.setup_distributed()
     pp = cfg.pp_stages > 1
     sp, ep = cfg.sp_devices > 1, cfg.ep_devices > 1
-    if (pp or sp or ep) and proc_count > 1:
-        raise ValueError("pp/sp/ep meshes are single-process: one host "
+    tp = getattr(cfg, "tp_devices", 1) > 1
+    if (pp or sp or ep or tp) and proc_count > 1:
+        raise ValueError("pp/sp/ep/tp meshes are single-process: one host "
                          "drives the second mesh axis")
     mesh = vmesh.make_mesh(n_stage=cfg.pp_stages if pp else 1,
-                           n_model=cfg.sp_devices if sp else 1,
+                           n_model=(cfg.sp_devices if sp
+                                    else cfg.tp_devices if tp else 1),
                            n_expert=cfg.ep_devices if ep else 1)
     n_dev = mesh.devices.size
     log("=" * 60)
@@ -598,6 +620,15 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
         # expert FFNs (and their momentum) live sharded over 'expert'
         params = vmesh.shard_vit_params_ep(mesh, params)
         momentum_buf = vmesh.shard_vit_params_ep(mesh, momentum_buf)
+    elif tp:
+        # Megatron tp: block weights (and their momentum) live sharded over
+        # 'model' in the head-aligned [D,3,D] layout; every update is
+        # elementwise in that layout, so XLA keeps it across steps.
+        # Checkpoints flatten back via unshard_vit_params_tp below.
+        params = vmesh.shard_vit_params_tp(mesh, params,
+                                           heads=trainer.vit_cfg.heads)
+        momentum_buf = vmesh.shard_vit_params_tp(mesh, momentum_buf,
+                                                 heads=trainer.vit_cfg.heads)
     elif cfg.fsdp:
         # FSDP: params AND momentum live 1/N per chip; the step's sharding
         # constraints keep them there (XLA gathers weights on use)
@@ -637,6 +668,9 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                 if pp:
                     save_p = vpp.unstage_blocks(*params)
                     save_m = vpp.unstage_blocks(*momentum_buf)
+                elif tp:
+                    save_p = vmesh.unshard_vit_params_tp(params)
+                    save_m = vmesh.unshard_vit_params_tp(momentum_buf)
                 else:
                     save_p, save_m = params, momentum_buf
                 ser.save(preempt_path, {
@@ -650,11 +684,11 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
                 return {"preempted": True, "params": params,
                         "momentum_buf": momentum_buf, "scheduler": scheduler}
             scheduler.step()
-            if cfg.host_prefetch and not pp:
+            if cfg.host_prefetch and not (pp or tp):
                 # start the checkpoint trees' d2h now so the transfer
                 # overlaps the validation dispatches below (core/hostcopy.py;
-                # pp excluded — its save tree is rebuilt by unstage_blocks
-                # after validate)
+                # pp/tp excluded — their save trees are rebuilt into the
+                # flat layout after validate)
                 hostcopy.prefetch_to_host(params, momentum_buf)
             val_loss, val_acc = trainer.validate(params, val_loader,
                                                  logger=logger)
@@ -666,6 +700,9 @@ def run_vit_training(cfg: ViTTrainConfig, logger=None,
             if pp:  # persist in the flat solo layout (dp runs can resume it)
                 save_p = vpp.unstage_blocks(*params)
                 save_m = vpp.unstage_blocks(*momentum_buf)
+            elif tp:  # same contract: flatten the head-aligned qkv leaves
+                save_p = vmesh.unshard_vit_params_tp(params)
+                save_m = vmesh.unshard_vit_params_tp(momentum_buf)
             else:
                 save_p, save_m = params, momentum_buf
             vit_ckpt.save_checkpoint(
