@@ -30,6 +30,13 @@ pod memory from a chipless host:
 
     python -m vit_project_tpu.cli.profile --memory --batch 64 \
         --fsdp --virtual_devices 8
+
+Backend fidelity: on TPU the temp figure is the real liveness-based HBM
+arena, so --remat's activation savings show up. The CPU backend allocates
+buffers individually and reports temps WITHOUT liveness reuse — argument/
+sharding effects (fsdp/zero1/tp batch sizing, grad_accum's smaller
+microbatch buffers) are exact there, but remat is invisible; the CLI
+prints a caveat when that applies.
 """
 from __future__ import annotations
 
@@ -255,6 +262,12 @@ def _memory_main(args) -> int:
     print(f"{args.model} train step, global batch {args.batch * n_dev}, "
           f"{args.compute_dtype}" + (f", {'+'.join(flags)}" if flags else ""))
     print(render_memory(ma, n_dev, global_bytes))
+    import jax
+    if jax.default_backend() != "tpu":
+        print("\nNOTE: non-TPU backend — temps/peak lack liveness reuse "
+              "(remat savings are invisible here; argument/sharding and "
+              "grad_accum figures are exact). Run on the TPU for the true "
+              "HBM arena.")
     return 0
 
 
