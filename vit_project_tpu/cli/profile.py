@@ -278,14 +278,8 @@ def _reexec_virtual(args, argv) -> int:
     import subprocess
     import sys
 
-    env = dict(os.environ)
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if not f.startswith("--xla_force_host_platform_device_count")]
-    flags.append(
-        f"--xla_force_host_platform_device_count={args.virtual_devices}")
-    env["XLA_FLAGS"] = " ".join(flags)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # skip remote-plugin registration
+    from ..core.vdev import virtual_cpu_env
+    env = virtual_cpu_env(args.virtual_devices)
     child = list(argv)
     if "--virtual_devices" in child:  # split form: flag + value
         i = child.index("--virtual_devices")
@@ -386,18 +380,23 @@ def main(argv=None):
             acc = acc + loss
         float(acc)  # one sync depending on every traced step
 
-    rows = hlo_stats_rows(trace_dir)
-    if args.raw:
-        with open(args.raw, "w") as f:
-            json.dump(rows, f)
-    table, tops = summarize(rows, args.steps)
-    print(render(table, tops, args.steps, n, args.top))
-    if args.trace_dir:
-        print(f"\ntrace kept at {trace_dir} (tensorboard --logdir {trace_dir})")
-    else:
-        import shutil
-        shutil.rmtree(trace_dir, ignore_errors=True)
+    try:
+        rows = hlo_stats_rows(trace_dir)
+        if args.raw:
+            with open(args.raw, "w") as f:
+                json.dump(rows, f)
+        table, tops = summarize(rows, args.steps)
+        print(render(table, tops, args.steps, n, args.top))
+    finally:
+        # a failed hlo_stats conversion must not leak the capture (hundreds
+        # of MB for real steps) when we own the temp dir
+        if args.trace_dir:
+            print(f"\ntrace kept at {trace_dir} "
+                  f"(tensorboard --logdir {trace_dir})")
+        else:
+            import shutil
+            shutil.rmtree(trace_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -274,7 +274,9 @@ def main(argv=None):
             eng, (size, size, 3), args.export_dir,
             input_dtype=np.float32,
             extra={"normalize": norm, "mode": args.mode,
-                   "model": args.model})
+                   # args.model is a ViT-only flag; a CLIP-HBA artifact must
+                   # not be stamped with its (defaulted) ViT model name
+                   "model": "clip_hba" if args.clip_weights else args.model})
         print(f"exported {len(manifest['buckets'])} bucket programs + "
               f"params to {args.export_dir} "
               f"(platforms {manifest['platforms']})")

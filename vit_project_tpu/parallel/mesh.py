@@ -253,8 +253,7 @@ def shard_params_fsdp(mesh: Mesh, tree):
     reduce-scatter of ICI traffic per weight per step, the standard GSPMD
     FSDP recipe. The reference has no sharded-parameter mode (DDP fully
     replicates the model, train_vit_sgd.py:287)."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, zero1_sharding(mesh, x)), tree)
+    return shard_opt_state(mesh, tree)  # same leaf rule, one implementation
 
 
 def pad_to_multiple(batch_tree, multiple: int):

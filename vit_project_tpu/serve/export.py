@@ -125,9 +125,12 @@ def load_serving(out_dir: str) -> AotEngine:
     fmt = manifest.get("format", "")
     if not fmt.startswith("vit_project_tpu.aot_serving/"):
         raise ValueError(f"{out_dir}: not an AOT serving artifact ({fmt!r})")
-    backend = jax.default_backend()
+    backend = jax.default_backend().lower()
+    # jax.default_backend() reports the generic 'gpu' while Exported.platforms
+    # records the PJRT lowering name ('cuda'/'rocm') — accept either spelling
+    names = {backend} | ({"cuda", "rocm"} if backend == "gpu" else set())
     plats = [p.lower() for p in manifest["platforms"]]
-    if backend.lower() not in plats:
+    if not names & set(plats):
         raise ValueError(
             f"artifact was exported for platform(s) {plats}, but this "
             f"process's backend is {backend!r} — re-export on the serving "
