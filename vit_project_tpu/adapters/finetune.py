@@ -44,6 +44,24 @@ def split_last_blocks(clip_params: dict, tower: str, n: int) -> tuple[dict, dict
     return trainable, frozen
 
 
+def split_rn_image_layers(clip_params: dict) -> tuple[dict, dict]:
+    """Equivalent of unfreeze_image_layers on an RN50 tower
+    (new_cvpr_train_behavior_things_pipeline.py:552-567): the visual tower's
+    layer3 / layer4 / attnpool train; everything else stays frozen. Same
+    no-aliasing contract as split_last_blocks — the trainable slots are None
+    placeholders in `frozen`; merge() restores the full tree."""
+    vis = clip_params["visual"]
+    keys = ("layer3", "layer4", "attnpool")
+    missing = [k for k in keys if k not in vis]
+    if missing:
+        raise ValueError(f"not an RN visual tower (missing {missing}); "
+                         "use split_last_blocks for transformer towers")
+    trainable = {"visual": {k: vis[k] for k in keys}}
+    frozen = dict(clip_params)
+    frozen["visual"] = {k: (None if k in keys else v) for k, v in vis.items()}
+    return trainable, frozen
+
+
 def merge(frozen: dict, trainable: dict) -> dict:
     """Overlay a trainable subtree back onto the full param tree."""
     out = dict(frozen)
@@ -58,6 +76,12 @@ def merge(frozen: dict, trainable: dict) -> dict:
             for i, bp in sub["blocks"].items():
                 blocks[i] = bp
             tower_params["blocks"] = blocks
+            out[tower] = tower_params
+        elif isinstance(sub, dict) and isinstance(tower_params, dict) and \
+                all(k in tower_params for k in sub):
+            # partial dict overlay (split_rn_image_layers: named submodules
+            # rather than indexed blocks)
+            tower_params.update(sub)
             out[tower] = tower_params
         else:
             out[tower] = sub

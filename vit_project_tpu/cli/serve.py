@@ -108,8 +108,15 @@ def build_clip_engine(args):
         context_length=clip_cfg.text.context_length,
         truncate=isinstance(tok, vtok.HashTokenizer))
     prompts = np.minimum(prompts, clip_cfg.text.vocab_size - 1)
+    from ..models.resnet import ResNetConfig
+    is_rn = isinstance(clip_cfg.visual, ResNetConfig)
     trainable = static = None
     if args.dora_checkpoint:
+        if is_rn:
+            raise SystemExit(
+                "--dora_checkpoint needs a ViT visual tower (DoRA surgery "
+                "targets transformer resblocks; the reference's RN50 path "
+                "has no DoRA either)")
         import jax
         spec = adora.dora_spec(clip_cfg.visual.layers, clip_cfg.text.layers,
                                args.vision_layers, args.transformer_layers)
@@ -121,7 +128,10 @@ def build_clip_engine(args):
     eng = clip_hba_engine(params, prompts, clip_cfg, trainable=trainable,
                           static=static, alpha=args.dora_alpha, r=args.rank,
                           buckets=args.bucket_list, param_dtype=args.dtype,
-                          quantize=args.quantize)
+                          quantize=args.quantize,
+                          # the reference runs RN50 with pos_embedding=False
+                          # (cvpr_..._baseline.py:757-758)
+                          use_pos_embedding=not is_rn)
     return eng, clip_cfg.visual.image_size, (THINGS_MEAN, THINGS_STD)
 
 

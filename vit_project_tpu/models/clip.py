@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nn as vnn
+from . import resnet as vresnet
 from . import vit as vvit
+from .resnet import ResNetConfig
 from .vit import ViTConfig
 
 
@@ -34,7 +36,7 @@ class TextConfig:
 
 @dataclass(frozen=True)
 class CLIPConfig:
-    visual: ViTConfig
+    visual: ViTConfig | ResNetConfig  # transformer or ModifiedResNet tower
     text: TextConfig
     embed_dim: int
 
@@ -49,8 +51,19 @@ CLIP_VIT_B16 = CLIPConfig(visual=vvit.CLIP_VIT_B16_VISUAL,
                           text=TextConfig(width=512, layers=12, heads=8),
                           embed_dim=512)
 
+# ModifiedResNet towers — the reference CLIPHBA's default backbone is 'RN50'
+# (new_cvpr_train_behavior_things_pipeline.py:269); both RN text towers are
+# 12-layer width-512 transformers (OpenAI CLIP shapes)
+CLIP_RN50 = CLIPConfig(visual=vresnet.RN50,
+                       text=TextConfig(width=512, layers=12, heads=8),
+                       embed_dim=1024)
+CLIP_RN101 = CLIPConfig(visual=vresnet.RN101,
+                        text=TextConfig(width=512, layers=12, heads=8),
+                        embed_dim=512)
+
 CLIP_CONFIGS = {"ViT-L/14": CLIP_VIT_L14, "ViT-B/32": CLIP_VIT_B32,
-                "ViT-B/16": CLIP_VIT_B16}
+                "ViT-B/16": CLIP_VIT_B16, "RN50": CLIP_RN50,
+                "RN101": CLIP_RN101}
 
 # miniature backbone for integration tests / CI (full 224 input, 2-layer towers)
 CLIP_CONFIGS["test-tiny"] = CLIPConfig(
@@ -91,8 +104,12 @@ def init_text_params(key, cfg: TextConfig, embed_dim: int) -> dict:
 
 def init_clip_params(key, cfg: CLIPConfig) -> dict:
     kv, kt = jax.random.split(key)
+    if isinstance(cfg.visual, ResNetConfig):
+        visual = vresnet.init_resnet_params(kv, cfg.visual)
+    else:
+        visual = vvit.init_vit_params(kv, cfg.visual)
     return {
-        "visual": vvit.init_vit_params(kv, cfg.visual),
+        "visual": visual,
         "text": init_text_params(kt, cfg.text, cfg.embed_dim),
         "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), jnp.float32),
     }
@@ -142,6 +159,19 @@ def encode_image(params: dict, images: jax.Array, cfg: CLIPConfig, *,
                  use_pos_embedding: bool = True,
                  compute_dtype=jnp.float32, remat: bool = False,
                  seq_shard=None, ring_attn: bool = False) -> jax.Array:
+    if isinstance(cfg.visual, ResNetConfig):
+        if adapters:
+            raise ValueError(
+                "DoRA adapters target transformer resblocks; the RN50 tower "
+                "has none (the reference's RN50 path uses the finetune "
+                "unfreezers instead, adapters/finetune.py)")
+        if seq_shard is not None or ring_attn:
+            raise ValueError("sequence parallelism applies to transformer "
+                             "towers; the RN trunk is a conv pyramid")
+        return vresnet.resnet_encode(
+            params["visual"], images, cfg.visual,
+            use_pos_embedding=use_pos_embedding,
+            compute_dtype=compute_dtype, remat=remat)
     return vvit.clip_visual_encode(
         params["visual"], images, cfg.visual, adapters=adapters,
         adapter_cfg=adapter_cfg, dropout_key=dropout_key,

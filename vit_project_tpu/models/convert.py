@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from .clip import CLIPConfig, TextConfig
+from .resnet import ResNetConfig
 from .vit import ViTConfig
 from ..ops.nn import conv_kernel_to_patch_matrix
 
@@ -51,44 +52,103 @@ def _clip_block(sd, prefix):
     }
 
 
+def _hwio(w):
+    """torch conv kernel OIHW -> TPU-native HWIO."""
+    return np.transpose(w, (2, 3, 1, 0)).copy()
+
+
+def _rn_bn(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"],
+            "mean": sd[prefix + ".running_mean"],
+            "var": sd[prefix + ".running_var"]}
+
+
+def _rn_block(sd, prefix):
+    p = {
+        "conv1": _hwio(sd[prefix + ".conv1.weight"]),
+        "bn1": _rn_bn(sd, prefix + ".bn1"),
+        "conv2": _hwio(sd[prefix + ".conv2.weight"]),
+        "bn2": _rn_bn(sd, prefix + ".bn2"),
+        "conv3": _hwio(sd[prefix + ".conv3.weight"]),
+        "bn3": _rn_bn(sd, prefix + ".bn3"),
+    }
+    if prefix + ".downsample.0.weight" in sd:  # avgpool is the unnamed "-1"
+        p["down_conv"] = _hwio(sd[prefix + ".downsample.0.weight"])
+        p["down_bn"] = _rn_bn(sd, prefix + ".downsample.1")
+    return p
+
+
+def _rn_visual_config(sd: dict, embed_dim: int) -> ResNetConfig:
+    """Mirror OpenAI build_model's ResNet shape inference."""
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+        for b in (1, 2, 3, 4))
+    width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    grid = int(round(
+        (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+    return ResNetConfig(layers=counts, width=width,
+                        heads=width * 32 // 64, image_size=grid * 32,
+                        out_dim=embed_dim)
+
+
+def _rn_visual_params(sd: dict, cfg: ResNetConfig) -> dict:
+    stem = {}
+    for i in (1, 2, 3):
+        stem[f"conv{i}"] = _hwio(sd[f"visual.conv{i}.weight"])
+        stem[f"bn{i}"] = _rn_bn(sd, f"visual.bn{i}")
+    params = {"stem": stem}
+    for b, n in enumerate(cfg.layers, start=1):
+        params[f"layer{b}"] = [_rn_block(sd, f"visual.layer{b}.{i}")
+                               for i in range(n)]
+    ap = "visual.attnpool."
+    params["attnpool"] = {
+        "pos": sd[ap + "positional_embedding"],
+        "q_w": sd[ap + "q_proj.weight"].T.copy(),
+        "q_b": sd[ap + "q_proj.bias"],
+        "k_w": sd[ap + "k_proj.weight"].T.copy(),
+        "k_b": sd[ap + "k_proj.bias"],
+        "v_w": sd[ap + "v_proj.weight"].T.copy(),
+        "v_b": sd[ap + "v_proj.bias"],
+        "c_w": sd[ap + "c_proj.weight"].T.copy(),
+        "c_b": sd[ap + "c_proj.bias"],
+    }
+    return params
+
+
 def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
     """Infer the architecture from checkpoint shapes (mirrors what
-    clip.build_model derives)."""
+    clip.build_model derives). Branches ViT vs ModifiedResNet the same way
+    build_model does: ViT checkpoints carry `visual.proj`."""
+    embed_dim = sd["text_projection"].shape[1]
+    text_width = sd["ln_final.weight"].shape[0]
+    text_layers = len({k.split(".")[2] for k in sd
+                      if k.startswith("transformer.resblocks.")})
+    text = TextConfig(width=text_width, layers=text_layers,
+                      heads=text_width // 64,
+                      vocab_size=sd["token_embedding.weight"].shape[0],
+                      context_length=sd["positional_embedding"].shape[0])
+    if "visual.proj" not in sd:  # ModifiedResNet tower (RN50 family)
+        return CLIPConfig(visual=_rn_visual_config(sd, embed_dim), text=text,
+                          embed_dim=embed_dim)
     vision_width = sd["visual.conv1.weight"].shape[0]
     patch = sd["visual.conv1.weight"].shape[-1]
     grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
     vision_layers = len({k.split(".")[3] for k in sd
                         if k.startswith("visual.transformer.resblocks.")})
-    embed_dim = sd["text_projection"].shape[1]
-    text_width = sd["ln_final.weight"].shape[0]
-    text_layers = len({k.split(".")[2] for k in sd
-                      if k.startswith("transformer.resblocks.")})
-    vocab = sd["token_embedding.weight"].shape[0]
-    context = sd["positional_embedding"].shape[0]
     return CLIPConfig(
         visual=ViTConfig(patch=patch, width=vision_width, layers=vision_layers,
                          heads=vision_width // 64, image_size=grid * patch,
                          pre_norm=True, patch_bias=False, quick_gelu=True,
                          out_dim=embed_dim),
-        text=TextConfig(width=text_width, layers=text_layers,
-                        heads=text_width // 64, vocab_size=vocab,
-                        context_length=context),
-        embed_dim=embed_dim)
+        text=text, embed_dim=embed_dim)
 
 
 def clip_params_from_state_dict(sd: dict) -> tuple[dict, CLIPConfig]:
     cfg = clip_config_from_state_dict(sd)
-    visual = {
-        "patch_w": conv_kernel_to_patch_matrix(sd["visual.conv1.weight"]),
-        "patch_b": None,
-        "cls": sd["visual.class_embedding"],
-        "pos": sd["visual.positional_embedding"],
-        "ln_pre": _ln(sd, "visual.ln_pre"),
-        "blocks": [_clip_block(sd, f"visual.transformer.resblocks.{i}")
-                   for i in range(cfg.visual.layers)],
-        "norm": _ln(sd, "visual.ln_post"),
-        "proj": sd["visual.proj"],
-    }
+    if isinstance(cfg.visual, ResNetConfig):
+        visual = _rn_visual_params(sd, cfg.visual)
+    else:
+        visual = _vit_visual_params(sd, cfg)
     text = {
         "token_embedding": sd["token_embedding.weight"],
         "pos": sd["positional_embedding"],
@@ -100,6 +160,20 @@ def clip_params_from_state_dict(sd: dict) -> tuple[dict, CLIPConfig]:
     params = {"visual": visual, "text": text,
               "logit_scale": np.asarray(sd["logit_scale"], np.float32)}
     return params, cfg
+
+
+def _vit_visual_params(sd: dict, cfg: CLIPConfig) -> dict:
+    return {
+        "patch_w": conv_kernel_to_patch_matrix(sd["visual.conv1.weight"]),
+        "patch_b": None,
+        "cls": sd["visual.class_embedding"],
+        "pos": sd["visual.positional_embedding"],
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": [_clip_block(sd, f"visual.transformer.resblocks.{i}")
+                   for i in range(cfg.visual.layers)],
+        "norm": _ln(sd, "visual.ln_post"),
+        "proj": sd["visual.proj"],
+    }
 
 
 def _timm_block(sd, prefix):

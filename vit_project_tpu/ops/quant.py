@@ -90,6 +90,10 @@ def quantize_clip_blocks(clip_params: dict) -> dict:
     blocks share the visual block layout — encode_text reuses vit._block_fn).
     Bake adapters first (adapters.dora.bake), then quantize the baked tree."""
     out = dict(clip_params)
-    out["visual"] = quantize_vit_blocks(clip_params["visual"])
+    if "blocks" in clip_params["visual"]:
+        out["visual"] = quantize_vit_blocks(clip_params["visual"])
+    # else: an RN (ModifiedResNet) conv tower — int8 is wired for the dense
+    # transformer-block weights only, so the conv trunk stays float and just
+    # the text tower quantizes
     out["text"] = quantize_vit_blocks(clip_params["text"])
     return out

@@ -762,19 +762,30 @@ def build_run_assets(cfg: ClipRunConfig, logger):
         logger.info(f"Loaded CLIP weights from {cfg.clip_weights}")
     else:
         if cfg.backbone not in vclip.CLIP_CONFIGS:
-            # 'RN50' is a dead-code default in the reference (CLIPHBA's
-            # backbone_name kwarg; every entry script passes ViT-L/14,
-            # clip_train_behavior_baseline.py:16) — fail with the supported
-            # set instead of a bare KeyError.
             raise ValueError(
-                f"unsupported backbone {cfg.backbone!r}; ViT towers only "
-                f"(reference runs use ViT-L/14): "
+                f"unsupported backbone {cfg.backbone!r}; supported: "
                 f"{sorted(vclip.CLIP_CONFIGS)}")
         clip_cfg = vclip.CLIP_CONFIGS[cfg.backbone]
         params = vclip.init_clip_params(
             jax.random.PRNGKey(cfg.random_seed), clip_cfg)
         logger.info("WARNING: no clip_weights provided - using random "
                     "initialization (testing only)")
+    from ..models.resnet import ResNetConfig
+    if isinstance(clip_cfg.visual, ResNetConfig):
+        # The DoRA fine-tuning pipeline is ViT-only BY REFERENCE SEMANTICS:
+        # every shipped pipeline applies DoRA to visual.transformer.resblocks
+        # (new_cvpr…pipeline.py:491-496, cvpr_…_baseline.py:776), which an RN
+        # tower does not have — the reference's own RN50 default crashes
+        # there. RN towers are fully supported for conversion, forward/eval,
+        # serving (cli.serve), and the finetune unfreezer splits
+        # (adapters/finetune.py); fail loudly here instead of deep inside
+        # the adapter surgery.
+        raise ValueError(
+            f"backbone {cfg.backbone!r} resolves to a ModifiedResNet visual "
+            "tower; the CLIP-HBA DoRA training pipeline is ViT-only (so is "
+            "the reference's — apply_dora_to_ViT targets "
+            "visual.transformer.resblocks). Use cli.serve / encode paths "
+            "for RN towers.")
 
     # dataset + perturbation distribution stats (ref :1096-1105)
     dataset = dthings.ThingsDataset(cfg.csv_file, cfg.img_dir,
@@ -807,8 +818,9 @@ def build_run_assets(cfg: ClipRunConfig, logger):
     reference_rdm = inference.load_reference_rdm()
 
     # (the reference's pos_embedding=False case is RN50-only, which the
-    # backbone guard above rejects — ViT towers always use it, so the knob
-    # is not plumbed through ClipHBATrainer)
+    # ResNet guard above rejects from this DoRA pipeline — ViT towers always
+    # use it, so the knob is not plumbed through ClipHBATrainer; the serving
+    # engine plumbs it for RN towers, serve/engine.py clip_hba_engine)
 
     tok = vtok.default_tokenizer(cfg.bpe_vocab)
     if loaded_pretrained and isinstance(tok, vtok.HashTokenizer):
