@@ -128,6 +128,10 @@ def main(argv=None):
     ap.add_argument("--sweep_fork_devices", type=int, default=1,
                     help="shard the batched fork axis over N local devices "
                          "(cli/sweep.py --fork_devices)")
+    ap.add_argument("--frozen_cache", action="store_true",
+                    help="train from cached frozen-prefix activations "
+                         "(baseline + sweep + lengths; image-kind sweeps "
+                         "fall back per-epoch/per-group automatically)")
     ap.add_argument("--batched_lengths", action="store_true",
                     help="train each length's onset conditions as one "
                          "vmapped fork group (cli/lengths.py --onsets mode) "
@@ -169,7 +173,8 @@ def main(argv=None):
           f"batch {args.batch_size})")
     t0 = time.time()
     base_cfg = {
-        **common, "perturb_type": "baseline", "perturb_length": 0,
+        **common, "frozen_cache": args.frozen_cache,
+        "perturb_type": "baseline", "perturb_length": 0,
         "training_run": 0,
         "checkpoint_path": f"{base}/model.ckpt",
         "training_res_path": f"{base}/training_res.csv",
@@ -221,7 +226,8 @@ def main(argv=None):
             "--workers", str(args.sweep_workers),
             "--worker_device_env", args.worker_device_env,
             "--batched_forks", str(args.sweep_batched_forks),
-            "--fork_devices", str(args.sweep_fork_devices)]
+            "--fork_devices", str(args.sweep_fork_devices)] + (
+            ["--frozen_cache"] if args.frozen_cache else [])
 
     rt_order = parse_ints(args.sweep_epochs)
     in_order = parse_ints(args.noise_epochs)
@@ -268,7 +274,8 @@ def main(argv=None):
             "--baseline_split_indices_path",
             f"{base}/random_states/dataset_split_indices.pth",
             "--output_base_directory", lengths_dir,
-            "--compute_dtype", args.compute_dtype]
+            "--compute_dtype", args.compute_dtype] + (
+            ["--frozen_cache"] if args.frozen_cache else [])
 
     for L in lens:  # ascending so l2 exercises cross-run resume from l1
         if args.batched_lengths:

@@ -6,6 +6,7 @@ reproduces the baseline EXACTLY outside the perturbation window."""
 import csv
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -331,3 +332,82 @@ class TestClipPreemption:
         assert res["preempted"] is False
         rows = read_csv_rows(cfg["training_res_path"])
         assert [r[0] for r in rows[1:]] == ["1", "2"]  # ran to completion
+
+
+class TestFrozenCache:
+    """frozen_cache=True trains from cached frozen-prefix activations
+    (ClipHBATrainer.build_prefix_cache): the trajectory must match the
+    full-tower run to float tolerance, with image-perturbing epochs
+    transparently routed back through the full tower."""
+
+    @staticmethod
+    def _float_rows(rows):
+        return [[float(v) for v in r[1:5]] for r in rows[1:]]
+
+    def test_baseline_matches_full_tower(self, things_fixture, tmp_path):
+        full = base_config(things_fixture, str(tmp_path / "full"), epochs=3)
+        clip_loop.run_behavioral_training(full)
+        cached = base_config(things_fixture, str(tmp_path / "cached"),
+                             epochs=3, frozen_cache=True)
+        clip_loop.run_behavioral_training(cached)
+        a = self._float_rows(read_csv_rows(full["training_res_path"]))
+        b = self._float_rows(read_csv_rows(cached["training_res_path"]))
+        # numerically equivalent, not bit-identical: the prefix runs in its
+        # own program so XLA may fuse/round differently at the cache boundary
+        np.testing.assert_allclose(np.array(b), np.array(a),
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_target_kind_fork_matches_full_tower(self, things_fixture,
+                                                 tmp_path):
+        """random_target (target-only kind) trains ENTIRELY from the cache —
+        including the perturbed epoch (the injector never touches images)."""
+        common = dict(epochs=3, perturb_type="random_target",
+                      perturb_length=1, training_run=2)
+        full = base_config(things_fixture, str(tmp_path / "full"), **common)
+        clip_loop.run_behavioral_training(full)
+        cached = base_config(things_fixture, str(tmp_path / "cached"),
+                             frozen_cache=True, **common)
+        clip_loop.run_behavioral_training(cached)
+        a = read_csv_rows(full["training_res_path"])
+        b = read_csv_rows(cached["training_res_path"])
+        assert [r[5:] for r in a] == [r[5:] for r in b]  # same flags
+        np.testing.assert_allclose(np.array(self._float_rows(b)),
+                                   np.array(self._float_rows(a)),
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_image_kind_fork_falls_back_in_window(self, things_fixture,
+                                                  tmp_path):
+        """uniform_images replaces the tower input, so its ACTIVE epoch must
+        run the full tower; the cached run still matches the full run."""
+        common = dict(epochs=3, perturb_type="uniform_images",
+                      perturb_length=1, training_run=2)
+        full = base_config(things_fixture, str(tmp_path / "full"), **common)
+        clip_loop.run_behavioral_training(full)
+        cached = base_config(things_fixture, str(tmp_path / "cached"),
+                             frozen_cache=True, **common)
+        clip_loop.run_behavioral_training(cached)
+        a = read_csv_rows(full["training_res_path"])
+        b = read_csv_rows(cached["training_res_path"])
+        assert a[2][7] == "True"  # epoch-2 row flagged used_uniform_images
+        assert [r[5:] for r in a] == [r[5:] for r in b]
+        np.testing.assert_allclose(np.array(self._float_rows(b)),
+                                   np.array(self._float_rows(a)),
+                                   rtol=5e-4, atol=5e-4)
+
+    def test_cached_step_rejects_image_kinds(self, things_fixture, tmp_path):
+        """The cached step core itself refuses image-perturbing kinds — the
+        routing above is the ONLY legal path to them."""
+        from vit_project_tpu.models import clip as vclip
+        from vit_project_tpu.adapters import dora as adora
+        import jax
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 1, 1)
+        trainable, static, acfg = adora.apply_dora(
+            params, spec, r=4, key=jax.random.PRNGKey(1))
+        prompts = np.random.RandomState(0).randint(
+            1, 500, (5, cfg.text.context_length))
+        trainer = clip_loop.ClipHBATrainer(cfg, params, acfg, static,
+                                           jnp.asarray(prompts), lr=1e-3)
+        with pytest.raises(ValueError, match="frozen-prefix cache is stale"):
+            trainer._step_core("uniform_images", cached=True)

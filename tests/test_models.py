@@ -363,3 +363,97 @@ class TestTokenizer:
         # unknown structure falls back to chars
         ids2 = tok.encode("hel")
         assert len(ids2) >= 1
+
+
+class TestFrozenPrefixSplit:
+    """clip_visual_prefix/suffix + encode_text_prefix/suffix: the split-tower
+    forward must reproduce the full tower exactly — including the dropout-mask
+    stream (absolute block indices feed the same fold_in) — so the frozen-
+    prefix cache (train/clip_loop.py build_prefix_cache) is a pure perf lever."""
+
+    def _setup(self, vision_layers=1, transformer_layers=1):
+        cfg = vclip.tiny_clip_config()
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers,
+                               vision_layers, transformer_layers)
+        trainable, static, acfg = adora.apply_dora(
+            params, spec, r=4, key=jax.random.PRNGKey(1))
+        ad = adora.assemble(trainable, static)
+        prompts = jnp.asarray(np.random.RandomState(0)
+                              .randint(1, 500, (5, cfg.text.context_length)))
+        img = jnp.asarray(np.random.RandomState(1)
+                          .randn(3, 32, 32, 3).astype(np.float32))
+        return cfg, params, ad, acfg, prompts, img
+
+    def test_suffix_forward_matches_full(self):
+        cfg, params, ad, acfg, prompts, img = self._setup()
+        full = vclip.clip_hba_forward(params, img, prompts, cfg, adapters=ad,
+                                      adapter_cfg=acfg, use_pallas=False)
+        vh = vvit.clip_visual_prefix(params["visual"], img, cfg.visual,
+                                     n_suffix=1, use_pallas=False)
+        th, eot = vclip.encode_text_prefix(params, prompts, cfg, n_suffix=1,
+                                           use_pallas=False)
+        split = vclip.clip_hba_suffix_forward(
+            params, vh, th, eot, cfg, n_vis_suffix=1, n_txt_suffix=1,
+            adapters=ad, adapter_cfg=acfg, use_pallas=False)
+        np.testing.assert_allclose(_np(split), _np(full), rtol=2e-5, atol=2e-5)
+
+    def test_dropout_stream_identical(self):
+        """Same dropout key => same masks: absolute block indexing keeps the
+        per-block fold_in stream of the split forward equal to the full one."""
+        cfg, params, ad, acfg, prompts, img = self._setup()
+        key = jax.random.PRNGKey(7)
+        acfg = dict(acfg, dropout=0.5)
+        full = vclip.clip_hba_forward(params, img, prompts, cfg, adapters=ad,
+                                      adapter_cfg=acfg, dropout_key=key,
+                                      deterministic=False, use_pallas=False)
+        vh = vvit.clip_visual_prefix(params["visual"], img, cfg.visual,
+                                     n_suffix=1, use_pallas=False)
+        th, eot = vclip.encode_text_prefix(params, prompts, cfg, n_suffix=1,
+                                           use_pallas=False)
+        split = vclip.clip_hba_suffix_forward(
+            params, vh, th, eot, cfg, n_vis_suffix=1, n_txt_suffix=1,
+            adapters=ad, adapter_cfg=acfg, dropout_key=key,
+            deterministic=False, use_pallas=False)
+        np.testing.assert_allclose(_np(split), _np(full), rtol=2e-5, atol=2e-5)
+
+    def test_whole_tower_split_edge(self):
+        """n_suffix == layers: the prefix is just the stem/embeddings and the
+        suffix runs every block — still equal to the full forward."""
+        cfg, params, ad, acfg, prompts, img = self._setup(
+            vision_layers=2, transformer_layers=2)
+        L = cfg.visual.layers
+        full = vclip.clip_hba_forward(params, img, prompts, cfg, adapters=ad,
+                                      adapter_cfg=acfg, use_pallas=False)
+        vh = vvit.clip_visual_prefix(params["visual"], img, cfg.visual,
+                                     n_suffix=L, use_pallas=False)
+        th, eot = vclip.encode_text_prefix(params, prompts, cfg,
+                                           n_suffix=cfg.text.layers,
+                                           use_pallas=False)
+        split = vclip.clip_hba_suffix_forward(
+            params, vh, th, eot, cfg, n_vis_suffix=L,
+            n_txt_suffix=cfg.text.layers, adapters=ad, adapter_cfg=acfg,
+            use_pallas=False)
+        np.testing.assert_allclose(_np(split), _np(full), rtol=2e-5, atol=2e-5)
+
+    def test_adapters_below_split_rejected(self):
+        """An adapter on a block below the prefix/suffix boundary would be
+        silently excluded from the cached forward — must raise."""
+        cfg, params, ad, acfg, prompts, img = self._setup(
+            vision_layers=2, transformer_layers=1)
+        vh = vvit.clip_visual_prefix(params["visual"], img, cfg.visual,
+                                     n_suffix=1, use_pallas=False)
+        th, eot = vclip.encode_text_prefix(params, prompts, cfg, n_suffix=1,
+                                           use_pallas=False)
+        with pytest.raises(ValueError, match="below the prefix/suffix split"):
+            vclip.clip_hba_suffix_forward(
+                params, vh, th, eot, cfg, n_vis_suffix=1, n_txt_suffix=1,
+                adapters=ad, adapter_cfg=acfg, use_pallas=False)
+
+    def test_bad_n_suffix_rejected(self):
+        cfg, params, _, _, prompts, img = self._setup()
+        with pytest.raises(ValueError, match="outside"):
+            vvit.clip_visual_prefix(params["visual"], img, cfg.visual,
+                                    n_suffix=cfg.visual.layers + 1)
+        with pytest.raises(ValueError, match="outside"):
+            vclip.encode_text_prefix(params, prompts, cfg, n_suffix=-1)

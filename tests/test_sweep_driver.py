@@ -836,6 +836,57 @@ class TestBatchedForks:
                 np.array_equal(x, y) for x, y in zip(ja, jb))
 
 
+@pytest.mark.slow
+class TestBatchedFrozenCache:
+    """--frozen_cache under --batched_forks: the batched group trains from
+    shared frozen-prefix caches (one build for every fork) and must match
+    the sequential full-tower driver to float tolerance."""
+
+    def test_matches_sequential_sweep(self, sweep_fixture):
+        work = sweep_fixture["work"]
+        seq_base = str(work / "sweep_seq_oracle_fc")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, seq_base, ["--training_order", "2,3"]))
+        assert failed == []
+
+        out_base = str(work / "sweep_batched_fc")
+        failed = sweep_cli.main(_sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "2,3", "--batched_forks", "2",
+             "--frozen_cache"]))
+        assert failed == []
+        _check_run_layout(out_base, (2, 3))
+        for run in (2, 3):
+            seq = _read_rows(os.path.join(
+                seq_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            bat = _read_rows(os.path.join(
+                out_base, f"training_run{run}", f"training_res_run{run}.csv"))
+            assert [r[0] for r in bat] == [r[0] for r in seq]
+            assert [r[5:] for r in bat] == [r[5:] for r in seq]
+            for rs, rb in zip(seq[1:], bat[1:]):
+                np.testing.assert_allclose(
+                    [float(x) for x in rb[1:3]],
+                    [float(x) for x in rs[1:3]], rtol=5e-4, atol=5e-4)
+                assert abs(float(rb[3]) - float(rs[3])) < 0.02, (rb, rs)
+
+    def test_image_kind_falls_back_to_full_tower(self, sweep_fixture):
+        """frozen_cache + an image-perturbing sweep type degrades (loudly)
+        to the full-tower batched programs, and still completes."""
+        work = sweep_fixture["work"]
+        out_base = str(work / "sweep_batched_fc_img")
+        argv = _sweep_argv(
+            sweep_fixture, out_base,
+            ["--training_order", "2", "--batched_forks", "1",
+             "--frozen_cache"])
+        argv[argv.index("--perturb_type") + 1] = "uniform_images"
+        failed = sweep_cli.main(argv)
+        assert failed == []
+        p = os.path.join(out_base, "training_run2", "training_res_run2.csv")
+        rows = _read_rows(p)
+        assert rows[1][0] == "2"
+        assert rows[1][7] == "True"  # used_uniform_images
+
+
 def test_prefetch_to_host_tolerates_mixed_leaves():
     """core/hostcopy.prefetch_to_host: numpy / scalar / None leaves are
     skipped, jax leaves are hinted, values unchanged."""

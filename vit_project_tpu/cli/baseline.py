@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(overlaps eval/RSA; core/hostcopy.py). Default ON: "
                         "measured -19%% steady per-epoch on the chip "
                         "(BENCHLOG round 3); --no-host_prefetch to disable")
+    p.add_argument("--frozen_cache", action="store_true",
+                   help="cache the frozen tower prefixes once and train only "
+                        "the adapted suffix blocks (numerically equivalent, "
+                        "~92%% fewer fwd FLOPs at the reference config; "
+                        "costs ~[N,S,width] HBM; incompatible with "
+                        "--sp_devices)")
     p.add_argument("--dump_inference_embeddings", action="store_true")
     p.add_argument("--nod_csv_file", default=None,
                    help="optional second inference set (per-epoch "
@@ -107,6 +113,7 @@ def main(argv=None):
         "sp_devices": args.sp_devices,
         "sp_ring": args.sp_ring,
         "host_prefetch": args.host_prefetch,
+        "frozen_cache": args.frozen_cache,
         "dump_inference_embeddings": args.dump_inference_embeddings,
         "inference_dump_dir": f"{out}/things_48_inference_results",
         "nod_csv_file": args.nod_csv_file,

@@ -146,6 +146,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(overlaps eval/RSA; core/hostcopy.py). Default ON: "
                         "measured -19%% steady per-epoch on the chip "
                         "(BENCHLOG round 3); --no-host_prefetch to disable")
+    p.add_argument("--frozen_cache", action="store_true",
+                   help="cache the frozen tower prefixes once and train only "
+                        "the adapted suffix blocks (numerically equivalent, "
+                        "~92%% fewer fwd FLOPs at the reference config; "
+                        "costs ~[N,S,width] HBM; incompatible with "
+                        "--sp_devices)")
     # reference hardcodes these (clip_train_behavior_lengths.py:110-112);
     # exposed as flags so forks can match any baseline's adapter config
     p.add_argument("--vision_layers", type=int, default=2)
@@ -196,6 +202,7 @@ def _base_config(args) -> dict:
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
         "host_prefetch": args.host_prefetch,
+        "frozen_cache": args.frozen_cache,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,

@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(overlaps eval/RSA; core/hostcopy.py). Default ON: "
                         "measured -19%% steady per-epoch on the chip "
                         "(BENCHLOG round 3); --no-host_prefetch to disable")
+    p.add_argument("--frozen_cache", action="store_true",
+                   help="cache the frozen tower prefixes once and train only "
+                        "the adapted suffix blocks (numerically equivalent, "
+                        "~92%% fewer fwd FLOPs at the reference config; "
+                        "costs ~[N,S,width] HBM; incompatible with "
+                        "--sp_devices)")
     p.add_argument("--workers", type=int, default=1,
                    help="run N fork workers concurrently, each pinned to one "
                         "chip of the host (the sweep's runs are independent: "
@@ -336,6 +342,7 @@ def main(argv=None):
         "compute_dtype": args.compute_dtype,
         "remat": args.remat,
         "host_prefetch": args.host_prefetch,
+        "frozen_cache": args.frozen_cache,
         "baseline_dora_directory": args.baseline_dora_directory,
         "baseline_random_state_path": args.baseline_random_state_path,
         "baseline_split_indices_path": args.baseline_split_indices_path,

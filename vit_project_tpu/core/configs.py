@@ -61,6 +61,12 @@ class ClipRunConfig:
                                            # is ONE scan dispatch; per-epoch
                                            # checkpoints make the stop
                                            # exactly resumable in place)
+    frozen_cache: bool = False             # cache the frozen tower prefixes
+                                           # once and train only the adapted
+                                           # suffix blocks (~92% fwd FLOPs
+                                           # removed at the reference config;
+                                           # costs ~[N,S,width] HBM — see
+                                           # ClipHBATrainer.build_prefix_cache)
 
     # perturbation
     perturb_type: str = "baseline"         # random_target | label_shuffle |

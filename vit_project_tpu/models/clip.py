@@ -135,9 +135,7 @@ def encode_text(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
     # one _block_fn serves every trunk (key threading / remat / adapter
     # plumbing live in one place) — only heads/quick_gelu matter from the
     # shim config, the text tower is causal and never MoE/ring
-    blk_cfg = ViTConfig(heads=cfg.text.heads, quick_gelu=True)
-    blk = vvit._block_fn(blk_cfg, adapter_cfg, deterministic, use_pallas,
-                         remat, causal=True)
+    blk = _text_block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
     for i, bp in enumerate(tp["blocks"]):
         ad = adapters.get(i)
         dk = None
@@ -146,6 +144,70 @@ def encode_text(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
         x = blk(bp, x, ad, dk)
     x = vnn.layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
     eot = jnp.argmax(tokens, axis=-1)
+    feats = x[jnp.arange(x.shape[0]), eot]
+    out = jnp.dot(feats, tp["text_projection"].astype(feats.dtype),
+                  preferred_element_type=jnp.float32)
+    return out.astype(jnp.float32)
+
+
+def _text_block_fn(cfg: CLIPConfig, adapter_cfg, deterministic, use_pallas,
+                   remat):
+    """The text tower's per-block callable (causal; shim config as in
+    encode_text) — one builder shared by the full and prefix/suffix paths."""
+    blk_cfg = ViTConfig(heads=cfg.text.heads, quick_gelu=True)
+    return vvit._block_fn(blk_cfg, adapter_cfg, deterministic, use_pallas,
+                          remat, causal=True)
+
+
+def encode_text_prefix(params: dict, tokens: jax.Array, cfg: CLIPConfig, *,
+                       n_suffix: int, use_pallas: bool | None = None,
+                       compute_dtype=jnp.float32):
+    """The FROZEN prefix of the text tower: embeddings + the first
+    `layers - n_suffix` blocks -> (hidden [N, context, width], eot [N]).
+
+    The 66 SPoSE prompts are fixed for a whole run and DoRA only adapts the
+    last `transformer_layers` text blocks, so this is computable once
+    (see models/vit.py clip_visual_prefix for the visual-side rationale)."""
+    if not 0 <= n_suffix <= cfg.text.layers:
+        raise ValueError(f"n_suffix={n_suffix} outside [0, {cfg.text.layers}]")
+    tp = params["text"]
+    x = tp["token_embedding"][tokens].astype(compute_dtype)
+    x = x + tp["pos"].astype(x.dtype)
+    blk = _text_block_fn(cfg, None, True, use_pallas, False)
+    for bp in tp["blocks"][:cfg.text.layers - n_suffix]:
+        x = blk(bp, x, None, None)
+    eot = jnp.argmax(tokens, axis=-1)
+    return x, eot
+
+
+def encode_text_suffix(params: dict, hidden: jax.Array, eot: jax.Array,
+                       cfg: CLIPConfig, *, n_suffix: int,
+                       adapters: dict | None = None,
+                       adapter_cfg: dict | None = None,
+                       dropout_key: jax.Array | None = None,
+                       deterministic: bool = True,
+                       use_pallas: bool | None = None,
+                       remat: bool = False) -> jax.Array:
+    """Trainable text suffix: blocks [layers - n_suffix, layers) + ln_final +
+    EOT gather + projection. Absolute block indices keep the adapter lookup
+    and dropout fold_in stream identical to encode_text."""
+    start = cfg.text.layers - n_suffix
+    adapters = adapters or {}
+    below = [i for i in adapters if i < start]
+    if below:
+        raise ValueError(
+            f"text adapters at blocks {below} live below the prefix/suffix "
+            f"split ({start}): the cached prefix would silently exclude them")
+    tp = params["text"]
+    x = hidden
+    blk = _text_block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
+    for i, bp in enumerate(tp["blocks"][start:], start=start):
+        ad = adapters.get(i)
+        dk = None
+        if ad is not None and dropout_key is not None:
+            dk = jax.random.fold_in(dropout_key, i)
+        x = blk(bp, x, ad, dk)
+    x = vnn.layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
     feats = x[jnp.arange(x.shape[0]), eot]
     out = jnp.dot(feats, tp["text_projection"].astype(feats.dtype),
                   preferred_element_type=jnp.float32)
@@ -210,6 +272,50 @@ def clip_hba_forward(params: dict, images: jax.Array, prompt_tokens: jax.Array,
                       adapter_cfg=adapter_cfg, dropout_key=kt,
                       deterministic=deterministic, use_pallas=use_pallas,
                       compute_dtype=compute_dtype, remat=remat)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    return scale * jnp.dot(img, txt.T, preferred_element_type=jnp.float32)
+
+
+def clip_hba_suffix_forward(params: dict, vis_hidden: jax.Array,
+                            txt_hidden: jax.Array, txt_eot: jax.Array,
+                            cfg: CLIPConfig, *, n_vis_suffix: int,
+                            n_txt_suffix: int, adapters: dict | None = None,
+                            adapter_cfg: dict | None = None,
+                            dropout_key: jax.Array | None = None,
+                            deterministic: bool = True,
+                            use_pallas: bool | None = None,
+                            remat: bool = False) -> jax.Array:
+    """clip_hba_forward from cached frozen-prefix activations.
+
+    `vis_hidden` = clip_visual_prefix(images), `txt_hidden`/`txt_eot` =
+    encode_text_prefix(prompt_tokens): only the adapted suffix blocks + heads
+    run here — for the reference configuration (2 of 24 visual + 1 of 12 text
+    blocks adapted) that removes ~92% of the forward FLOPs from every train /
+    eval / RSA step. The dropout-key split (kv, kt) and per-block fold_in
+    match clip_hba_forward, so a cached train step draws the identical
+    dropout masks as the full-tower step.
+
+    Transformer towers only (ViTConfig visual); the RN trunk has no block
+    split (and no adapters — encode_image rejects them there)."""
+    if isinstance(cfg.visual, ResNetConfig):
+        raise ValueError("frozen-prefix caching applies to transformer "
+                         "visual towers; the RN trunk is a conv pyramid")
+    adapters = adapters or {}
+    kv = kt = None
+    if dropout_key is not None:
+        kv, kt = jax.random.split(dropout_key)
+    img = vvit.clip_visual_suffix(
+        params["visual"], vis_hidden, cfg.visual, n_suffix=n_vis_suffix,
+        adapters=adapters.get("visual"), adapter_cfg=adapter_cfg,
+        dropout_key=kv, deterministic=deterministic, use_pallas=use_pallas,
+        remat=remat)
+    txt = encode_text_suffix(
+        params, txt_hidden, txt_eot, cfg, n_suffix=n_txt_suffix,
+        adapters=adapters.get("text"), adapter_cfg=adapter_cfg,
+        dropout_key=kt, deterministic=deterministic, use_pallas=use_pallas,
+        remat=remat)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
     txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
     scale = jnp.exp(params["logit_scale"])

@@ -469,14 +469,9 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     if seq_shard is not None:
         use_pallas = False
     _seq_parallel_checks(cfg, seq_shard, ring_attn)
-    x = images.astype(compute_dtype)
-    x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
-    B = x.shape[0]
-    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
-    x = jnp.concatenate([cls, x], axis=1)
-    if use_pos_embedding:
-        x = x + params["pos"].astype(x.dtype)
-    x = vnn.layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    x = _clip_visual_stem(params, images, cfg,
+                          use_pos_embedding=use_pos_embedding,
+                          compute_dtype=compute_dtype)
     x, ring, _ = _seq_parallel_enter(x, seq_shard, ring_attn)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
@@ -489,8 +484,84 @@ def clip_visual_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
         x = blk(bp, x, ad, dk)
         if seq_shard is not None:
             x = jax.lax.with_sharding_constraint(x, seq_shard)
+    return _clip_visual_out(params, x)
+
+
+def _clip_visual_stem(params: dict, images: jax.Array, cfg: ViTConfig, *,
+                      use_pos_embedding: bool,
+                      compute_dtype) -> jax.Array:
+    """CLIP visual stem: patch embed + CLS + (optional) pos + ln_pre.
+    Shared by clip_visual_encode and clip_visual_prefix so the full and
+    split-tower forwards cannot drift."""
+    x = images.astype(compute_dtype)
+    x = vnn.patch_embed(x, params["patch_w"], params["patch_b"], cfg.patch)
+    B = x.shape[0]
+    cls = jnp.broadcast_to(params["cls"].astype(x.dtype), (B, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    if use_pos_embedding:
+        x = x + params["pos"].astype(x.dtype)
+    return vnn.layer_norm(x, params["ln_pre"]["scale"],
+                          params["ln_pre"]["bias"])
+
+
+def _clip_visual_out(params: dict, x: jax.Array) -> jax.Array:
+    """CLIP visual tail: ln_post over the CLS token + projection."""
     cls_tok = vnn.layer_norm(x[:, 0], params["norm"]["scale"],
                              params["norm"]["bias"])
     out = jnp.dot(cls_tok, params["proj"].astype(cls_tok.dtype),
                   preferred_element_type=jnp.float32)
     return out.astype(jnp.float32)
+
+
+def clip_visual_prefix(params: dict, images: jax.Array, cfg: ViTConfig, *,
+                       n_suffix: int, use_pos_embedding: bool = True,
+                       use_pallas: bool | None = None,
+                       compute_dtype=jnp.float32) -> jax.Array:
+    """The FROZEN prefix of the CLIP visual tower: stem + the first
+    `layers - n_suffix` blocks -> hidden tokens [B, S, width].
+
+    The CLIP-HBA fine-tune trains DoRA adapters only in the last
+    `vision_layers` blocks (reference apply_dora_to_ViT,
+    new_cvpr_train_behavior_things_pipeline.py:484-513); everything below the
+    split is frozen AND the THINGS data pipeline has no random augmentation
+    (resize+normalize only, ref ThingsDataset :186-188), so these activations
+    are a pure function of the image — computable once per run and reused
+    every epoch (train/clip_loop.py build_prefix_cache)."""
+    if not 0 <= n_suffix <= cfg.layers:
+        raise ValueError(f"n_suffix={n_suffix} outside [0, {cfg.layers}]")
+    x = _clip_visual_stem(params, images, cfg,
+                          use_pos_embedding=use_pos_embedding,
+                          compute_dtype=compute_dtype)
+    blk = _block_fn(cfg, None, True, use_pallas, False)
+    for bp in params["blocks"][:cfg.layers - n_suffix]:
+        x = blk(bp, x, None, None)
+    return x
+
+
+def clip_visual_suffix(params: dict, hidden: jax.Array, cfg: ViTConfig, *,
+                       n_suffix: int, adapters: dict | None = None,
+                       adapter_cfg: dict | None = None,
+                       dropout_key: jax.Array | None = None,
+                       deterministic: bool = True,
+                       use_pallas: bool | None = None,
+                       remat: bool = False) -> jax.Array:
+    """The trainable suffix: blocks [layers - n_suffix, layers) + ln_post/proj,
+    from cached prefix activations. Block indices stay ABSOLUTE so adapter
+    lookup and per-block dropout-key folding match clip_visual_encode exactly
+    (same fold_in(i) stream -> identical dropout draws)."""
+    start = cfg.layers - n_suffix
+    adapters = adapters or {}
+    below = [i for i in adapters if i < start]
+    if below:
+        raise ValueError(
+            f"adapters at blocks {below} live below the prefix/suffix split "
+            f"({start}): the cached prefix would silently exclude them")
+    x = hidden
+    blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat)
+    for i, bp in enumerate(params["blocks"][start:], start=start):
+        ad = adapters.get(i)
+        dk = None
+        if ad is not None and dropout_key is not None:
+            dk = jax.random.fold_in(dropout_key, i)
+        x = blk(bp, x, ad, dk)
+    return _clip_visual_out(params, x)

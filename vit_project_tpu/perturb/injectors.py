@@ -29,6 +29,12 @@ from ..core.prng import batch_perturb_key  # noqa: F401  (re-export)
 
 # -- CLIP-side (in-loop, keyed per batch) -----------------------------------
 
+# kinds that REPLACE the tower's input images (vs. target-only kinds, which
+# leave images untouched): epochs where one of these is active cannot use the
+# frozen-prefix activation cache (clip_loop ClipHBATrainer) — the cache was
+# built from the clean images
+IMAGE_KINDS = frozenset({"uniform_images", "image_noise"})
+
 def random_targets(key: jax.Array, shape, distribution: str, mean: float,
                    std: float) -> jax.Array:
     g = jax.random.normal(key, shape, jnp.float32)

@@ -39,6 +39,7 @@ from ..data import things as dthings
 from ..data.spose66 import classnames66
 from ..models import clip as vclip
 from ..models import tokenizer as vtok
+from ..models import vit as vvit
 from ..ops import rsa as vrsa
 from ..parallel import dist
 from ..perturb import injectors, windows
@@ -176,6 +177,86 @@ class ClipHBATrainer:
                 tgt = vmesh.replicate(self.mesh, tgt)
         return img, tgt
 
+    # -- frozen-prefix activation cache --------------------------------------
+    # DoRA adapts only the LAST vision_layers/transformer_layers blocks and
+    # the THINGS pipeline has no random augmentation, so the activations at
+    # the adapter split are a pure per-image constant for the whole run.
+    # Computing them once turns every train/eval/RSA step into a 2-block
+    # (+1 text block) suffix instead of a 24-block tower — ~92% of the
+    # forward FLOPs removed at the reference configuration. Costs HBM:
+    # [N, S, width] in the compute dtype (1,806 ViT-L/14 images ~ 950 MB
+    # bf16). Opt-in via config frozen_cache (numerically equivalent but not
+    # bit-identical to the full tower: the prefix runs in its own program,
+    # so XLA may fuse/round differently at the program boundary).
+
+    def _suffix_sizes(self) -> tuple[int, int]:
+        """(n_visual_suffix, n_text_suffix): how many trailing blocks of each
+        tower carry adapters (derived from the DoRA static tree so any
+        vision_layers/transformer_layers configuration splits correctly)."""
+        vcfg = self.cfg.visual
+        if not isinstance(vcfg, vvit.ViTConfig):
+            raise ValueError("frozen-prefix caching needs a transformer "
+                             "visual tower; the RN trunk has no block split")
+        vis = [int(i) for i in self.static.get("visual", {})]
+        txt = [int(i) for i in self.static.get("text", {})]
+        n_vis = vcfg.layers - min(vis) if vis else 0
+        n_txt = self.cfg.text.layers - min(txt) if txt else 0
+        return n_vis, n_txt
+
+    @functools.cached_property
+    def _prefix_step(self):
+        cfg, cdt = self.cfg, self.compute_dtype
+        n_vis, _ = self._suffix_sizes()
+
+        def step(params, images_u8):
+            images = dthings.normalize_uint8(images_u8)
+            return vvit.clip_visual_prefix(params["visual"], images,
+                                           cfg.visual, n_suffix=n_vis,
+                                           compute_dtype=cdt)
+
+        return jax.jit(step)
+
+    def build_prefix_cache(self, imgs_dev, chunk: int = 256) -> jax.Array:
+        """Frozen-prefix activations [N, S, width] for a resident uint8 image
+        set, computed in fixed-shape chunks (one compiled shape; bounds the
+        build's activation memory the way infer_in_chunks does)."""
+        if self.seq_shard is not None or self.sp_ring:
+            raise ValueError(
+                "frozen_cache is incompatible with sequence parallelism: "
+                "the cache holds full-S activations, which defeats sp's "
+                "token sharding (and the sp forward has no prefix split)")
+        n = imgs_dev.shape[0]
+        if self.mesh is not None:
+            chunk = -(-chunk // self.n_dev) * self.n_dev
+        outs = []
+        for s in range(0, n, chunk):
+            part = imgs_dev[s:s + chunk]
+            short = chunk - part.shape[0]
+            if short > 0:
+                part = jnp.pad(part,
+                               ((0, short),) + ((0, 0),) * (part.ndim - 1))
+            outs.append(self._prefix_step(self.params, part))
+        cache = jnp.concatenate(outs)[:n] if len(outs) > 1 else outs[0][:n]
+        if self.mesh is not None:
+            from ..parallel import mesh as vmesh
+            cache = vmesh.replicate(self.mesh, cache)
+        return cache
+
+    @functools.cached_property
+    def text_prefix_cache(self):
+        """(hidden [n_prompts, context, width], eot [n_prompts]) — the
+        prompts' frozen text prefix, computed once per trainer."""
+        cfg, cdt = self.cfg, self.compute_dtype
+        _, n_txt = self._suffix_sizes()
+        fn = jax.jit(lambda p, t: vclip.encode_text_prefix(
+            p, t, cfg, n_suffix=n_txt, compute_dtype=cdt))
+        hidden, eot = fn(self.params, self.prompts)
+        if self.mesh is not None:
+            from ..parallel import mesh as vmesh
+            hidden = vmesh.replicate(self.mesh, hidden)
+            eot = vmesh.replicate(self.mesh, eot)
+        return hidden, eot
+
     def _prep_idx(self, idx: np.ndarray, batch_size: int):
         """Index batch -> (device idx padded, valid mask).
 
@@ -199,7 +280,8 @@ class ClipHBATrainer:
                 self.mesh, (self._local_rows(idx_p), self._local_rows(valid)))
         return jnp.asarray(idx_p), jnp.asarray(valid)
 
-    def _step_core(self, perturb_type: str, gated: bool = False):
+    def _step_core(self, perturb_type: str, gated: bool = False,
+                   cached: bool = False):
         """Shared body of both train-step variants: perturb -> masked-MSE
         forward -> grads -> AdamW update with the NaN batch-skip guard
         (reference train_model 'continue' on non-finite batches, ref :929-998).
@@ -208,28 +290,51 @@ class ClipHBATrainer:
         selects perturbed vs clean inputs per call — one compiled program
         serves every epoch of a perturbation window (the batched multi-fork
         runner vmaps the flag over forks with different windows). The
-        injector always runs; its cost is noise next to the tower fwd+bwd."""
+        injector always runs; its cost is noise next to the tower fwd+bwd.
+
+        cached=True builds the frozen-prefix-cache core: `images` carries the
+        cached [B, S, width] prefix activations (build_prefix_cache) instead
+        of uint8 images, the forward runs only the adapted suffix blocks
+        (clip_hba_suffix_forward), and a trailing `txt_cache=(hidden, eot)`
+        supplies the prompts' cached text prefix. Image-perturbing kinds are
+        rejected — they change the tower INPUT, so those epochs must run the
+        full-tower core (train_model routes them there)."""
+        if cached and perturb_type in injectors.IMAGE_KINDS:
+            raise ValueError(
+                f"perturb_type={perturb_type!r} replaces the input images; "
+                "the frozen-prefix cache is stale under it — use the "
+                "full-tower step for in-window epochs of image kinds")
         optimizer = self.optimizer
         cfg, acfg, prompts = self.cfg, self.acfg, self.prompts
         cdt, rm = self.compute_dtype, self.remat
         dist_kind = self.perturb_distribution
         dmean, dstd = self.dist_mean, self.dist_std
         ss, sr = self.seq_shard, self.sp_ring
+        if cached:
+            nv, nt = self._suffix_sizes()
 
         def loss_fn(trainable, params, static, images, targets, valid,
-                    dropout_key):
+                    dropout_key, txt_cache=None):
             ad = adora.assemble(trainable, static)
-            preds = vclip.clip_hba_forward(
-                params, images, prompts, cfg, adapters=ad,
-                adapter_cfg=acfg, dropout_key=dropout_key,
-                deterministic=False, compute_dtype=cdt, remat=rm,
-                seq_shard=ss, ring_attn=sr)
+            if cached:
+                preds = vclip.clip_hba_suffix_forward(
+                    params, images, txt_cache[0], txt_cache[1], cfg,
+                    n_vis_suffix=nv, n_txt_suffix=nt, adapters=ad,
+                    adapter_cfg=acfg, dropout_key=dropout_key,
+                    deterministic=False, remat=rm)
+            else:
+                preds = vclip.clip_hba_forward(
+                    params, images, prompts, cfg, adapters=ad,
+                    adapter_cfg=acfg, dropout_key=dropout_key,
+                    deterministic=False, compute_dtype=cdt, remat=rm,
+                    seq_shard=ss, ring_attn=sr)
             row_mse = jnp.mean((preds - targets) ** 2, axis=-1)
             loss = jnp.sum(row_mse * valid) / jnp.sum(valid)
             return loss, preds
 
         def core(trainable, opt_state, params, static, images, targets,
-                 valid, perturb_key, dropout_key, in_win=None):
+                 valid, perturb_key, dropout_key, in_win=None,
+                 txt_cache=None):
             p_images, p_targets = injectors.apply_clip_perturbation(
                 perturb_type, perturb_key, images, targets,
                 distribution=dist_kind, mean=dmean, std=dstd, valid=valid)
@@ -240,7 +345,7 @@ class ClipHBATrainer:
                 images, targets = p_images, p_targets
             (loss, preds), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable, params, static, images,
-                                       targets, valid, dropout_key)
+                                       targets, valid, dropout_key, txt_cache)
             ok = (jnp.isfinite(loss)
                   & jnp.all(jnp.isfinite(targets))
                   & jnp.all(jnp.isfinite(preds)))
@@ -298,8 +403,12 @@ class ClipHBATrainer:
                 for m in (idx_mat, valid_mat))
         return jax.device_put(idx_mat, s), jax.device_put(valid_mat, s)
 
-    def _epoch_scan(self, perturb_type: str):
+    def _epoch_scan(self, perturb_type: str, cached: bool = False):
         """One compiled program for a WHOLE training epoch.
+
+        cached=True: the scanned step is the frozen-prefix-cache core (see
+        _step_core) — feed the prefix cache where the uint8 dataset would go,
+        plus txt_cache=self.text_prefix_cache.
 
         With the dataset resident in HBM, the epoch is a lax.scan over the
         per-batch index matrix: zero host round-trips between batches (each
@@ -312,22 +421,27 @@ class ClipHBATrainer:
         the scan is then partitioned over devices and XLA inserts the gradient
         all-reduces, same as the per-step dp path.
         """
-        key = ("epoch", perturb_type)
+        key = ("epoch_cached" if cached else "epoch", perturb_type)
         if key not in self._steps:
-            core = self._step_core(perturb_type)
+            core = self._step_core(perturb_type, cached=cached)
 
             def epoch_fn(trainable, opt_state, params, static, all_images_u8,
                          all_targets, idx_mat, valid_mat, dropout_epoch_key,
-                         base_pkey):
+                         base_pkey, txt_cache=None):
                 def body(carry, xs):
                     trainable, opt_state = carry
                     batch_i, idx, valid = xs
                     pkey = jax.random.fold_in(base_pkey, batch_i)
                     dkey = jax.random.fold_in(dropout_epoch_key, batch_i)
-                    images = dthings.normalize_uint8(all_images_u8[idx])
+                    if cached:
+                        # all_images_u8 carries the prefix-activation cache
+                        images = all_images_u8[idx]
+                    else:
+                        images = dthings.normalize_uint8(all_images_u8[idx])
                     trainable, opt_state, loss, ok = core(
                         trainable, opt_state, params, static, images,
-                        all_targets[idx], valid, pkey, dkey)
+                        all_targets[idx], valid, pkey, dkey,
+                        txt_cache=txt_cache)
                     return (trainable, opt_state), (loss, ok)
 
                 n_b = idx_mat.shape[0]
@@ -341,27 +455,47 @@ class ClipHBATrainer:
 
     @functools.cached_property
     def _eval_scan(self):
+        return self._make_eval_scan(cached=False)
+
+    @functools.cached_property
+    def _eval_scan_cached(self):
+        return self._make_eval_scan(cached=True)
+
+    def _make_eval_scan(self, cached: bool):
         """Whole-eval-set program: lax.scan over the batch index matrix
         accumulating the dataset-weighted MSE sum on device — ONE dispatch
         and ONE host sync per eval instead of one of each per batch (the
         per-batch float() round trips cost more than the forwards at ~6
-        batches/epoch over this round's tunnel; see BENCHLOG.md)."""
+        batches/epoch over this round's tunnel; see BENCHLOG.md).
+
+        cached=True takes the frozen-prefix cache in place of the uint8
+        image set plus a trailing txt_cache (see _step_core)."""
         cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
             self.compute_dtype
+        if cached:
+            n_vis, n_txt = self._suffix_sizes()
 
         def eval_fn(trainable, params, static, all_images_u8, all_targets,
-                    idx_mat, valid_mat):
+                    idx_mat, valid_mat, txt_cache=None):
             ad = adora.assemble(trainable, static)
 
             def body(total, xs):
                 idx, valid = xs
-                images = dthings.normalize_uint8(all_images_u8[idx])
-                preds = vclip.clip_hba_forward(params, images, prompts, cfg,
-                                               adapters=ad, adapter_cfg=acfg,
-                                               deterministic=True,
-                                               compute_dtype=cdt,
-                                               seq_shard=self.seq_shard,
-                                               ring_attn=self.sp_ring)
+                if cached:
+                    preds = vclip.clip_hba_suffix_forward(
+                        params, all_images_u8[idx], txt_cache[0],
+                        txt_cache[1], cfg, n_vis_suffix=n_vis,
+                        n_txt_suffix=n_txt, adapters=ad, adapter_cfg=acfg,
+                        deterministic=True)
+                else:
+                    images = dthings.normalize_uint8(all_images_u8[idx])
+                    preds = vclip.clip_hba_forward(
+                        params, images, prompts, cfg,
+                        adapters=ad, adapter_cfg=acfg,
+                        deterministic=True,
+                        compute_dtype=cdt,
+                        seq_shard=self.seq_shard,
+                        ring_attn=self.sp_ring)
                 row_mse = jnp.mean((preds - all_targets[idx]) ** 2, axis=-1)
                 return total + jnp.sum(row_mse * valid), None
 
@@ -372,7 +506,8 @@ class ClipHBATrainer:
         return jax.jit(eval_fn)
 
     def evaluate_resident(self, trainable, imgs_dev, tgts_dev, n: int,
-                          batch_size: int, whole_set: bool = True) -> float:
+                          batch_size: int, whole_set: bool = True,
+                          cache=None) -> float:
         # Eval has no cross-batch dependence (unlike training, whose batch
         # size is fixed by reference optimizer-update parity), so run the
         # whole set as ONE batch when it fits: zero tail padding, one scan
@@ -385,8 +520,16 @@ class ClipHBATrainer:
         # width 1024). whole_set=False makes the explicit batch_size a hard
         # memory bound (the widening would otherwise override it).
         idx_mat, valid_mat = self.eval_idx_mats(n, batch_size, whole_set)
-        total = float(self._eval_scan(trainable, self.params, self.static,
-                                      imgs_dev, tgts_dev, idx_mat, valid_mat))
+        if cache is not None:
+            # `cache` = the eval set's frozen-prefix activations
+            # (build_prefix_cache) — the scan runs only the adapted suffix
+            total = float(self._eval_scan_cached(
+                trainable, self.params, self.static, cache, tgts_dev,
+                idx_mat, valid_mat, self.text_prefix_cache))
+        else:
+            total = float(self._eval_scan(
+                trainable, self.params, self.static, imgs_dev, tgts_dev,
+                idx_mat, valid_mat))
         return total / n
 
     def eval_idx_mats(self, n: int, batch_size: int, whole_set: bool = True,
@@ -445,12 +588,27 @@ class ClipHBATrainer:
 
     @functools.cached_property
     def _infer_step(self):
+        return self._make_infer_step(cached=False)
+
+    @functools.cached_property
+    def _infer_step_cached(self):
+        return self._make_infer_step(cached=True)
+
+    def _make_infer_step(self, cached: bool):
         cfg, acfg, prompts, cdt = self.cfg, self.acfg, self.prompts, \
             self.compute_dtype
+        if cached:
+            n_vis, n_txt = self._suffix_sizes()
 
-        def step(trainable, params, static, images_u8):
-            images = dthings.normalize_uint8(images_u8)
+        def step(trainable, params, static, images_u8, txt_cache=None):
             ad = adora.assemble(trainable, static)
+            if cached:
+                # images_u8 carries the prefix-activation cache rows
+                return vclip.clip_hba_suffix_forward(
+                    params, images_u8, txt_cache[0], txt_cache[1], cfg,
+                    n_vis_suffix=n_vis, n_txt_suffix=n_txt, adapters=ad,
+                    adapter_cfg=acfg, deterministic=True)
+            images = dthings.normalize_uint8(images_u8)
             return vclip.clip_hba_forward(params, images, prompts, cfg,
                                           adapters=ad, adapter_cfg=acfg,
                                           deterministic=True,
@@ -476,35 +634,53 @@ class ClipHBATrainer:
         return float(total) / n
 
     def infer_in_chunks(self, trainable, imgs_dev, n_real: int,
-                        chunk: int = 256) -> np.ndarray:
+                        chunk: int = 256, cache=None) -> np.ndarray:
         """Embed a possibly-large resident image set in fixed-size chunks of
         `_infer_step` — bounds activation memory the way eval_idx_mats caps
         the eval scan (a single whole-set forward of an arbitrary-size NOD
         set would OOM HBM at ViT-L activation scale). The chunk width is
         rounded up to the device count and the last chunk padded, so every
-        call shares ONE compiled shape."""
-        n = imgs_dev.shape[0]
+        call shares ONE compiled shape.
+
+        `cache` = the set's frozen-prefix activations (build_prefix_cache):
+        chunks are sliced from it instead of imgs_dev and only the adapted
+        suffix blocks run per chunk."""
+        src = cache if cache is not None else imgs_dev
+        n = src.shape[0]
         if self.mesh is not None:
             nd = self.mesh.devices.size
             chunk = ((chunk + nd - 1) // nd) * nd
         outs = []
         for s in range(0, n, chunk):
-            part = imgs_dev[s:s + chunk]
+            part = src[s:s + chunk]
             short = chunk - part.shape[0]
             if short > 0:
                 part = jnp.pad(
                     part, ((0, short),) + ((0, 0),) * (part.ndim - 1))
-            outs.append(np.asarray(self._infer_step(
-                trainable, self.params, self.static, part)))
+            if cache is not None:
+                outs.append(np.asarray(self._infer_step_cached(
+                    trainable, self.params, self.static, part,
+                    self.text_prefix_cache)))
+            else:
+                outs.append(np.asarray(self._infer_step(
+                    trainable, self.params, self.static, part)))
         return np.concatenate(outs)[:n_real]
 
     def behavioral_rsa(self, trainable, inference_images_u8,
-                       reference_rdm):
+                       reference_rdm, cache=None):
         """One device call: 48-image inference + RDM + Spearman (reference
         behavioral_RSA :605-654 runs this on host numpy/scipy).
 
         Accepts host arrays or device-resident handles (upload the images once
-        with upload_dataset to avoid a per-epoch transfer)."""
+        with upload_dataset to avoid a per-epoch transfer). With `cache`
+        (the set's frozen-prefix activations) only the adapted suffix runs."""
+        if cache is not None:
+            n = cache.shape[0]
+            emb = self._infer_step_cached(trainable, self.params, self.static,
+                                          cache, self.text_prefix_cache)[:n]
+            rho, p, model_rdm = vrsa.behavioral_rsa(
+                emb, jnp.asarray(reference_rdm))
+            return float(rho), float(p), np.asarray(model_rdm), np.asarray(emb)
         n = len(inference_images_u8)
         if isinstance(inference_images_u8, jax.Array):
             bi = inference_images_u8
@@ -528,7 +704,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
                 previous_training_res_path: str | None = None,
                 dump_dir: str | None = None, inference_names=None,
                 nod_images=None, nod_names=None, nod_dump_dir=None,
-                host_prefetch: bool = False, preempt_guard=None):
+                host_prefetch: bool = False, preempt_guard=None,
+                frozen_cache: bool = False):
     """The per-epoch loop (reference train_model :782-1063). Returns the final
     (trainable, opt_state, last_epoch0).
 
@@ -562,13 +739,38 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
     if nod_images is not None:
         nod_imgs_dev, _ = trainer.upload_dataset(nod_images)
 
+    # frozen-prefix activation caches: the towers below the adapter split are
+    # frozen and THINGS has no random augmentation, so each set's prefix
+    # activations are computed ONCE here and every train/eval/RSA step below
+    # runs only the adapted suffix blocks (see ClipHBATrainer docs; epochs
+    # where an image-perturbing kind is ACTIVE fall back to the full tower —
+    # those epochs change the tower input)
+    train_cache = test_cache = inf_cache = nod_cache = None
+    if frozen_cache:
+        import time as _time
+        t0 = _time.perf_counter()
+        train_cache = trainer.build_prefix_cache(train_imgs_dev)
+        test_cache = trainer.build_prefix_cache(test_imgs_dev)
+        inf_cache = trainer.build_prefix_cache(inf_imgs_dev)
+        if nod_imgs_dev is not None:
+            nod_cache = trainer.build_prefix_cache(nod_imgs_dev)
+        jax.block_until_ready(train_cache)
+        nbytes = sum(c.nbytes for c in
+                     (train_cache, test_cache, inf_cache)
+                     ) + (nod_cache.nbytes if nod_cache is not None else 0)
+        log(f"Frozen-prefix cache built in {_time.perf_counter() - t0:.1f}s "
+            f"({nbytes / 2**20:.0f} MB HBM); train/eval/RSA steps run only "
+            f"the adapted suffix blocks")
+
     if resume_from_epoch == 0:
         # initial (pre-training) eval + RSA, logged but not written to the CSV
         # (reference baseline pipeline cvpr...baseline.py:623-624)
         init_loss = trainer.evaluate_resident(trainable, test_imgs_dev,
-                                              test_tgts_dev, n_test, batch_size)
+                                              test_tgts_dev, n_test, batch_size,
+                                              cache=test_cache)
         init_rho, init_p, _, _ = trainer.behavioral_rsa(trainable, inf_imgs_dev,
-                                                        reference_rdm)
+                                                        reference_rdm,
+                                                        cache=inf_cache)
         log(f"Initial (epoch 0) Validation Loss: {init_loss:.4f}, "
             f"Behavioral RSA: {init_rho:.4f} (p={init_p:.4f})")
 
@@ -614,12 +816,23 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
         # _prep_idx_mat assembles each process's column block (driven against
         # a per-step oracle by examples/multihost_cpu_demo.py section 5).
         idx_mat, valid_mat = trainer._prep_idx_mat(batch_list, batch_size)
-        epoch_fn = trainer._epoch_scan(kind)
+        # image-perturbing kinds replace the tower INPUT while active, so
+        # those epochs run the full tower; target-only kinds (and clean
+        # epochs) train from the prefix cache
+        use_cache = frozen_cache and kind not in injectors.IMAGE_KINDS
+        epoch_fn = trainer._epoch_scan(kind, cached=use_cache)
         base_pkey = perturb_base_key(perturb_seed, training_run)
-        trainable, opt_state, losses, oks = epoch_fn(
-            trainable, opt_state, trainer.params, trainer.static,
-            train_imgs_dev, train_tgts_dev, idx_mat,
-            valid_mat, dropout_epoch_key, base_pkey)
+        if use_cache:
+            trainable, opt_state, losses, oks = epoch_fn(
+                trainable, opt_state, trainer.params, trainer.static,
+                train_cache, train_tgts_dev, idx_mat,
+                valid_mat, dropout_epoch_key, base_pkey,
+                trainer.text_prefix_cache)
+        else:
+            trainable, opt_state, losses, oks = epoch_fn(
+                trainable, opt_state, trainer.params, trainer.static,
+                train_imgs_dev, train_tgts_dev, idx_mat,
+                valid_mat, dropout_epoch_key, base_pkey)
         if host_prefetch and dist.is_primary():
             # start the checkpoint trees' d2h now so it overlaps the
             # eval/RSA dispatches below (core/hostcopy.py; opt-in until
@@ -638,12 +851,13 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
 
         train_timing = timer.finish(images=n_train)
         avg_test_loss = trainer.evaluate_resident(
-            trainable, test_imgs_dev, test_tgts_dev, n_test, batch_size)
+            trainable, test_imgs_dev, test_tgts_dev, n_test, batch_size,
+            cache=test_cache)
         log(f"Epoch {epoch + 1}: Training Loss: {avg_train_loss:.4f}, "
             f"Validation Loss: {avg_test_loss:.4f} [{train_timing}]")
 
         rho, p_value, _, emb = trainer.behavioral_rsa(
-            trainable, inf_imgs_dev, reference_rdm)
+            trainable, inf_imgs_dev, reference_rdm, cache=inf_cache)
         log(f"Behavioral RSA Correlation & p-value: {rho:.4f}, {p_value:.4f}")
 
         nod_emb = None
@@ -654,7 +868,8 @@ def train_model(trainer: ClipHBATrainer, trainable, opt_state, *,
             # pod mesh — gating it would deadlock the SPMD program); only
             # the file write below is process-0.
             nod_emb = trainer.infer_in_chunks(trainable, nod_imgs_dev,
-                                              len(nod_images))
+                                              len(nod_images),
+                                              cache=nod_cache)
 
         # host-side artifacts (CSV rows, pickles, dumps) are written by
         # process 0 only: on a pod every process holds the same replicated
@@ -1044,7 +1259,8 @@ def run_behavioral_training(config, preempt_guard=None) -> dict:
             previous_training_res_path=cfg.previous_training_res_path,
             dump_dir=dump_dir, inference_names=inference.names,
             nod_images=nod_images, nod_names=nod_names,
-            nod_dump_dir=cfg.nod_dump_dir, host_prefetch=cfg.host_prefetch)
+            nod_dump_dir=cfg.nod_dump_dir, host_prefetch=cfg.host_prefetch,
+            frozen_cache=cfg.frozen_cache)
 
     if cfg.nod_dump_dir and nod_names is not None \
             and dist.is_primary():  # reads proc-0's dumps; one writer

@@ -111,38 +111,71 @@ def _slice_fork(tree, i: int):
     return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
 
 
-def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
+def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str,
+                            cached: bool = False):
     """The three vmapped-over-forks jitted programs: train epoch (with a
     per-fork `in_win` gate selecting perturbed vs clean inputs — ONE
     compiled program serves every epoch of every window shape), eval, and
     RSA. Mirrors ClipHBATrainer._epoch_scan / _eval_scan / _infer_step with
     a leading fork axis on (trainable, opt_state, idx/valid matrices, keys,
     in_win); params/static/datasets are unmapped so XLA sees shared weights
-    (in_axes=None, passed as explicit jit args — never closures)."""
+    (in_axes=None, passed as explicit jit args — never closures).
+
+    cached=True: the frozen-prefix-cache variants (see ClipHBATrainer
+    _step_core) — `all_images_u8`/`inf_images_u8` carry prefix-activation
+    caches and every program takes a trailing unmapped txt_cache
+    (hidden, eot). Only legal for target-only perturbation kinds: the
+    per-fork in_win gate mixes perturbed and clean epochs inside ONE
+    program, so an image-perturbing kind would need the full tower in
+    every epoch anyway (the _Setup gate routes those to the full-tower
+    programs)."""
     if getattr(trainer, "seq_shard", None) is not None:
         raise ValueError(
             "batched multi-fork execution does not compose with sequence "
             "parallelism: the fork axis is vmapped/mesh-sharded and the "
             "per-fork token-sharding constraints are not validated under "
             "that batching — run sp forks sequentially or via --workers")
+    if cached and perturb_type in injectors.IMAGE_KINDS:
+        raise ValueError(
+            f"perturb_type={perturb_type!r} replaces the tower input; the "
+            "frozen-prefix cache cannot serve its batched programs")
     cfg, acfg, prompts = trainer.cfg, trainer.acfg, trainer.prompts
     cdt, rm = trainer.compute_dtype, trainer.remat
+    if cached:
+        n_vis, n_txt = trainer._suffix_sizes()
+
+    def _fwd(trainable, params, static, images, txt_cache):
+        """Deterministic batch forward — full tower or cached suffix."""
+        ad = adora.assemble(trainable, static)
+        if cached:
+            return vclip.clip_hba_suffix_forward(
+                params, images, txt_cache[0], txt_cache[1], cfg,
+                n_vis_suffix=n_vis, n_txt_suffix=n_txt, adapters=ad,
+                adapter_cfg=acfg, deterministic=True)
+        return vclip.clip_hba_forward(params, images, prompts, cfg,
+                                      adapters=ad, adapter_cfg=acfg,
+                                      deterministic=True, compute_dtype=cdt)
+
+    def _rows(all_images, idx):
+        return (all_images[idx] if cached
+                else dthings.normalize_uint8(all_images[idx]))
 
     def make_train():
-        core = trainer._step_core(perturb_type, gated=True)
+        core = trainer._step_core(perturb_type, gated=True, cached=cached)
 
         def one_fork(trainable, opt_state, params, static, all_images_u8,
                      all_targets, idx_mat, valid_mat, dropout_epoch_key,
-                     base_pkey, in_win):
+                     base_pkey, in_win, txt_cache=None):
             def body(carry, xs):
                 trainable, opt_state = carry
                 batch_i, idx, valid = xs
                 pkey = jax.random.fold_in(base_pkey, batch_i)
                 dkey = jax.random.fold_in(dropout_epoch_key, batch_i)
-                images = dthings.normalize_uint8(all_images_u8[idx])
+                images = _rows(all_images_u8, idx)
                 trainable, opt_state, loss, ok = core(
                     trainable, opt_state, params, static, images,
-                    all_targets[idx], valid, pkey, dkey, in_win)
+                    all_targets[idx], valid, pkey, dkey, in_win,
+                    txt_cache=txt_cache)
                 return (trainable, opt_state), (loss, ok)
 
             n_b = idx_mat.shape[0]
@@ -153,20 +186,16 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
 
         return jax.jit(
             jax.vmap(one_fork,
-                     in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0)),
+                     in_axes=(0, 0, None, None, None, None, 0, 0, 0, 0, 0,
+                              None)),
             donate_argnums=(0, 1))
 
     def eval_one(trainable, params, static, all_images_u8, all_targets,
-                 idx_mat, valid_mat):
-        ad = adora.assemble(trainable, static)
-
+                 idx_mat, valid_mat, txt_cache=None):
         def body(total, xs):
             idx, valid = xs
-            images = dthings.normalize_uint8(all_images_u8[idx])
-            preds = vclip.clip_hba_forward(params, images, prompts, cfg,
-                                           adapters=ad, adapter_cfg=acfg,
-                                           deterministic=True,
-                                           compute_dtype=cdt)
+            preds = _fwd(trainable, params, static, _rows(all_images_u8, idx),
+                         txt_cache)
             row_mse = jnp.mean((preds - all_targets[idx]) ** 2, axis=-1)
             return total + jnp.sum(row_mse * valid), None
 
@@ -174,21 +203,21 @@ def _build_batched_programs(trainer: ClipHBATrainer, perturb_type: str):
                                 (idx_mat, valid_mat))
         return total
 
-    def rsa_one(trainable, params, static, inf_images_u8, reference_rdm):
-        ad = adora.assemble(trainable, static)
-        images = dthings.normalize_uint8(inf_images_u8)
-        emb = vclip.clip_hba_forward(params, images, prompts, cfg,
-                                     adapters=ad, adapter_cfg=acfg,
-                                     deterministic=True, compute_dtype=cdt)
+    def rsa_one(trainable, params, static, inf_images_u8, reference_rdm,
+                txt_cache=None):
+        images = (inf_images_u8 if cached
+                  else dthings.normalize_uint8(inf_images_u8))
+        emb = _fwd(trainable, params, static, images, txt_cache)
         rho, p, _ = vrsa.behavioral_rsa(emb, reference_rdm)
         return rho, p
 
     return {
         "train": make_train(),
         "eval": jax.jit(jax.vmap(
-            eval_one, in_axes=(0, None, None, None, None, None, None))),
+            eval_one,
+            in_axes=(0, None, None, None, None, None, None, None))),
         "rsa": jax.jit(jax.vmap(
-            rsa_one, in_axes=(0, None, None, None, None))),
+            rsa_one, in_axes=(0, None, None, None, None, None))),
     }
 
 
@@ -275,7 +304,28 @@ class _Setup:
         self.rdm_dev = jnp.asarray(a.reference_rdm)
         self.n_train, self.n_test = len(train_images), len(test_images)
 
-        self.programs = _build_batched_programs(trainer, cfg.perturb_type)
+        # frozen-prefix caching: one cache build serves EVERY fork of every
+        # group (they share the frozen towers and the baseline split). Image-
+        # perturbing kinds fall back to the full tower — their in-window
+        # epochs replace the input images (see _build_batched_programs)
+        self.use_cache = bool(getattr(cfg, "frozen_cache", False))
+        if self.use_cache and cfg.perturb_type in injectors.IMAGE_KINDS:
+            self.log(f"frozen_cache requested but perturb_type="
+                     f"{cfg.perturb_type!r} replaces the tower input - "
+                     f"batched groups run the full tower")
+            self.use_cache = False
+        self.train_cache = self.test_cache = self.inf_cache = None
+        self.txt_cache = None
+        if self.use_cache:
+            self.train_cache = trainer.build_prefix_cache(self.train_imgs_dev)
+            self.test_cache = trainer.build_prefix_cache(self.test_imgs_dev)
+            self.inf_cache = trainer.build_prefix_cache(self.inf_imgs_dev)
+            self.txt_cache = trainer.text_prefix_cache
+            self.log("Frozen-prefix caches built: batched programs train "
+                     "only the adapted suffix blocks")
+
+        self.programs = _build_batched_programs(trainer, cfg.perturb_type,
+                                                cached=self.use_cache)
 
         # eval batches are deterministic (arange); same matrices per fork.
         # The whole-set widening cap divides by the per-chip fork count —
@@ -296,6 +346,11 @@ class _Setup:
                        self.test_tgts_dev, self.inf_imgs_dev, self.rdm_dev,
                        jnp.asarray(self.eval_idx),
                        jnp.asarray(self.eval_valid)))
+            if self.use_cache:
+                (self.train_cache, self.test_cache, self.inf_cache,
+                 self.txt_cache) = vmesh.replicate(
+                    mesh, (self.train_cache, self.test_cache, self.inf_cache,
+                           self.txt_cache))
             self.log(f"Fork axis sharded over {mesh.devices.size} devices "
                      f"(zero-collective fork parallelism)")
 
@@ -650,10 +705,11 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         live = [f for f in forks
                 if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
 
+        train_src = su.train_cache if su.use_cache else su.train_imgs_dev
         trainable, opt_state, losses, oks = su.programs["train"](
             trainable, opt_state, trainer.params, trainer.static,
-            su.train_imgs_dev, su.train_tgts_dev, idx_mat, valid_mat, dkeys,
-            base_pkeys, in_win)
+            train_src, su.train_tgts_dev, idx_mat, valid_mat, dkeys,
+            base_pkeys, in_win, su.txt_cache)
         if live and primary and su.host_prefetch:
             # enqueue the checkpoint trees' d2h now so the transfer overlaps
             # the eval/RSA dispatches below instead of serializing behind
@@ -662,12 +718,14 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         losses = np.asarray(losses)          # [R(+pad), n_b]
         oks = np.asarray(oks)
 
+        test_src = su.test_cache if su.use_cache else su.test_imgs_dev
         totals = np.asarray(su.programs["eval"](
-            trainable, trainer.params, trainer.static, su.test_imgs_dev,
-            su.test_tgts_dev, su.eval_idx, su.eval_valid))
+            trainable, trainer.params, trainer.static, test_src,
+            su.test_tgts_dev, su.eval_idx, su.eval_valid, su.txt_cache))
+        inf_src = su.inf_cache if su.use_cache else su.inf_imgs_dev
         rhos, ps = su.programs["rsa"](trainable, trainer.params,
-                                      trainer.static, su.inf_imgs_dev,
-                                      su.rdm_dev)
+                                      trainer.static, inf_src,
+                                      su.rdm_dev, su.txt_cache)
         rhos, ps = np.asarray(rhos), np.asarray(ps)
 
         # one bulk d2h fetch of the whole stacked state, then numpy slicing
