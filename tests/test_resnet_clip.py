@@ -298,3 +298,57 @@ class TestRNFinetuneSplit:
         params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
         with pytest.raises(ValueError, match="RN visual tower"):
             vft.split_rn_image_layers(params)
+
+
+class TestModelRegistry:
+    """The backbone registry mirrors OpenAI clip._MODELS (the reference keys
+    into it by name, new_cvpr_train_behavior_things_pipeline.py:252): every
+    name OpenAI ships must resolve, with the geometry build_model would
+    infer from the corresponding checkpoint's shapes."""
+
+    OPENAI_NAMES = ["RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
+                    "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px"]
+
+    def test_every_openai_name_resolves(self):
+        for name in self.OPENAI_NAMES:
+            assert name in vclip.CLIP_CONFIGS, name
+
+    @pytest.mark.parametrize("name,layers,width,image,embed", [
+        ("RN50", (3, 4, 6, 3), 64, 224, 1024),
+        ("RN101", (3, 4, 23, 3), 64, 224, 512),
+        ("RN50x4", (4, 6, 10, 6), 80, 288, 640),
+        ("RN50x16", (6, 8, 18, 8), 96, 384, 768),
+        ("RN50x64", (3, 15, 36, 10), 128, 448, 1024),
+    ])
+    def test_rn_family_geometry(self, name, layers, width, image, embed):
+        cfg = vclip.CLIP_CONFIGS[name]
+        v = cfg.visual
+        assert isinstance(v, vrn.ResNetConfig)
+        assert v.layers == layers and v.width == width
+        assert v.image_size == image and v.out_dim == embed
+        assert cfg.embed_dim == embed
+        # build_model's inference rules (OpenAI CLIP model.py):
+        assert v.heads == v.width * 32 // 64          # attnpool heads
+        assert cfg.text.heads == cfg.text.width // 64  # transformer heads
+        assert v.feature_dim == v.width * 32
+        assert v.pool_grid == image // 32
+
+    def test_vit_l14_336_geometry(self):
+        cfg = vclip.CLIP_CONFIGS["ViT-L/14@336px"]
+        base = vclip.CLIP_CONFIGS["ViT-L/14"]
+        # same tower, only the positional grid changes: 24x24 + CLS = 577
+        assert cfg.visual.image_size == 336
+        assert cfg.visual.seq_len == 577
+        assert cfg.text == base.text and cfg.embed_dim == base.embed_dim
+        assert cfg.visual.width == base.visual.width
+        assert cfg.visual.layers == base.visual.layers
+
+    def test_rn50x4_params_match_converter_inference(self):
+        # init_clip_params at RN50x4 geometry must produce shapes the
+        # converter's _rn_visual_config would round-trip: attnpool pos
+        # embedding rows = grid^2 + 1, stem width = width.
+        cfg = vclip.CLIP_CONFIGS["RN50x4"]
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        pos = params["visual"]["attnpool"]["pos"]
+        assert pos.shape[0] == cfg.visual.pool_grid ** 2 + 1
+        assert params["visual"]["stem"]["conv1"].shape[-1] == cfg.visual.width // 2

@@ -825,10 +825,10 @@ class TestBatchedForks:
             assert _read_rows(os.path.join(pref, rel)) == \
                 _read_rows(os.path.join(plain, rel))
             ep1 = int(_read_rows(os.path.join(plain, rel))[1][0])
-            a = ser.load(os.path.join(
+            a = ser.load_flat(os.path.join(
                 plain, f"training_run{run}", f"dora_params_run{run}",
                 f"epoch{ep1}_dora_params.pth"))
-            b = ser.load(os.path.join(
+            b = ser.load_flat(os.path.join(
                 pref, f"training_run{run}", f"dora_params_run{run}",
                 f"epoch{ep1}_dora_params.pth"))
             ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)

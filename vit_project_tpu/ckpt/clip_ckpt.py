@@ -18,17 +18,25 @@ from ..adapters import dora as adora
 
 def save_dora_parameters(trainable: dict, dora_parameters_path: str,
                          epoch0: int, logger=None) -> str:
-    """Save adapter params for epoch `epoch0` (0-indexed) as epoch{N+1} file."""
+    """Save adapter params for epoch `epoch0` (0-indexed) as epoch{N+1} file.
+
+    The container is a real torch.save archive (ser.save_torch) so the file
+    is directly loadable by the reference's torch.load path — these adapter
+    files are the artifact reference-side tooling consumes."""
     os.makedirs(dora_parameters_path, exist_ok=True)
     path = os.path.join(dora_parameters_path,
                         f"epoch{epoch0 + 1}_dora_params.pth")
-    ser.save(path, adora.to_reference_names(trainable))
+    ser.save_torch(path, adora.to_reference_names(trainable))
     return path
 
 
 def load_dora_parameters(path: str, trainable: dict, spec: dict, logger=None):
-    """strict=False load: overlay whatever adapter entries the file has."""
-    flat = ser.load(path)
+    """strict=False load: overlay whatever adapter entries the file has.
+
+    Accepts both containers (ser.load_flat): torch archives (current writer,
+    and checkpoints produced by the reference itself) and this framework's
+    older pickle files."""
+    flat = ser.load_flat(path)
     loaded = adora.from_reference_names(flat, spec)
     return adora.merge_loaded(trainable, loaded)
 

@@ -4,7 +4,10 @@ Pytrees of jax/numpy arrays <-> single files. File names keep the reference's
 layout (`epoch{N}_dora_params.pth`, `epoch{N}_random_states.pth`,
 `dataset_split_indices.pth`, `checkpoint_epoch_{N:03d}.pth` — SURVEY.md
 section 2.3) so directory structures remain drop-in compatible with the analysis
-tooling; the container format is a self-describing npz-in-pickle, not torch.
+tooling. The general container is a pickle of numpy pytrees (save/load); the
+DoRA adapter files specifically are REAL torch.save archives (save_torch) so
+the reference's torch.load path consumes them unchanged, and load_flat reads
+either container.
 """
 from __future__ import annotations
 
@@ -73,6 +76,59 @@ def save(path: str, tree) -> None:
 def load(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def save_torch(path: str, flat: dict) -> None:
+    """Write a flat {name: array} mapping as a torch.save archive.
+
+    Used for the files the reference ecosystem consumes directly — above all
+    `epoch{N}_dora_params.pth`, which the reference loads with plain
+    torch.load + load_state_dict(strict=False) (new_cvpr...pipeline.py:
+    1156-1171). Values become real torch tensors so torch.load works even
+    with weights_only=True. Same atomic pid-unique temp + os.replace
+    discipline as save(). Dtypes torch can't view (e.g. ml_dtypes bfloat16
+    numpy) are widened to float32."""
+    import torch
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    out = {}
+    for k, v in flat.items():
+        a = np.ascontiguousarray(np.asarray(_to_host(v)))
+        if not a.flags.writeable:  # torch refuses read-only views
+            a = a.copy()
+        try:
+            out[k] = torch.from_numpy(a)
+        except TypeError:
+            out[k] = torch.from_numpy(a.astype(np.float32))
+    reap_stale_temps(path)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        torch.save(out, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_flat(path: str) -> dict:
+    """Load a flat {name: ndarray} mapping from either container: this
+    framework's pickle (older runs) or a torch.save archive (save_torch
+    output and reference-side checkpoints alike)."""
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+    except Exception:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(obj, dict):
+        raise TypeError(f"{path}: expected a flat dict, got {type(obj)}")
+    return {k: np.asarray(v.detach().float().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in obj.items()}
 
 
 # -- pod-scale (multi-host) checkpointing -------------------------------------

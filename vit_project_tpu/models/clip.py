@@ -13,6 +13,7 @@ step inside the jitted train step.
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -51,19 +52,50 @@ CLIP_VIT_B16 = CLIPConfig(visual=vvit.CLIP_VIT_B16_VISUAL,
                           text=TextConfig(width=512, layers=12, heads=8),
                           embed_dim=512)
 
+# ViT-L/14@336px: identical tower, higher-resolution positional grid. The
+# converter's shape inference (convert.clip_config_from_state_dict) derives
+# image_size = grid * patch from the checkpoint, so loading the @336px
+# checkpoint produces exactly this config; the preset exists so the backbone
+# name works without a checkpoint too.
+CLIP_VIT_L14_336 = CLIPConfig(
+    visual=dataclasses.replace(vvit.CLIP_VIT_L14_VISUAL, image_size=336),
+    text=TextConfig(width=768, layers=12, heads=12),
+    embed_dim=768)
+
 # ModifiedResNet towers — the reference CLIPHBA's default backbone is 'RN50'
-# (new_cvpr_train_behavior_things_pipeline.py:269); both RN text towers are
-# 12-layer width-512 transformers (OpenAI CLIP shapes)
+# (new_cvpr_train_behavior_things_pipeline.py:269). Geometry for the whole
+# RN50xN family follows OpenAI build_model's inference rules: attnpool heads
+# = vision_width * 32 // 64, text heads = text_width // 64, and the input
+# resolution scales with the tower (288/384/448 for x4/x16/x64).
 CLIP_RN50 = CLIPConfig(visual=vresnet.RN50,
                        text=TextConfig(width=512, layers=12, heads=8),
                        embed_dim=1024)
 CLIP_RN101 = CLIPConfig(visual=vresnet.RN101,
                         text=TextConfig(width=512, layers=12, heads=8),
                         embed_dim=512)
+CLIP_RN50x4 = CLIPConfig(
+    visual=vresnet.ResNetConfig(layers=(4, 6, 10, 6), width=80, heads=40,
+                                image_size=288, out_dim=640),
+    text=TextConfig(width=640, layers=12, heads=10),
+    embed_dim=640)
+CLIP_RN50x16 = CLIPConfig(
+    visual=vresnet.ResNetConfig(layers=(6, 8, 18, 8), width=96, heads=48,
+                                image_size=384, out_dim=768),
+    text=TextConfig(width=768, layers=12, heads=12),
+    embed_dim=768)
+CLIP_RN50x64 = CLIPConfig(
+    visual=vresnet.ResNetConfig(layers=(3, 15, 36, 10), width=128, heads=64,
+                                image_size=448, out_dim=1024),
+    text=TextConfig(width=1024, layers=12, heads=16),
+    embed_dim=1024)
 
+# the full clip._MODELS registry surface (ref new_cvpr...pipeline.py:252 keys
+# into it by backbone name) — every name OpenAI ships resolves here too
 CLIP_CONFIGS = {"ViT-L/14": CLIP_VIT_L14, "ViT-B/32": CLIP_VIT_B32,
-                "ViT-B/16": CLIP_VIT_B16, "RN50": CLIP_RN50,
-                "RN101": CLIP_RN101}
+                "ViT-B/16": CLIP_VIT_B16, "ViT-L/14@336px": CLIP_VIT_L14_336,
+                "RN50": CLIP_RN50, "RN101": CLIP_RN101,
+                "RN50x4": CLIP_RN50x4, "RN50x16": CLIP_RN50x16,
+                "RN50x64": CLIP_RN50x64}
 
 # miniature backbone for integration tests / CI (full 224 input, 2-layer towers)
 CLIP_CONFIGS["test-tiny"] = CLIPConfig(

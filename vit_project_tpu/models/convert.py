@@ -212,3 +212,155 @@ def vit_params_from_timm_state_dict(sd: dict, layers: int | None = None) -> dict
         p["head_w"] = sd["head.weight"].T.copy()
         p["head_b"] = sd["head.bias"]
     return p
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our param pytrees -> torch state dicts.
+#
+# Closes the migration loop the forward converters open: a model trained (or
+# DoRA-adapted + baked, adapters.dora.bake) in this framework exports to the
+# exact name/layout surface the reference ecosystem consumes — OpenAI CLIP
+# state dicts (loadable by clip.build_model) and timm ViT state dicts
+# (loadable by timm.create_model(...).load_state_dict). Round-trip with the
+# forward converters is bit-exact (tests/test_clip_conversion.py).
+
+def patch_matrix_to_conv_kernel(mat: np.ndarray, patch: int,
+                                channels: int = 3) -> np.ndarray:
+    """Inverse of conv_kernel_to_patch_matrix: [p*p*C, D] -> [D, C, p, p]."""
+    mat = np.asarray(mat)
+    d = mat.shape[1]
+    k = mat.reshape(patch, patch, channels, d)   # (ph, pw, C, D)
+    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+
+
+def _f32(x) -> np.ndarray:
+    """Host float32 copy (bf16/f32 device arrays and python scalars alike)."""
+    return np.asarray(x, dtype=np.float32)
+
+
+def _t_out(w) -> np.ndarray:
+    """Our [in, out] linear weight -> torch's [out, in]."""
+    return np.ascontiguousarray(_f32(w).T)
+
+
+def _ln_out(sd, prefix, p):
+    sd[prefix + ".weight"] = _f32(p["scale"])
+    sd[prefix + ".bias"] = _f32(p["bias"])
+
+
+def _clip_block_out(sd, prefix, b):
+    _ln_out(sd, prefix + ".ln_1", b["ln1"])
+    sd[prefix + ".attn.in_proj_weight"] = _t_out(b["qkv_w"])
+    sd[prefix + ".attn.in_proj_bias"] = _f32(b["qkv_b"])
+    sd[prefix + ".attn.out_proj.weight"] = _t_out(b["out_w"])
+    sd[prefix + ".attn.out_proj.bias"] = _f32(b["out_b"])
+    _ln_out(sd, prefix + ".ln_2", b["ln2"])
+    sd[prefix + ".mlp.c_fc.weight"] = _t_out(b["fc1_w"])
+    sd[prefix + ".mlp.c_fc.bias"] = _f32(b["fc1_b"])
+    sd[prefix + ".mlp.c_proj.weight"] = _t_out(b["fc2_w"])
+    sd[prefix + ".mlp.c_proj.bias"] = _f32(b["fc2_b"])
+
+
+def _oihw(w) -> np.ndarray:
+    """Our HWIO conv kernel -> torch OIHW."""
+    return np.ascontiguousarray(np.transpose(_f32(w), (3, 2, 0, 1)))
+
+
+def _rn_bn_out(sd, prefix, p):
+    sd[prefix + ".weight"] = _f32(p["scale"])
+    sd[prefix + ".bias"] = _f32(p["bias"])
+    sd[prefix + ".running_mean"] = _f32(p["mean"])
+    sd[prefix + ".running_var"] = _f32(p["var"])
+    # torch tracks this buffer; build_model tolerates int64 zeros
+    sd[prefix + ".num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _rn_block_out(sd, prefix, p):
+    for i in (1, 2, 3):
+        sd[f"{prefix}.conv{i}.weight"] = _oihw(p[f"conv{i}"])
+        _rn_bn_out(sd, f"{prefix}.bn{i}", p[f"bn{i}"])
+    if "down_conv" in p:
+        sd[prefix + ".downsample.0.weight"] = _oihw(p["down_conv"])
+        _rn_bn_out(sd, prefix + ".downsample.1", p["down_bn"])
+
+
+def clip_state_dict_from_params(params: dict, cfg: CLIPConfig) -> dict:
+    """Our CLIP param tree -> OpenAI-CLIP-format {name: np.float32 ndarray}.
+
+    Exact inverse of clip_params_from_state_dict for both tower families;
+    clip_config_from_state_dict re-infers `cfg` from the result."""
+    sd: dict = {}
+    v = params["visual"]
+    if isinstance(cfg.visual, ResNetConfig):
+        for i in (1, 2, 3):
+            sd[f"visual.conv{i}.weight"] = _oihw(v["stem"][f"conv{i}"])
+            _rn_bn_out(sd, f"visual.bn{i}", v["stem"][f"bn{i}"])
+        for b, n in enumerate(cfg.visual.layers, start=1):
+            for i in range(n):
+                _rn_block_out(sd, f"visual.layer{b}.{i}", v[f"layer{b}"][i])
+        ap = v["attnpool"]
+        sd["visual.attnpool.positional_embedding"] = _f32(ap["pos"])
+        for nm in ("q", "k", "v", "c"):
+            sd[f"visual.attnpool.{nm}_proj.weight"] = _t_out(ap[f"{nm}_w"])
+            sd[f"visual.attnpool.{nm}_proj.bias"] = _f32(ap[f"{nm}_b"])
+    else:
+        sd["visual.conv1.weight"] = patch_matrix_to_conv_kernel(
+            _f32(v["patch_w"]), cfg.visual.patch)
+        sd["visual.class_embedding"] = _f32(v["cls"])
+        sd["visual.positional_embedding"] = _f32(v["pos"])
+        _ln_out(sd, "visual.ln_pre", v["ln_pre"])
+        for i, b in enumerate(v["blocks"]):
+            _clip_block_out(sd, f"visual.transformer.resblocks.{i}", b)
+        _ln_out(sd, "visual.ln_post", v["norm"])
+        sd["visual.proj"] = _f32(v["proj"])
+    t = params["text"]
+    sd["token_embedding.weight"] = _f32(t["token_embedding"])
+    sd["positional_embedding"] = _f32(t["pos"])
+    for i, b in enumerate(t["blocks"]):
+        _clip_block_out(sd, f"transformer.resblocks.{i}", b)
+    _ln_out(sd, "ln_final", t["ln_final"])
+    sd["text_projection"] = _f32(t["text_projection"])
+    sd["logit_scale"] = _f32(params["logit_scale"])
+    return sd
+
+
+def timm_state_dict_from_vit_params(params: dict, patch: int) -> dict:
+    """Our ViT classifier tree -> timm-format {name: np.float32 ndarray}.
+
+    Inverse of vit_params_from_timm_state_dict; `patch` is needed to unfold
+    the patch matrix back into a conv kernel."""
+    sd: dict = {}
+    sd["patch_embed.proj.weight"] = patch_matrix_to_conv_kernel(
+        _f32(params["patch_w"]), patch)
+    sd["patch_embed.proj.bias"] = _f32(params["patch_b"])
+    sd["cls_token"] = _f32(params["cls"]).reshape(1, 1, -1)
+    sd["pos_embed"] = _f32(params["pos"])[None]
+    for i, b in enumerate(params["blocks"]):
+        sd[f"blocks.{i}.norm1.weight"] = _f32(b["ln1"]["scale"])
+        sd[f"blocks.{i}.norm1.bias"] = _f32(b["ln1"]["bias"])
+        sd[f"blocks.{i}.attn.qkv.weight"] = _t_out(b["qkv_w"])
+        sd[f"blocks.{i}.attn.qkv.bias"] = _f32(b["qkv_b"])
+        sd[f"blocks.{i}.attn.proj.weight"] = _t_out(b["out_w"])
+        sd[f"blocks.{i}.attn.proj.bias"] = _f32(b["out_b"])
+        sd[f"blocks.{i}.norm2.weight"] = _f32(b["ln2"]["scale"])
+        sd[f"blocks.{i}.norm2.bias"] = _f32(b["ln2"]["bias"])
+        sd[f"blocks.{i}.mlp.fc1.weight"] = _t_out(b["fc1_w"])
+        sd[f"blocks.{i}.mlp.fc1.bias"] = _f32(b["fc1_b"])
+        sd[f"blocks.{i}.mlp.fc2.weight"] = _t_out(b["fc2_w"])
+        sd[f"blocks.{i}.mlp.fc2.bias"] = _f32(b["fc2_b"])
+    sd["norm.weight"] = _f32(params["norm"]["scale"])
+    sd["norm.bias"] = _f32(params["norm"]["bias"])
+    if "head_w" in params:
+        sd["head.weight"] = _t_out(params["head_w"])
+        sd["head.bias"] = _f32(params["head_b"])
+    return sd
+
+
+def save_torch_state_dict(path: str, sd: dict) -> None:
+    """Write {name: ndarray} as a plain torch.save state dict (.pth) that
+    torch.load / nn.Module.load_state_dict on the reference side consume
+    directly. DoRA adapter trees go through adapters.dora.to_reference_names
+    first; baked full models through clip_state_dict_from_params."""
+    import torch
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+                for k, v in sd.items()}, path)
