@@ -146,3 +146,51 @@ class TestConfigDefaults:
         SAME parsed config (not a divergent dict fallback)."""
         from vit_project_tpu.core.configs import ClipRunConfig
         assert ClipRunConfig().host_prefetch is True
+
+
+class TestFlatContainerRobustness:
+    """save_torch/load_flat container edge cases (round-3 review findings)."""
+
+    def test_save_torch_falls_back_to_pickle_without_torch(self, tmp_path,
+                                                           monkeypatch):
+        """On a torch-less host the per-epoch adapter writer degrades to the
+        native pickle container instead of crashing the run at the first
+        checkpoint — load_flat reads both identically."""
+        import sys
+        from vit_project_tpu.ckpt import serialization as ser
+
+        monkeypatch.setitem(sys.modules, "torch", None)  # import -> ImportError
+        monkeypatch.setattr(ser, "_WARNED_NO_TORCH", False)
+        path = str(tmp_path / "epoch1_dora_params.pth")
+        flat = {"a.m": np.arange(4, dtype=np.float32),
+                "a.delta_D_A": np.ones((2, 3), np.float32)}
+        ser.save_torch(path, flat)
+        back = ser.load_flat(path)
+        assert set(back) == set(flat)
+        for k in flat:
+            np.testing.assert_array_equal(back[k], flat[k])
+
+    def test_load_flat_corrupt_file_diagnosis(self, tmp_path):
+        """A truncated/corrupt checkpoint reports itself as such instead of
+        an opaque torch error (or ModuleNotFoundError on torch-less hosts)."""
+        from vit_project_tpu.ckpt import serialization as ser
+
+        bad = tmp_path / "epoch3_dora_params.pth"
+        bad.write_bytes(b"\x80\x04garbage-truncated")
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            ser.load_flat(str(bad))
+
+    def test_load_flat_reads_both_containers(self, tmp_path):
+        """The torch archive (zip) and the pickle container round-trip the
+        same flat mapping through load_flat."""
+        from vit_project_tpu.ckpt import serialization as ser
+
+        flat = {"x": np.arange(6, dtype=np.float32).reshape(2, 3)}
+        p1 = str(tmp_path / "torch_container.pth")
+        p2 = str(tmp_path / "pickle_container.pth")
+        ser.save_torch(p1, flat)
+        ser.save(p2, flat)
+        import zipfile
+        assert zipfile.is_zipfile(p1) and not zipfile.is_zipfile(p2)
+        for p in (p1, p2):
+            np.testing.assert_array_equal(ser.load_flat(p)["x"], flat["x"])

@@ -73,6 +73,27 @@ class TestExportClip:
             np.asarray(params2["visual"]["blocks"][0]["fc1_w"]),
             np.asarray(params["visual"]["blocks"][0]["fc1_w"], np.float32))
 
+    def test_extra_adapter_blocks_is_loud(self, tmp_path, tiny_cfg):
+        """The converse guard: a checkpoint trained with MORE adapted blocks
+        than the export flags request must refuse (silently dropping a
+        trained adapter from the bake is a numerically wrong export)."""
+        cfg = tiny_cfg
+        params = vclip.init_clip_params(jax.random.PRNGKey(0), cfg)
+        base = str(tmp_path / "base_clip.pth")
+        vconvert.save_torch_state_dict(
+            base, vconvert.clip_state_dict_from_params(params, cfg))
+        # train BOTH vision blocks (cfg.visual.layers == 2)
+        spec = adora.dora_spec(cfg.visual.layers, cfg.text.layers, 2, 1)
+        trainable, _, _ = adora.apply_dora(params, spec, r=2,
+                                           key=jax.random.PRNGKey(1))
+        clip_ckpt.save_dora_parameters(trainable, str(tmp_path / "dora"), 0)
+        with pytest.raises(SystemExit, match="not covered by"):
+            xt.main(["clip", "--clip_weights", base,
+                     "--dora_checkpoint",
+                     str(tmp_path / "dora" / "epoch1_dora_params.pth"),
+                     "--vision_layers", "1", "--transformer_layers", "1",
+                     "--rank", "2", "--out", str(tmp_path / "x.pth")])
+
     def test_missing_adapter_blocks_is_loud(self, tmp_path, tiny_cfg):
         cfg = tiny_cfg
         _, _, _, _, base = self._setup_run(tmp_path, cfg)

@@ -117,6 +117,29 @@ class TestClipServeCLI:
         assert all(np.isfinite(float(r["top1_score"])) for r in rows)
 
 
+    def test_rn_pos_embedding_flag(self, image_dir, tmp_path):
+        """RN towers default to the reference CLIPHBA convention
+        (pos_embedding off, cvpr_..._baseline.py:757-758); --pos_embedding on
+        restores stock OpenAI attnpool semantics for plain RN checkpoints."""
+        import torch
+        from test_resnet_clip import TorchRNCLIP
+        torch.manual_seed(3)
+        weights = tmp_path / "tiny_rn_clip.pt"
+        torch.save(TorchRNCLIP().eval().state_dict(), weights)
+
+        base = ["--images", image_dir, "--clip_weights", str(weights),
+                "--buckets", "8", "--param_dtype", "f32", "--topk", "1",
+                "--allow_hash_tokenizer"]
+        outs = {}
+        for mode in ("auto", "off", "on"):
+            out = str(tmp_path / f"scores_{mode}.csv")
+            assert _run(base + ["--pos_embedding", mode, "--out", out]) == 0
+            with open(out) as f:
+                outs[mode] = [r["top1_score"] for r in csv.DictReader(f)]
+        assert outs["auto"] == outs["off"]   # auto == reference convention
+        assert outs["on"] != outs["off"]     # the embedding actually applies
+
+
 class TestAotExportCLI:
     def test_export_then_serve_equals_live(self, image_dir, vit_checkpoint,
                                            tmp_path):

@@ -16,6 +16,8 @@ import pickle
 
 import numpy as np
 
+_WARNED_NO_TORCH = False
+
 
 def _to_host(obj):
     """Recursively convert jax arrays to numpy for pickling."""
@@ -87,8 +89,25 @@ def save_torch(path: str, flat: dict) -> None:
     1156-1171). Values become real torch tensors so torch.load works even
     with weights_only=True. Same atomic pid-unique temp + os.replace
     discipline as save(). Dtypes torch can't view (e.g. ml_dtypes bfloat16
-    numpy) are widened to float32."""
-    import torch
+    numpy) are widened to float32.
+
+    torch is optional: on hosts without it (the core deps are torch-free)
+    this degrades to the pickle container, which load_flat reads back
+    identically — only direct consumption by the reference's torch.load
+    needs the torch archive, and that requires torch anyway."""
+    try:
+        import torch
+    except ImportError:
+        global _WARNED_NO_TORCH
+        if not _WARNED_NO_TORCH:
+            import logging
+            logging.getLogger("vit_project_tpu").warning(
+                "torch unavailable: writing %s (and subsequent adapter "
+                "checkpoints) in the native pickle container instead of a "
+                "torch archive; load_flat reads both.", path)
+            _WARNED_NO_TORCH = True
+        save(path, dict(flat))
+        return
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -118,12 +137,21 @@ def load_flat(path: str) -> dict:
     """Load a flat {name: ndarray} mapping from either container: this
     framework's pickle (older runs) or a torch.save archive (save_torch
     output and reference-side checkpoints alike)."""
-    try:
-        with open(path, "rb") as f:
-            obj = pickle.load(f)
-    except Exception:
+    import zipfile
+    if zipfile.is_zipfile(path):  # torch>=1.6 archives are zip containers
         import torch
         obj = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        try:
+            with open(path, "rb") as f:
+                obj = pickle.load(f)
+        except Exception as e:
+            # NOT a torch zip and NOT our pickle: a truncated/corrupt file.
+            # Surface the real diagnosis instead of falling through to an
+            # opaque torch error (or ModuleNotFoundError on torch-less hosts).
+            raise ValueError(
+                f"{path}: not a torch archive and unreadable as a pickle "
+                f"checkpoint — likely truncated or corrupt ({e!r})") from e
     if not isinstance(obj, dict):
         raise TypeError(f"{path}: expected a flat dict, got {type(obj)}")
     return {k: np.asarray(v.detach().float().numpy()

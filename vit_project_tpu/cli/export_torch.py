@@ -48,6 +48,20 @@ def export_clip(args) -> str:
         raise SystemExit(
             f"--dora_checkpoint is missing adapters for blocks {missing}; "
             "check --vision_layers/--transformer_layers/--rank match the run")
+    # ...and the converse: adapter entries in the checkpoint OUTSIDE the
+    # requested spec would be silently dropped from the bake — a numerically
+    # wrong export. The checkpoint defines the run's true layer counts.
+    spec_paths = {adora._module_path(t, int(i))
+                  for t, idxs in spec.items() for i in idxs}
+    extra = sorted({k.rsplit(".", 1)[0] for k in flat
+                    if k.endswith((".m", ".delta_D_A", ".delta_D_B"))}
+                   - spec_paths)
+    if extra:
+        raise SystemExit(
+            f"--dora_checkpoint contains trained adapters not covered by "
+            f"--vision_layers {args.vision_layers} / --transformer_layers "
+            f"{args.transformer_layers}: {extra}. Raise the flags to match "
+            "the run so every trained adapter is baked.")
     trainable = adora.merge_loaded(trainable, loaded)
     baked = adora.bake(params, trainable, static, alpha=args.alpha,
                        r=args.rank)

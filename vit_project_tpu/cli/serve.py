@@ -125,13 +125,18 @@ def build_clip_engine(args):
             key=jax.random.PRNGKey(0))
         trainable = clip_ckpt.load_dora_parameters(args.dora_checkpoint,
                                                    init_tr, spec)
+    if args.pos_embedding == "auto":
+        # the reference CLIPHBA convention: RN50 runs with
+        # pos_embedding=False (cvpr_..._baseline.py:757-758). A plain
+        # OpenAI RN checkpoint wants --pos_embedding on instead.
+        use_pos = not is_rn
+    else:
+        use_pos = args.pos_embedding == "on"
     eng = clip_hba_engine(params, prompts, clip_cfg, trainable=trainable,
                           static=static, alpha=args.dora_alpha, r=args.rank,
                           buckets=args.bucket_list, param_dtype=args.dtype,
                           quantize=args.quantize,
-                          # the reference runs RN50 with pos_embedding=False
-                          # (cvpr_..._baseline.py:757-758)
-                          use_pos_embedding=not is_rn)
+                          use_pos_embedding=use_pos)
     return eng, clip_cfg.visual.image_size, (THINGS_MEAN, THINGS_STD)
 
 
@@ -217,6 +222,12 @@ def main(argv=None):
     ap.add_argument("--dora_checkpoint", help="trained DoRA adapters to bake")
     ap.add_argument("--bpe_vocab")
     ap.add_argument("--allow_hash_tokenizer", action="store_true")
+    ap.add_argument("--pos_embedding", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="attnpool/CLS positional embedding: 'auto' = the "
+                    "reference CLIPHBA convention (on for ViT towers, off "
+                    "for RN — cvpr_..._baseline.py:757-758); 'on' restores "
+                    "stock OpenAI semantics when serving a plain RN .pt")
     ap.add_argument("--vision_layers", type=int, default=2)
     ap.add_argument("--transformer_layers", type=int, default=1)
     ap.add_argument("--rank", type=int, default=8)

@@ -216,6 +216,20 @@ class ClipHBATrainer:
 
         return jax.jit(step)
 
+    def _device_chunks(self, src, chunk: int):
+        """Yield fixed-shape slices of `src`: chunk width rounded up to the
+        device count, tail zero-padded — every yielded array has ONE compiled
+        shape. Shared by build_prefix_cache and infer_in_chunks so the
+        device-multiple rounding and tail-padding invariants live once."""
+        chunk = -(-chunk // self.n_dev) * self.n_dev
+        for s in range(0, src.shape[0], chunk):
+            part = src[s:s + chunk]
+            short = chunk - part.shape[0]
+            if short > 0:
+                part = jnp.pad(part,
+                               ((0, short),) + ((0, 0),) * (part.ndim - 1))
+            yield part
+
     def build_prefix_cache(self, imgs_dev, chunk: int = 256) -> jax.Array:
         """Frozen-prefix activations [N, S, width] for a resident uint8 image
         set, computed in fixed-shape chunks (one compiled shape; bounds the
@@ -226,16 +240,8 @@ class ClipHBATrainer:
                 "the cache holds full-S activations, which defeats sp's "
                 "token sharding (and the sp forward has no prefix split)")
         n = imgs_dev.shape[0]
-        if self.mesh is not None:
-            chunk = -(-chunk // self.n_dev) * self.n_dev
-        outs = []
-        for s in range(0, n, chunk):
-            part = imgs_dev[s:s + chunk]
-            short = chunk - part.shape[0]
-            if short > 0:
-                part = jnp.pad(part,
-                               ((0, short),) + ((0, 0),) * (part.ndim - 1))
-            outs.append(self._prefix_step(self.params, part))
+        outs = [self._prefix_step(self.params, part)
+                for part in self._device_chunks(imgs_dev, chunk)]
         cache = jnp.concatenate(outs)[:n] if len(outs) > 1 else outs[0][:n]
         if self.mesh is not None:
             from ..parallel import mesh as vmesh
@@ -646,17 +652,8 @@ class ClipHBATrainer:
         chunks are sliced from it instead of imgs_dev and only the adapted
         suffix blocks run per chunk."""
         src = cache if cache is not None else imgs_dev
-        n = src.shape[0]
-        if self.mesh is not None:
-            nd = self.mesh.devices.size
-            chunk = ((chunk + nd - 1) // nd) * nd
         outs = []
-        for s in range(0, n, chunk):
-            part = src[s:s + chunk]
-            short = chunk - part.shape[0]
-            if short > 0:
-                part = jnp.pad(
-                    part, ((0, short),) + ((0, 0),) * (part.ndim - 1))
+        for part in self._device_chunks(src, chunk):
             if cache is not None:
                 outs.append(np.asarray(self._infer_step_cached(
                     trainable, self.params, self.static, part,
