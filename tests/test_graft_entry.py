@@ -35,3 +35,29 @@ def test_entry_compiles_single_device():
     fn, example_args = g.entry()
     logits = jax.jit(fn)(*example_args)
     assert logits.shape == (8, 1000)
+
+
+def test_dryrun_guard_trips_on_involuntary_remat(monkeypatch):
+    """A sharding regression that makes GSPMD fall back to replicate-then-
+    repartition must FAIL the dryrun even when the step still runs (rc=0):
+    the guard matches the SPMD warning on the subprocess's stderr."""
+    import subprocess
+    import types
+
+    g = _load_graft_entry()
+
+    def fake_run(*a, **k):
+        return types.SimpleNamespace(
+            returncode=0, stdout="dryrun_multichip(8): ... - OK\n",
+            stderr="W0000 spmd_partitioner.cc:652] [SPMD] Involuntary full "
+                   "rematerialization. The compiler cannot go from sharding "
+                   "{devices=[8,1,1,1]<=[8]} to {devices=[1,2,1,1,4]<=[8]}"
+                   " ...\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    try:
+        g.dryrun_multichip(8)
+    except RuntimeError as e:
+        assert "full-rematerialization" in str(e)
+    else:
+        raise AssertionError("guard did not trip on the seeded warning")

@@ -266,8 +266,11 @@ class TestViTTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
         for tree in (res["params"], res["momentum_buf"]):
+            # matrix leaves shard; 1-D leaves (biases/scales) replicate by
+            # design — a sharded bias reshaped in the attention path would
+            # propagate a bogus heads-sharding (parallel/mesh.fsdp_sharding)
             sharded = [x for x in jax.tree_util.tree_leaves(tree)
-                       if x.ndim >= 1 and x.shape[0] % 8 == 0]
+                       if x.ndim >= 2 and x.shape[0] % 8 == 0]
             assert sharded and all(not x.sharding.is_fully_replicated
                                    for x in sharded)
 

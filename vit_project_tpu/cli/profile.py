@@ -220,10 +220,11 @@ def analyze_memory(model: str, batch: int, *, compute_dtype="bfloat16",
                              jax.random.PRNGKey(0))
 
     rep = vmesh.replicated(mesh)
-    pshard = ((lambda x: vmesh.zero1_sharding(mesh, x)) if fsdp
+    pshard = ((lambda x: vmesh.fsdp_sharding(mesh, x)) if fsdp
               else (lambda x: rep))
-    bshard = ((lambda x: vmesh.zero1_sharding(mesh, x))
-              if (fsdp or zero1) else (lambda x: rep))
+    bshard = ((lambda x: vmesh.fsdp_sharding(mesh, x)) if fsdp
+              else (lambda x: vmesh.zero1_sharding(mesh, x)) if zero1
+              else (lambda x: rep))
 
     def sds(tree, sh):
         return jax.tree_util.tree_map(

@@ -147,7 +147,8 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
                   with_aux: bool = False,
                   moe_capacity: float = 1.25,
                   moe_topk: int = 1,
-                  ring: tuple | None = None) -> jax.Array:
+                  ring: tuple | None = None,
+                  head_shard=None) -> jax.Array:
     """Pre-norm transformer block. If `adapter` is given, the attention output
     projection is DoRA-adapted (replaces attn.out_proj, matching the reference's
     apply_dora_to_ViT surgery, new_cvpr...pipeline.py:484-513).
@@ -159,7 +160,13 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
     `ring=(mesh, axis, s_valid)` routes the attention core through ring
     attention (parallel/ring.py) — for sequence-parallel trunks whose k/v
     should rotate over ICI instead of all-gathering (vit_encode
-    ring_attn=True). Implies the XLA qkv path."""
+    ring_attn=True). Implies the XLA qkv path.
+
+    `head_shard` (parallel/mesh.head_sharding) pins q/k/v and the attention
+    output to the Megatron [B('data'), S, H('model'), dh] layout under
+    tensor parallelism, so GSPMD keeps the softmax chain heads-sharded
+    instead of replicating+repartitioning it (only meaningful on the XLA
+    einsum path the tp layout already routes to)."""
     act = (vnn.quick_gelu if quick_gelu
            else (vnn.gelu_tanh if gelu_approx else vnn.gelu))
     h = vnn.layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
@@ -228,6 +235,10 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
         v = (jnp.einsum("bsd,dhe->bshe", h,
                         w3[:, 2].reshape(D, heads, dh).astype(h.dtype))
              + b3[2].reshape(heads, dh).astype(h.dtype))
+        if head_shard is not None:
+            q = jax.lax.with_sharding_constraint(q, head_shard)
+            k = jax.lax.with_sharding_constraint(k, head_shard)
+            v = jax.lax.with_sharding_constraint(v, head_shard)
         if ring is not None:
             from ..parallel import ring as vring
             o = vring.ring_attention_bshd(q, k, v, ring[0], ring[1],
@@ -235,6 +246,8 @@ def block_forward(p: dict, x: jax.Array, heads: int, *, quick_gelu: bool,
         else:
             o = vattn.attention_core_bshd(q, k, v, causal=causal,
                                           use_pallas=False)
+        if head_shard is not None:
+            o = jax.lax.with_sharding_constraint(o, head_shard)
     o = o.reshape(B, S, D)
     if adapter is not None:
         o = vdora.dora_linear(
@@ -289,7 +302,7 @@ def _seq_parallel_enter(x: jax.Array, seq_shard, ring_attn: bool):
 
 def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
               remat, with_aux: bool = False, ring: tuple | None = None,
-              causal: bool = False):
+              causal: bool = False, head_shard=None):
     """Per-block callable shared by the encoder trunks (the two visual
     trunks here and the causal text tower in models/clip.py); with
     remat=True each call is wrapped in jax.checkpoint (see vit_encode
@@ -304,7 +317,7 @@ def _block_fn(cfg: ViTConfig, adapter_cfg, deterministic, use_pallas,
                              with_aux=with_aux,
                              moe_capacity=cfg.moe_capacity,
                              moe_topk=cfg.moe_topk,
-                             ring=ring)
+                             ring=ring, head_shard=head_shard)
     return jax.checkpoint(_block) if remat else _block
 
 
@@ -342,7 +355,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
                input_norm: tuple | None = None,
                compute_dtype=jnp.float32, remat: bool = False,
                seq_shard=None, with_aux: bool = False,
-               ring_attn: bool = False) -> jax.Array:
+               ring_attn: bool = False, head_shard=None) -> jax.Array:
     """images [B, H, W, 3] -> tokens [B, S, width] after the final LayerNorm.
 
     `adapters` maps block index -> {trainable, buffers} DoRA entries.
@@ -388,7 +401,7 @@ def vit_encode(params: dict, images: jax.Array, cfg: ViTConfig, *,
     x, ring, s_real = _seq_parallel_enter(x, seq_shard, ring_attn)
     adapters = adapters or {}
     blk = _block_fn(cfg, adapter_cfg, deterministic, use_pallas, remat,
-                    with_aux=with_aux, ring=ring)
+                    with_aux=with_aux, ring=ring, head_shard=head_shard)
     aux_total = jnp.zeros((), jnp.float32)
     for i, bp in enumerate(params["blocks"]):
         ad = adapters.get(i)
@@ -413,15 +426,15 @@ def vit_classify(params: dict, images: jax.Array, cfg: ViTConfig, *,
                  input_norm: tuple | None = None,
                  compute_dtype=jnp.float32, remat: bool = False,
                  seq_shard=None, with_aux: bool = False,
-                 ring_attn: bool = False) -> jax.Array:
+                 ring_attn: bool = False, head_shard=None) -> jax.Array:
     """ViT classifier logits [B, num_classes] from the CLS token.
 
-    `seq_shard` / `with_aux` / `ring_attn` as in vit_encode; with_aux=True
-    returns (logits, moe_aux_loss)."""
+    `seq_shard` / `with_aux` / `ring_attn` / `head_shard` as in vit_encode;
+    with_aux=True returns (logits, moe_aux_loss)."""
     tokens = vit_encode(params, images, cfg, use_pallas=use_pallas,
                         input_norm=input_norm, compute_dtype=compute_dtype,
                         remat=remat, seq_shard=seq_shard, with_aux=with_aux,
-                        ring_attn=ring_attn)
+                        ring_attn=ring_attn, head_shard=head_shard)
     if with_aux:
         tokens, aux = tokens
     cls = tokens[:, 0]

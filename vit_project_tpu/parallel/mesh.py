@@ -177,6 +177,31 @@ def seq_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model", None))
 
 
+def head_sharding(mesh: Mesh) -> NamedSharding:
+    """Tensor-parallel constraint for [B, S, H, dh] attention activations:
+    batch over 'data', HEADS over 'model' (the Megatron attention layout the
+    head-aligned qkv weights of shard_vit_params_tp produce). Pass as
+    vit_encode/vit_classify's `head_shard`: it pins q/k/v and the attention
+    output so GSPMD keeps the whole softmax chain heads-sharded instead of
+    falling back to replicate-then-repartition ("Involuntary full
+    rematerialization") when batch and head shardings meet."""
+    if "model" not in mesh.axis_names:
+        raise ValueError("tensor parallelism needs a ('data','model') mesh "
+                         f"(make_mesh(n_model=...)); got {mesh.axis_names}")
+    return NamedSharding(mesh, P("data", None, "model", None))
+
+
+def batch_head_sharding(mesh: Mesh) -> NamedSharding:
+    """Data-parallel constraint for [B, S, H, dh] attention activations:
+    batch over 'data', everything else replicated. Under FSDP the weight
+    shardings (input-dim 1/N) otherwise leak through the attention
+    backward's reshapes as a bogus heads-sharding on the softmax chain, and
+    GSPMD falls back to replicate-then-repartition ("Involuntary full
+    rematerialization"); pinning q/k/v and the attention output to the
+    plain dp layout keeps activations batch-sharded end to end."""
+    return NamedSharding(mesh, P("data", None, None, None))
+
+
 def shard_vit_params_ep(mesh: Mesh, params: dict) -> dict:
     """Expert-parallel placement of a MoE ViT param tree (ops/moe.py) over
     the 'expert' axis of a ('data','expert') mesh: each stacked expert-FFN
@@ -241,19 +266,39 @@ def shard_opt_state(mesh: Mesh, tree):
         lambda x: jax.device_put(x, zero1_sharding(mesh, x)), tree)
 
 
+def fsdp_sharding(mesh: Mesh, x) -> NamedSharding:
+    """FSDP placement for one MODEL param leaf: matrices (ndim >= 2) shard
+    their leading (input) dim over 'data' when it divides; 1-D leaves
+    (biases, LayerNorm scales) REPLICATE even when they would divide.
+
+    The 1-D exception differs from zero1_sharding deliberately: these leaves
+    participate in the forward, and a sharded bias that gets reshaped (e.g.
+    qkv_b [3D] -> [heads, dh] in the head-aligned attention path) hands
+    GSPMD a flat 8-way sharding over a folded (heads x lane) axis — the
+    propagated heads-sharding then collides with the batch-sharded softmax
+    chain and XLA falls back to replicate-then-repartition ("Involuntary
+    full rematerialization", a real HBM tax at production shapes). The
+    memory cost of replicating them is negligible: 1-D leaves are ~1/3000th
+    of a ViT's parameters."""
+    if getattr(x, "ndim", 0) >= 2 and x.shape[0] % mesh.shape["data"] == 0:
+        return NamedSharding(mesh, P("data"))
+    return NamedSharding(mesh, P())
+
+
 def shard_params_fsdp(mesh: Mesh, tree):
-    """FSDP / ZeRO-3 placement for a MODEL param tree: every leaf whose
-    leading axis divides the 'data' axis is stored 1/N per chip (same leaf
-    rule as zero1_sharding — weight matrices shard on their input dim, [D]
-    scales/biases shard too, tiny non-dividing leaves like pos/cls
-    replicate). The train step pins params, grads, and momentum to this
-    layout (ViTTrainer fsdp=True): XLA then all-gathers each weight just
-    before its matmuls (forward and backward) and reduce-scatters its grad —
-    per-chip param + optimizer memory drops ~Nx for two gathers and one
-    reduce-scatter of ICI traffic per weight per step, the standard GSPMD
-    FSDP recipe. The reference has no sharded-parameter mode (DDP fully
-    replicates the model, train_vit_sgd.py:287)."""
-    return shard_opt_state(mesh, tree)  # same leaf rule, one implementation
+    """FSDP / ZeRO-3 placement for a MODEL param tree: every matrix leaf
+    whose leading axis divides the 'data' axis is stored 1/N per chip; 1-D
+    leaves replicate (see fsdp_sharding — momentum trees passed here follow
+    the same rule so params and their momentum stay layout-aligned). The
+    train step pins params, grads, and momentum to this layout (ViTTrainer
+    fsdp=True): XLA then all-gathers each weight just before its matmuls
+    (forward and backward) and reduce-scatters its grad — per-chip param +
+    optimizer memory drops ~Nx for two gathers and one reduce-scatter of
+    ICI traffic per weight per step, the standard GSPMD FSDP recipe. The
+    reference has no sharded-parameter mode (DDP fully replicates the
+    model, train_vit_sgd.py:287)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, fsdp_sharding(mesh, x)), tree)
 
 
 def pad_to_multiple(batch_tree, multiple: int):

@@ -127,6 +127,15 @@ class ViTTrainer:
         self.fsdp = getattr(train_cfg, "fsdp", False)
         if self.fsdp:
             self.zero1 = False  # fsdp's constraints shard the momentum too
+        # Attention-activation pins that keep GSPMD from involuntarily
+        # rematerializing the softmax chain: heads-over-'model' under tp
+        # (the Megatron layout the head-aligned qkv weights imply), plain
+        # batch-over-'data' under fsdp (where the sharded weights would
+        # otherwise leak a bogus heads-sharding through the backward's
+        # reshapes) — see parallel/mesh.{head,batch_head}_sharding.
+        self._head_shard = (vmesh.head_sharding(self.mesh) if self.tp
+                            else vmesh.batch_head_sharding(self.mesh)
+                            if self.fsdp else None)
         if (self.zero1 or self.fsdp) and self.pp:
             raise ValueError("zero1/fsdp shard over the 'data' axis of the "
                              "dp mesh; they do not compose with pp_stages")
@@ -162,7 +171,8 @@ class ViTTrainer:
                                  remat=self.cfg.remat,
                                  seq_shard=self._seq_shard,
                                  with_aux=with_aux,
-                                 ring_attn=self.ring)
+                                 ring_attn=self.ring,
+                                 head_shard=self._head_shard)
 
     # -- jitted steps -------------------------------------------------------
 
@@ -259,9 +269,14 @@ class ViTTrainer:
                     # grads feeding it reduce-scatter instead (params stay
                     # sharded below, so nothing re-gathers here). Each chip
                     # keeps only its 1/N momentum slice between steps.
+                    # fsdp momentum follows the param rule (1-D leaves
+                    # replicated) so the buffers stay layout-aligned with
+                    # the params they update.
+                    _bs = (vmesh.fsdp_sharding if self.fsdp
+                           else vmesh.zero1_sharding)
                     new_buf = jax.tree_util.tree_map(
                         lambda x: jax.lax.with_sharding_constraint(
-                            x, vmesh.zero1_sharding(self.mesh, x)), new_buf)
+                            x, _bs(self.mesh, x)), new_buf)
                 new_params = jax.tree_util.tree_map(
                     lambda p, b: p - lr * b, params, new_buf)
                 if self.zero1:
@@ -272,9 +287,10 @@ class ViTTrainer:
                 elif self.fsdp:
                     # FSDP: params LIVE sharded — the next step's forward
                     # all-gathers each weight right before its matmuls
+                    # (fsdp_sharding: 1-D leaves replicated, see mesh.py)
                     new_params = jax.tree_util.tree_map(
                         lambda x: jax.lax.with_sharding_constraint(
-                            x, vmesh.zero1_sharding(self.mesh, x)),
+                            x, vmesh.fsdp_sharding(self.mesh, x)),
                         new_params)
                 return new_params, new_buf, loss
 
