@@ -1,13 +1,31 @@
-"""Benchmark: ViT-B/16 fwd+bwd images/sec/chip (the BASELINE.json headline).
+"""Benchmark: the three BASELINE.json metrics, one JSON line each.
 
-Runs the real supervised training step (normalize + forward + backward + SGD
-update, bf16 compute, Pallas attention) at ImageNet shapes on one TPU chip and
-prints ONE JSON line. vs_baseline is against the 3,000 img/s/chip target from
+Line 1 (FIRST and format-stable — the driver parses it): ViT-B/16 fwd+bwd
+images/sec/chip. The real supervised training step (normalize + forward +
+backward + SGD update, bf16 compute, Pallas attention) at ImageNet shapes on
+one TPU chip; vs_baseline is against the 3,000 img/s/chip target from
 BASELINE.json (reference hardware: 2xA100-40GB at batch 256/GPU).
+
+Line 2: CLIP-HBA steady seconds per epoch — the reference's headline training
+cadence (43 s per epoch cycle = train 1,444 + eval 362 + RSA 48 images +
+checkpoints at batch 64, training_log_20251016_125025.txt). Measured by
+running the PRODUCTION train_model loop (whole-epoch scan, frozen-prefix
+cache, per-epoch eval + RSA + DoRA/random-state checkpoints + CSV row) at
+real ViT-L/14 shapes on synthetic data (epoch wall is value-independent) and
+differencing two run lengths so compile/cache-build/initial-eval cancel.
+vs_baseline = 43 / ours (higher = faster than the reference).
+
+Line 3: behavioral-RSA eval milliseconds (48-image inference -> RDM ->
+tie-aware Spearman, all on device). The reference computes this on the host
+(numpy corrcoef + scipy spearmanr after a GPU inference + d2h) and never
+logs it separately; vs_baseline uses a nominal 1,000 ms for that host loop,
+so treat it as order-of-magnitude, not a measured reference wall.
 """
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -64,7 +82,110 @@ def main():
         "value": round(imgs_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / target, 3),
-    }))
+    }), flush=True)
+
+    clip_hba_bench()
+
+
+def clip_hba_bench():
+    """CLIP-HBA steady epoch seconds + on-device RSA ms (BASELINE.json
+    metrics 2 and 3), via the production train_model loop at real shapes."""
+    import jax
+    import jax.numpy as jnp
+    from vit_project_tpu.adapters import dora as adora
+    from vit_project_tpu.data import things as dthings
+    from vit_project_tpu.models import clip as vclip
+    from vit_project_tpu.train import clip_loop
+
+    clip_cfg = vclip.CLIP_CONFIGS["ViT-L/14"]
+    # random weights: epoch wall time is value-independent, and the zero-
+    # egress bench box has no pretrained checkpoint
+    params = vclip.init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    spec = adora.dora_spec(clip_cfg.visual.layers, clip_cfg.text.layers, 2, 1)
+    trainable, static, acfg = adora.apply_dora(
+        params, spec, r=32, key=jax.random.PRNGKey(123))
+    rs = np.random.RandomState(0)
+    prompts = rs.randint(1, clip_cfg.text.vocab_size - 1,
+                         (66, clip_cfg.text.context_length)).astype(np.int32)
+    trainer = clip_loop.ClipHBATrainer(clip_cfg, params, acfg, static,
+                                       prompts, lr=3e-4)
+
+    # reference data shapes: 1,806 THINGS images split 80/20, 48 inference
+    n_train, n_test, n_inf, B = 1444, 362, 48, 64
+    px = clip_cfg.visual.image_size
+    train_imgs = rs.randint(0, 255, (n_train, px, px, 3), np.uint8)
+    train_tgts = rs.rand(n_train, 66).astype(np.float32)
+    test_imgs = rs.randint(0, 255, (n_test, px, px, 3), np.uint8)
+    test_tgts = rs.rand(n_test, 66).astype(np.float32)
+    inf_imgs = rs.randint(0, 255, (n_inf, px, px, 3), np.uint8)
+    rdm = rs.rand(n_inf, n_inf)
+    rdm = (rdm + rdm.T) / 2
+    np.fill_diagonal(rdm, 0)
+
+    class _Quiet:  # keep stdout to the JSON lines the driver parses
+        def info(self, *a, **k):
+            pass
+        warning = error = debug = info
+
+    def run(workdir: str, epochs: int) -> float:
+        shuffler = dthings.EpochShuffler(n_train, B, 0)
+        t0 = time.perf_counter()
+        clip_loop.train_model(
+            trainer, trainer.prepare_state(trainable),
+            trainer.prepare_state(trainer.init_opt_state(trainable)),
+            train_images=train_imgs, train_targets=train_tgts,
+            test_images=test_imgs, test_targets=test_tgts,
+            inference_images=inf_imgs, reference_rdm=rdm, shuffler=shuffler,
+            epochs=epochs, batch_size=B,
+            training_res_path=os.path.join(workdir, "training_res.csv"),
+            training_run=0, perturb_length=0, perturb_seed=0,
+            perturb_type="baseline", logger=_Quiet(),
+            early_stopping_patience=10 ** 6,
+            dora_parameters_path=os.path.join(workdir, "dora_params"),
+            random_state_path=os.path.join(workdir, "random_states"),
+            frozen_cache=True)
+        return time.perf_counter() - t0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # two run lengths from ONE warm process: compile, frozen-cache build,
+        # and the initial epoch-0 eval are identical in both and cancel in
+        # the difference, leaving the pure steady per-epoch cycle
+        short_epochs, long_epochs = 2, 8
+        os.makedirs(os.path.join(tmp, "a"))
+        wall_warm = run(os.path.join(tmp, "a"), short_epochs)  # compiles
+        os.makedirs(os.path.join(tmp, "b"))
+        wall_short = run(os.path.join(tmp, "b"), short_epochs)
+        os.makedirs(os.path.join(tmp, "c"))
+        wall_long = run(os.path.join(tmp, "c"), long_epochs)
+        del wall_warm
+        steady = (wall_long - wall_short) / (long_epochs - short_epochs)
+
+    ref_epoch_s = 43.0
+    print(json.dumps({
+        "metric": "clip_hba_steady_epoch_seconds",
+        "value": round(steady, 2),
+        "unit": "s/epoch",
+        "vs_baseline": round(ref_epoch_s / steady, 1),
+    }), flush=True)
+
+    # RSA alone: 48-image inference + RDM + tie-aware Spearman, one jitted
+    # call chain (full tower — the standalone probe a user calls ad hoc,
+    # no prefix cache)
+    inf_dev, _ = trainer.upload_dataset(inf_imgs)
+    tr = trainer.prepare_state(trainable)
+    rho, p, _, _ = trainer.behavioral_rsa(tr, inf_dev, rdm)  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rho, p, _, _ = trainer.behavioral_rsa(tr, inf_dev, rdm)
+        best = min(best, time.perf_counter() - t0)
+    nominal_host_ms = 1000.0
+    print(json.dumps({
+        "metric": "clip_hba_rsa_eval_ms",
+        "value": round(best * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(nominal_host_ms / (best * 1e3), 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -103,10 +103,24 @@ def main(argv=None):
     ap.add_argument("--backbone", default="ViT-L/14")
     ap.add_argument("--epochs", type=int, default=30,
                     help="baseline length; forks train to this cap too")
+    ap.add_argument("--baseline_epochs", type=int, default=None,
+                    help="override the baseline's epoch count (forks keep "
+                         "--epochs as their cap). A full 98-run sweep needs "
+                         "baseline checkpoints for epochs 1..97, so the "
+                         "baseline must run >= 98 epochs")
+    ap.add_argument("--patience", type=int, default=20,
+                    help="early-stopping patience (reference default 20)")
+    ap.add_argument("--baseline_patience", type=int, default=None,
+                    help="override the baseline's patience (e.g. a large "
+                         "value to force the baseline through every epoch "
+                         "the sweep forks will need to fork from)")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--n_train", type=int, default=1806)
     ap.add_argument("--sweep_epochs", default="2,5,8,11,14,17,20,25",
-                    help="random_target sweep fork epochs")
+                    help="random_target sweep fork epochs: a comma list, or "
+                         "an order spec the sweep CLI understands (hybrid = "
+                         "the reference's full 98-run order, midpoint, "
+                         "range:A-B)")
     ap.add_argument("--noise_epochs", default="5,11,17,25",
                     help="image_noise sweep fork epochs (second type for fig2)")
     ap.add_argument("--onsets", default="3,8")
@@ -163,17 +177,21 @@ def main(argv=None):
     base = os.path.join(work, "baseline")
     common = dict(data, backbone=args.backbone, epochs=args.epochs,
                   batch_size=args.batch_size, train_portion=0.8, lr=3e-4,
-                  logger=None, early_stopping_patience=20,
+                  logger=None, early_stopping_patience=args.patience,
                   random_seed=args.seed, vision_layers=2, transformer_layers=1,
                   rank=args.rank, criterion="mse", cuda=0,
                   perturb_distribution="target", perturb_seed=0,
                   compute_dtype=args.compute_dtype)
 
-    print(f"== 1/4 baseline ({args.epochs} epochs, {args.backbone}, "
+    baseline_epochs = args.baseline_epochs or args.epochs
+    baseline_patience = args.baseline_patience or args.patience
+    print(f"== 1/4 baseline ({baseline_epochs} epochs, {args.backbone}, "
           f"batch {args.batch_size})")
     t0 = time.time()
     base_cfg = {
         **common, "frozen_cache": args.frozen_cache,
+        "epochs": baseline_epochs,
+        "early_stopping_patience": baseline_patience,
         "perturb_type": "baseline", "perturb_length": 0,
         "training_run": 0,
         "checkpoint_path": f"{base}/model.ckpt",
@@ -222,6 +240,7 @@ def main(argv=None):
             f"{base}/random_states/dataset_split_indices.pth",
             "--output_base_directory", outdir,
             "--training_order", ",".join(map(str, order)),
+            "--early_stopping_patience", str(args.patience),
             "--compute_dtype", args.compute_dtype,
             "--workers", str(args.sweep_workers),
             "--worker_device_env", args.worker_device_env,
@@ -229,7 +248,7 @@ def main(argv=None):
             "--fork_devices", str(args.sweep_fork_devices)] + (
             ["--frozen_cache"] if args.frozen_cache else [])
 
-    rt_order = parse_ints(args.sweep_epochs)
+    rt_order = sweep_cli.parse_order(args.sweep_epochs)
     in_order = parse_ints(args.noise_epochs)
     sweep_rt = os.path.join(work, "sweep_random_target")
     sweep_in = os.path.join(work, "sweep_image_noise")
@@ -274,6 +293,7 @@ def main(argv=None):
             "--baseline_split_indices_path",
             f"{base}/random_states/dataset_split_indices.pth",
             "--output_base_directory", lengths_dir,
+            "--early_stopping_patience", str(args.patience),
             "--compute_dtype", args.compute_dtype] + (
             ["--frozen_cache"] if args.frozen_cache else [])
 

@@ -441,6 +441,7 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
         f"<= {group_size} (one vmapped program per group)")
 
     failed: list[int] = []
+    totals = {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
     for gi, runs in enumerate(groups):
         if _stop_batched(preempt_guard, gi, groups, lambda g: g, log,
                          "re-invoke with --training_order "
@@ -474,9 +475,11 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
         if not forks:
             continue
         try:
-            _run_group(su, forks, inits)
+            st = _run_group(su, forks, inits)
+            _tally_ride_along(totals, st)
             log(f"Group {gi + 1}/{len(groups)} (runs "
-                f"{[f.run for f in forks]}) completed")
+                f"{[f.run for f in forks]}) completed "
+                f"({_ride_along_str(st)})")
             if done_report is not None:
                 done_report([f.run for f in forks])
         except Exception as e:
@@ -490,7 +493,26 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
             failed.extend(bad)
             if done_report is not None and done:
                 done_report(done)
+    if totals["lock_steps"]:
+        log(f"Batched sweep ride-along total: {_ride_along_str(totals)}")
     return failed
+
+
+def _tally_ride_along(totals: dict, st: dict) -> None:
+    for k in totals:
+        totals[k] += st[k]
+
+
+def _ride_along_str(st: dict) -> str:
+    """'live/rider/pad' fork-epoch accounting line (weak-#3 measurement):
+    rider% is the share of trained fork-epochs burned by stopped forks."""
+    trained = st["live"] + st["rider"]
+    pct = 100.0 * st["rider"] / trained if trained else 0.0
+    s = (f"{st['lock_steps']} lock-steps, {st['live']} live + "
+         f"{st['rider']} rider fork-epochs = {pct:.1f}% ride-along waste")
+    if st["pad"]:
+        s += f" + {st['pad']} mesh-pad fork-epochs"
+    return s
 
 
 def _stop_batched(guard, gi: int, groups, items_of, log, hint) -> bool:
@@ -542,6 +564,7 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
         f"{len(groups)} group(s) of <= {group_size}")
 
     failed: list[str] = []
+    totals = {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
     for gi, group in enumerate(groups):
         if _stop_batched(preempt_guard, gi, groups,
                          lambda g: [name for _, name in g], log,
@@ -566,13 +589,17 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
         if not forks:
             continue
         try:
-            _run_group(su, forks, inits)
-            log(f"Group {gi + 1}/{len(groups)} ({names}) completed")
+            st = _run_group(su, forks, inits)
+            _tally_ride_along(totals, st)
+            log(f"Group {gi + 1}/{len(groups)} ({names}) completed "
+                f"({_ride_along_str(st)})")
         except Exception as e:
             bad = [f.label for f in forks if not f.finished]
             log(f"Group {gi + 1}/{len(groups)} ({names}) FAILED: {e} "
                 f"(incomplete conditions: {bad})")
             failed.extend(bad)
+    if totals["lock_steps"]:
+        log(f"Batched lengths ride-along total: {_ride_along_str(totals)}")
     return failed
 
 
@@ -647,7 +674,13 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
     _Setup.load_state. Lock step t trains fork f's absolute epoch
     f.start_epoch0 + t; the per-fork `in_win` gate (absolute window
     arithmetic, _ForkState.in_window_at) selects perturbed vs clean inputs
-    inside the single compiled program."""
+    inside the single compiled program.
+
+    Returns ride-along accounting for the group: a dict with `lock_steps`
+    (epochs the compiled program ran), `live` (fork-epochs that produced
+    artifacts), `rider` (fork-epochs burned by already-stopped/finished
+    forks riding until the group drained — the waste ascending grouping is
+    meant to bound) and `pad` (mesh-padding ballast fork-epochs)."""
     cfg, trainer, mesh, log = su.cfg, su.trainer, su.mesh, su.log
     n_train, n_test = su.n_train, su.n_test
     # host artifacts are process-0-owned, like the sequential loops: every
@@ -674,6 +707,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         perturb_base_key(cfg.perturb_seed, f.run)
         for f in forks]), r_pad))
 
+    stats = {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
     t = 0
     while not all(f.stopped or f.epoch0_at(t) >= cfg.epochs for f in forks):
         idx_mats, valid_mats, dkeys, size_rows = [], [], [], []
@@ -704,6 +738,10 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
 
         live = [f for f in forks
                 if not (f.stopped or f.epoch0_at(t) >= cfg.epochs)]
+        stats["lock_steps"] += 1
+        stats["live"] += len(live)
+        stats["rider"] += len(forks) - len(live)
+        stats["pad"] += r_pad
 
         train_src = su.train_cache if su.use_cache else su.train_imgs_dev
         trainable, opt_state, losses, oks = su.programs["train"](
@@ -775,6 +813,7 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
                 f.stopped = True
             f.finished = f.stopped or f.epoch0_at(t + 1) >= cfg.epochs
         t += 1
+    return stats
 
 
 def _log_injection_evidence(su: _Setup, forks, inw_host, idx_mat, valid_mat,
