@@ -82,6 +82,22 @@ def _module_path(tower: str, idx: int) -> str:
     return f"clip_model.{t}.resblocks.{idx}.attn.out_proj"
 
 
+# the three per-adapter parameter names of the reference checkpoint format
+ADAPTER_PARAM_NAMES = ("m", "delta_D_A", "delta_D_B")
+
+
+def spec_module_paths(spec: dict) -> set:
+    """Reference-style module paths of every adapter a spec covers."""
+    return {_module_path(t, int(i)) for t, idxs in spec.items() for i in idxs}
+
+
+def checkpoint_module_paths(flat: dict) -> set:
+    """Reference-style module paths of every adapter present in a flat
+    {path.param: array} checkpoint mapping (to_reference_names layout)."""
+    suffixes = tuple(f".{n}" for n in ADAPTER_PARAM_NAMES)
+    return {k.rsplit(".", 1)[0] for k in flat if k.endswith(suffixes)}
+
+
 def to_reference_names(trainable: dict) -> dict:
     """Flatten a trainable tree to reference-style {path.param: np.ndarray}."""
     flat = {}
@@ -108,14 +124,14 @@ def from_reference_names(flat: dict, spec: dict) -> dict:
         for idx in indices:
             base = _module_path(tower, int(idx))
             entry = {}
-            for name in ("m", "delta_D_A", "delta_D_B"):
+            for name in ADAPTER_PARAM_NAMES:
                 k = f"{base}.{name}"
                 if k in flat:
                     entry[name] = np.asarray(flat[k])
             if len(entry) == 3:
                 out[tower][idx] = entry
             elif entry:
-                missing = sorted({"m", "delta_D_A", "delta_D_B"} - set(entry))
+                missing = sorted(set(ADAPTER_PARAM_NAMES) - set(entry))
                 raise ValueError(
                     f"DoRA checkpoint is torn: block {base} has "
                     f"{sorted(entry)} but is missing {missing}")

@@ -107,6 +107,7 @@ def save_torch(path: str, flat: dict) -> None:
                 "torch archive; load_flat reads both.", path)
             _WARNED_NO_TORCH = True
         save(path, dict(flat))
+        _mark_pickle_container_dir(path)
         return
     d = os.path.dirname(path)
     if d:
@@ -133,10 +134,40 @@ def save_torch(path: str, flat: dict) -> None:
         raise
 
 
+def _mark_pickle_container_dir(path: str) -> None:
+    """Drop a one-time README next to a .pth written as a pickle container
+    (torch-less hosts): if the tree is later copied to a torch host, the
+    reference's torch.load fails opaquely, and the once-per-process warning
+    on the WRITING host is long gone. The marker names the conversion path."""
+    d = os.path.dirname(path) or "."
+    marker = os.path.join(d, "PICKLE_CONTAINER.README")
+    if os.path.exists(marker):
+        return
+    try:
+        with open(marker, "w") as f:
+            f.write(
+                "The .pth files in this directory were written WITHOUT torch "
+                "installed, so they are Python pickle containers, not torch "
+                "archives. vit_project_tpu's ckpt.serialization.load_flat "
+                "reads them directly; for the reference's torch.load, "
+                "convert on a torch host:\n"
+                "  from vit_project_tpu.ckpt import serialization as s\n"
+                "  s.save_torch(path, s.load_flat(path))\n")
+    except OSError:
+        pass  # best-effort: a read-only or vanished dir must not fail saves
+
+
+# torch's pre-1.6 (non-zip) serialization starts with this pickled magic
+# number; pickle.load on such a file "succeeds" and returns the int, which
+# would otherwise surface as a misleading "expected a flat dict, got int"
+_TORCH_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
 def load_flat(path: str) -> dict:
-    """Load a flat {name: ndarray} mapping from either container: this
-    framework's pickle (older runs) or a torch.save archive (save_torch
-    output and reference-side checkpoints alike)."""
+    """Load a flat {name: ndarray} mapping from any of the containers this
+    path may hold: this framework's pickle (older runs), a torch>=1.6 zip
+    archive (save_torch output and reference-side checkpoints alike), or a
+    legacy pre-1.6 torch archive."""
     import zipfile
     if zipfile.is_zipfile(path):  # torch>=1.6 archives are zip containers
         import torch
@@ -150,8 +181,14 @@ def load_flat(path: str) -> dict:
             # Surface the real diagnosis instead of falling through to an
             # opaque torch error (or ModuleNotFoundError on torch-less hosts).
             raise ValueError(
-                f"{path}: not a torch archive and unreadable as a pickle "
-                f"checkpoint — likely truncated or corrupt ({e!r})") from e
+                f"{path}: not a torch archive (zip or legacy) and unreadable "
+                f"as a pickle checkpoint — likely truncated or corrupt "
+                f"({e!r})") from e
+        if obj == _TORCH_LEGACY_MAGIC:
+            # legacy torch format: a magic-number pickle followed by more
+            # pickles + raw storage bytes — only torch.load parses the rest
+            import torch
+            obj = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(obj, dict):
         raise TypeError(f"{path}: expected a flat dict, got {type(obj)}")
     return {k: np.asarray(v.detach().float().numpy()

@@ -51,11 +51,8 @@ def export_clip(args) -> str:
     # ...and the converse: adapter entries in the checkpoint OUTSIDE the
     # requested spec would be silently dropped from the bake — a numerically
     # wrong export. The checkpoint defines the run's true layer counts.
-    spec_paths = {adora._module_path(t, int(i))
-                  for t, idxs in spec.items() for i in idxs}
-    extra = sorted({k.rsplit(".", 1)[0] for k in flat
-                    if k.endswith((".m", ".delta_D_A", ".delta_D_B"))}
-                   - spec_paths)
+    extra = sorted(adora.checkpoint_module_paths(flat)
+                   - adora.spec_module_paths(spec))
     if extra:
         raise SystemExit(
             f"--dora_checkpoint contains trained adapters not covered by "

@@ -126,10 +126,16 @@ def build_clip_engine(args):
         trainable = clip_ckpt.load_dora_parameters(args.dora_checkpoint,
                                                    init_tr, spec)
     if args.pos_embedding == "auto":
-        # the reference CLIPHBA convention: RN50 runs with
-        # pos_embedding=False (cvpr_..._baseline.py:757-758). A plain
-        # OpenAI RN checkpoint wants --pos_embedding on instead.
-        use_pos = not is_rn
+        # the reference CLIPHBA convention is RN50-ONLY: pos_embedding=False
+        # iff config['backbone'] == 'RN50' (cvpr_..._baseline.py:757-758);
+        # RN101/RN50x4/x16/x64 keep it on like the ViT towers. The weights
+        # are identified by geometry (the config is shape-inferred, there is
+        # no backbone name here). A plain OpenAI RN50 checkpoint wants
+        # --pos_embedding on instead.
+        from ..models import resnet as vresnet
+        is_rn50 = is_rn and clip_cfg.visual.layers == vresnet.RN50.layers \
+            and clip_cfg.visual.width == vresnet.RN50.width
+        use_pos = not is_rn50
     else:
         use_pos = args.pos_embedding == "on"
     eng = clip_hba_engine(params, prompts, clip_cfg, trainable=trainable,
