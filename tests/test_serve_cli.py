@@ -118,9 +118,11 @@ class TestClipServeCLI:
 
 
     def test_rn_pos_embedding_flag(self, image_dir, tmp_path):
-        """RN towers default to the reference CLIPHBA convention
-        (pos_embedding off, cvpr_..._baseline.py:757-758); --pos_embedding on
-        restores stock OpenAI attnpool semantics for plain RN checkpoints."""
+        """--pos_embedding off/on actually toggles the attnpool embedding,
+        and auto follows the reference CLIPHBA convention, which is
+        RN50-ONLY (pos_embedding=False iff backbone == 'RN50',
+        cvpr_..._baseline.py:757-758) — a NON-RN50-geometry RN tower like
+        this tiny fixture keeps the embedding on under auto."""
         import torch
         from test_resnet_clip import TorchRNCLIP
         torch.manual_seed(3)
@@ -136,8 +138,21 @@ class TestClipServeCLI:
             assert _run(base + ["--pos_embedding", mode, "--out", out]) == 0
             with open(out) as f:
                 outs[mode] = [r["top1_score"] for r in csv.DictReader(f)]
-        assert outs["auto"] == outs["off"]   # auto == reference convention
         assert outs["on"] != outs["off"]     # the embedding actually applies
+        assert outs["auto"] == outs["on"]    # tiny RN is not RN50 geometry
+
+    def test_pos_embedding_auto_rule(self):
+        """auto disables the embedding ONLY for RN50 geometry: RN101 and
+        the RN50x* scale-ups (different layer tuples/widths) and every ViT
+        tower keep it on, matching the reference's backbone == 'RN50'
+        condition."""
+        from vit_project_tpu.cli.serve import auto_use_pos_embedding
+        from vit_project_tpu.models import clip as vclip
+        assert auto_use_pos_embedding(vclip.CLIP_CONFIGS["RN50"]) is False
+        for name in ("RN101", "RN50x4", "RN50x16", "RN50x64", "ViT-L/14",
+                     "test-tiny"):
+            assert auto_use_pos_embedding(vclip.CLIP_CONFIGS[name]) is True, \
+                name
 
 
 class TestAotExportCLI:

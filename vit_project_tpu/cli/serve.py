@@ -87,6 +87,21 @@ def build_vit_engine(args):
     return eng, cfg.image_size, None
 
 
+def auto_use_pos_embedding(clip_cfg) -> bool:
+    """The --pos_embedding auto rule: the reference CLIPHBA convention is
+    RN50-ONLY — pos_embedding=False iff config['backbone'] == 'RN50'
+    (cvpr_..._baseline.py:757-758); RN101/RN50x4/x16/x64 keep it on like
+    the ViT towers. The weights are identified by geometry (the config is
+    shape-inferred, there is no backbone name here). A plain OpenAI RN50
+    checkpoint wants --pos_embedding on instead."""
+    from ..models import resnet as vresnet
+    from ..models.resnet import ResNetConfig
+    is_rn50 = (isinstance(clip_cfg.visual, ResNetConfig)
+               and clip_cfg.visual.layers == vresnet.RN50.layers
+               and clip_cfg.visual.width == vresnet.RN50.width)
+    return not is_rn50
+
+
 def build_clip_engine(args):
     from ..adapters import dora as adora
     from ..ckpt import clip_ckpt
@@ -126,16 +141,7 @@ def build_clip_engine(args):
         trainable = clip_ckpt.load_dora_parameters(args.dora_checkpoint,
                                                    init_tr, spec)
     if args.pos_embedding == "auto":
-        # the reference CLIPHBA convention is RN50-ONLY: pos_embedding=False
-        # iff config['backbone'] == 'RN50' (cvpr_..._baseline.py:757-758);
-        # RN101/RN50x4/x16/x64 keep it on like the ViT towers. The weights
-        # are identified by geometry (the config is shape-inferred, there is
-        # no backbone name here). A plain OpenAI RN50 checkpoint wants
-        # --pos_embedding on instead.
-        from ..models import resnet as vresnet
-        is_rn50 = is_rn and clip_cfg.visual.layers == vresnet.RN50.layers \
-            and clip_cfg.visual.width == vresnet.RN50.width
-        use_pos = not is_rn50
+        use_pos = auto_use_pos_embedding(clip_cfg)
     else:
         use_pos = args.pos_embedding == "on"
     eng = clip_hba_engine(params, prompts, clip_cfg, trainable=trainable,

@@ -86,8 +86,12 @@ def _rn_visual_config(sd: dict, embed_dim: int) -> ResNetConfig:
     width = sd["visual.layer1.0.conv1.weight"].shape[0]
     grid = int(round(
         (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+    # OpenAI convention: heads = embed width / 64. max(1, ...) only matters
+    # for sub-64-width test fixtures (every real CLIP width divides by 64);
+    # without it a tiny round-tripped checkpoint infers heads=0 and the
+    # attention reshape divides by zero.
     return ResNetConfig(layers=counts, width=width,
-                        heads=width * 32 // 64, image_size=grid * 32,
+                        heads=max(1, width * 32 // 64), image_size=grid * 32,
                         out_dim=embed_dim)
 
 
@@ -124,7 +128,7 @@ def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
     text_layers = len({k.split(".")[2] for k in sd
                       if k.startswith("transformer.resblocks.")})
     text = TextConfig(width=text_width, layers=text_layers,
-                      heads=text_width // 64,
+                      heads=max(1, text_width // 64),
                       vocab_size=sd["token_embedding.weight"].shape[0],
                       context_length=sd["positional_embedding"].shape[0])
     if "visual.proj" not in sd:  # ModifiedResNet tower (RN50 family)
@@ -137,7 +141,8 @@ def clip_config_from_state_dict(sd: dict) -> CLIPConfig:
                         if k.startswith("visual.transformer.resblocks.")})
     return CLIPConfig(
         visual=ViTConfig(patch=patch, width=vision_width, layers=vision_layers,
-                         heads=vision_width // 64, image_size=grid * patch,
+                         heads=max(1, vision_width // 64),
+                         image_size=grid * patch,
                          pre_norm=True, patch_bias=False, quick_gelu=True,
                          out_dim=embed_dim),
         text=text, embed_dim=embed_dim)
