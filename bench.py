@@ -127,12 +127,17 @@ def clip_hba_bench():
             pass
         warning = error = debug = info
 
+    # the epoch scan DONATES its state arguments — each run needs its own
+    # device copies or the second run dereferences deleted buffers
+    host_trainable = jax.tree_util.tree_map(np.asarray, trainable)
+
     def run(workdir: str, epochs: int) -> float:
         shuffler = dthings.EpochShuffler(n_train, B, 0)
+        fresh = jax.tree_util.tree_map(jnp.asarray, host_trainable)
         t0 = time.perf_counter()
         clip_loop.train_model(
-            trainer, trainer.prepare_state(trainable),
-            trainer.prepare_state(trainer.init_opt_state(trainable)),
+            trainer, trainer.prepare_state(fresh),
+            trainer.prepare_state(trainer.init_opt_state(fresh)),
             train_images=train_imgs, train_targets=train_tgts,
             test_images=test_imgs, test_targets=test_tgts,
             inference_images=inf_imgs, reference_rdm=rdm, shuffler=shuffler,
@@ -172,7 +177,8 @@ def clip_hba_bench():
     # call chain (full tower — the standalone probe a user calls ad hoc,
     # no prefix cache)
     inf_dev, _ = trainer.upload_dataset(inf_imgs)
-    tr = trainer.prepare_state(trainable)
+    tr = trainer.prepare_state(
+        jax.tree_util.tree_map(jnp.asarray, host_trainable))
     rho, p, _, _ = trainer.behavioral_rsa(tr, inf_dev, rdm)  # warm/compile
     best = float("inf")
     for _ in range(3):
