@@ -51,9 +51,13 @@ def make_data(root: str, classes: int, n_per_class: int, n_val: int, px: int):
             os.makedirs(d, exist_ok=True)
             for i in range(n):
                 arr = rs.randint(0, 255, (px, px, 3), dtype=np.uint8)
-                p = os.path.join(d, f"{i:05d}.png")
+                # JPEG, not PNG: random-noise PNGs are incompressible and
+                # zlib-inflate at ~25 ms each — the whole epoch becomes
+                # decode-bound at <30 img/s. Noise JPEGs decode ~10x faster
+                # (and exercise the native decode path real ImageNet uses).
+                p = os.path.join(d, f"{i:05d}.jpg")
                 if not os.path.exists(p):
-                    Image.fromarray(arr).save(p)
+                    Image.fromarray(arr).save(p, quality=87)
 
     img_dir = os.path.join(root, "things48")
     os.makedirs(img_dir, exist_ok=True)
@@ -131,6 +135,7 @@ def main(argv=None):
         "--batch_size", str(args.batch_size), "--lr", str(args.lr),
         "--warmup_epochs", str(args.warmup_epochs),
         "--num_workers", str(args.num_workers),
+        "--use_native_loader",
         "--compute_dtype", args.compute_dtype])
     walls["train"] = round(time.time() - t0, 1)
     met = pd.read_csv(os.path.join(run_dir, "training_metrics.csv"))
@@ -166,7 +171,7 @@ def main(argv=None):
         "--perturbation_types"] + types + [
         "--perturb_epochs"] + [str(e) for e in grid_epochs] + [
         "--batch_size", str(args.batch_size),
-        "--num_workers", str(args.num_workers),
+        "--num_workers", str(args.num_workers), "--use_native_loader",
         "--backbone", args.backbone, "--compute_dtype", args.compute_dtype,
         "--total_epochs", str(args.epochs),
         "--warmup_epochs", str(args.warmup_epochs), "--lr", str(args.lr)])
