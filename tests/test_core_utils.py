@@ -180,6 +180,34 @@ class TestFlatContainerRobustness:
         with pytest.raises(ValueError, match="truncated or corrupt"):
             ser.load_flat(str(bad))
 
+    def test_load_flat_bare_array_pickle_diagnosis(self, tmp_path):
+        """A pickle whose top-level object is an ndarray must reach the
+        flat-dict TypeError diagnosis — comparing it against the legacy
+        torch magic with == would raise an ambiguous-truth ValueError."""
+        import pickle
+        from vit_project_tpu.ckpt import serialization as ser
+
+        bad = tmp_path / "array.pth"
+        with open(bad, "wb") as f:
+            pickle.dump(np.arange(5), f)
+        with pytest.raises(TypeError, match="expected a flat dict"):
+            ser.load_flat(str(bad))
+
+    def test_load_flat_legacy_torch_without_torch(self, tmp_path,
+                                                  monkeypatch):
+        """A legacy pre-1.6 torch archive on a torch-less host names the
+        file and the remedy instead of a raw ModuleNotFoundError."""
+        import pickle
+        import sys
+        from vit_project_tpu.ckpt import serialization as ser
+
+        legacy = tmp_path / "legacy.pth"
+        with open(legacy, "wb") as f:
+            pickle.dump(ser._TORCH_LEGACY_MAGIC, f)
+        monkeypatch.setitem(sys.modules, "torch", None)
+        with pytest.raises(ValueError, match="legacy.*torch archive"):
+            ser.load_flat(str(legacy))
+
     def test_load_flat_reads_both_containers(self, tmp_path):
         """The torch archive (zip) and the pickle container round-trip the
         same flat mapping through load_flat."""

@@ -347,6 +347,19 @@ class TestViTTraining:
                 tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1),
                 fsdp=True, pp_stages=2, pp_micro=2))
 
+    def test_fsdp_rejects_sp(self, imagenet_fixture):
+        """fsdp's sequence-replicated attention pin would force GSPMD to
+        materialize full-sequence activations around the sequence-sharded
+        attention paths (ring and gather-sp alike) — the combination must
+        refuse up front rather than silently defeat sp's memory bound."""
+        import dataclasses
+        from vit_project_tpu.train.vit_loop import ViTTrainer
+        base = tiny_cfg(imagenet_fixture, "/tmp/x", epochs=1)
+        for ring in (False, True):
+            with pytest.raises(ValueError, match="fsdp does not compose"):
+                ViTTrainer(TINY, dataclasses.replace(
+                    base, fsdp=True, sp_devices=2, sp_ring=ring))
+
     def test_grad_accum_matches_unsplit(self, imagenet_fixture, tmp_path):
         """grad_accum=2 (two scanned gradient microbatches per step) trains
         the same trajectory as the unsplit step — CE is a mean over the

@@ -184,10 +184,20 @@ def load_flat(path: str) -> dict:
                 f"{path}: not a torch archive (zip or legacy) and unreadable "
                 f"as a pickle checkpoint — likely truncated or corrupt "
                 f"({e!r})") from e
-        if obj == _TORCH_LEGACY_MAGIC:
+        # the type check keeps array-valued pickles (e.g. a bare ndarray)
+        # from turning `==` into an ambiguous-truth ValueError and lets them
+        # reach the flat-dict diagnosis below
+        if isinstance(obj, int) and obj == _TORCH_LEGACY_MAGIC:
             # legacy torch format: a magic-number pickle followed by more
             # pickles + raw storage bytes — only torch.load parses the rest
-            import torch
+            try:
+                import torch
+            except ImportError as e:
+                raise ValueError(
+                    f"{path}: a legacy (pre-1.6) torch archive — reading it "
+                    "requires torch, which is not installed on this host. "
+                    "Re-save it with torch>=1.6 (zip container) or this "
+                    "framework's pickle container") from e
             obj = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(obj, dict):
         raise TypeError(f"{path}: expected a flat dict, got {type(obj)}")

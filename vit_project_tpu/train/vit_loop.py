@@ -151,6 +151,18 @@ class ViTTrainer:
                 "zero1/fsdp do not compose with tp_devices: their "
                 "zero1_sharding constraints would re-layout the "
                 "model-sharded block weights to the 'data' axis every step")
+        if self.fsdp and self.sp:
+            # the batch_head pin above constrains q/k/v and the attention
+            # output sequence-REPLICATED; wrapped around the
+            # sequence-sharded attention paths (ring_attention_bshd needs S
+            # over 'model'; the gather-sp einsums likewise) GSPMD would
+            # materialize full-sequence [B,S,H,dh] activations per block —
+            # exactly the memory bound sp exists to break — and insert
+            # gather/rescatter pairs around every block
+            raise ValueError(
+                "fsdp does not compose with sp_devices: fsdp's attention "
+                "pin is sequence-replicated and defeats the "
+                "sequence-sharded attention path")
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
