@@ -64,7 +64,7 @@ def main():
     float(loss)
 
     iters = 20
-    best = float("inf")
+    windows = []
     for _ in range(3):  # best-of-3 windows: the tunnel adds run-to-run noise
         t0 = time.perf_counter()
         acc = jnp.zeros(())
@@ -72,16 +72,28 @@ def main():
             params, buf, loss = step(params, buf, si, sl, 0.1, key, 0.1)
             acc = acc + loss
         float(acc)  # one sync depending on every step
-        best = min(best, (time.perf_counter() - t0) / iters)
-    dt = best
+        windows.append((time.perf_counter() - t0) / iters)
+    dt = min(windows)
 
     imgs_per_sec_per_chip = (B * n_chips) / dt / n_chips
     target = 3000.0
+    # calibration riders (BASELINE.md "Why 3,000 img/s/chip is above this
+    # chip's roofline"): 105.9 GFLOP/image at 2xMAC counting, 197 TF/s bf16
+    # peak on this part, and the round-3 bucket-level practical ceiling of
+    # ~1,230 img/s (dense at chip-demonstrated rates, attention at its
+    # dh=64 shape cap, LN/bias reduces at bandwidth)
+    gflop_per_image, peak_tf, ceiling = 105.9, 197.0, 1230.0
     print(json.dumps({
         "metric": "vit_b16_fwd_bwd_images_per_sec_per_chip",
         "value": round(imgs_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / target, 3),
+        "spread_pct": round(100 * (max(windows) - min(windows))
+                            / min(windows), 1),
+        "mfu": round(imgs_per_sec_per_chip * gflop_per_image * 1e9
+                     / (peak_tf * 1e12), 3),
+        "pct_of_practical_ceiling": round(
+            100 * imgs_per_sec_per_chip / ceiling, 1),
     }), flush=True)
 
     clip_hba_bench()
@@ -154,16 +166,24 @@ def clip_hba_bench():
     with tempfile.TemporaryDirectory() as tmp:
         # two run lengths from ONE warm process: compile, frozen-cache build,
         # and the initial epoch-0 eval are identical in both and cancel in
-        # the difference, leaving the pure steady per-epoch cycle
-        short_epochs, long_epochs = 2, 8
-        os.makedirs(os.path.join(tmp, "a"))
-        wall_warm = run(os.path.join(tmp, "a"), short_epochs)  # compiles
-        os.makedirs(os.path.join(tmp, "b"))
-        wall_short = run(os.path.join(tmp, "b"), short_epochs)
-        os.makedirs(os.path.join(tmp, "c"))
-        wall_long = run(os.path.join(tmp, "c"), long_epochs)
-        del wall_warm
-        steady = (wall_long - wall_short) / (long_epochs - short_epochs)
+        # the difference, leaving the pure steady per-epoch cycle. Round 4's
+        # single-shot differencing spread 34% between sessions (VERDICT weak
+        # #2) — measure k=3 (short, long) pairs and report best + spread so
+        # the number can catch a real regression over tunnel noise.
+        short_epochs, long_epochs, k = 2, 8, 3
+        os.makedirs(os.path.join(tmp, "warm"))
+        run(os.path.join(tmp, "warm"), short_epochs)  # compiles
+        steadies = []
+        for i in range(k):
+            d_s = os.path.join(tmp, f"s{i}")
+            d_l = os.path.join(tmp, f"l{i}")
+            os.makedirs(d_s)
+            os.makedirs(d_l)
+            wall_short = run(d_s, short_epochs)
+            wall_long = run(d_l, long_epochs)
+            steadies.append((wall_long - wall_short)
+                            / (long_epochs - short_epochs))
+        steady = min(steadies)
 
     ref_epoch_s = 43.0
     print(json.dumps({
@@ -171,6 +191,8 @@ def clip_hba_bench():
         "value": round(steady, 2),
         "unit": "s/epoch",
         "vs_baseline": round(ref_epoch_s / steady, 1),
+        "spread_pct": round(100 * (max(steadies) - min(steadies))
+                            / min(steadies), 1),
     }), flush=True)
 
     # RSA alone: 48-image inference + RDM + tie-aware Spearman, one jitted
@@ -180,17 +202,19 @@ def clip_hba_bench():
     tr = trainer.prepare_state(
         jax.tree_util.tree_map(jnp.asarray, host_trainable))
     rho, p, _, _ = trainer.behavioral_rsa(tr, inf_dev, rdm)  # warm/compile
-    best = float("inf")
+    walls = []
     for _ in range(3):
         t0 = time.perf_counter()
         rho, p, _, _ = trainer.behavioral_rsa(tr, inf_dev, rdm)
-        best = min(best, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
     nominal_host_ms = 1000.0
     print(json.dumps({
         "metric": "clip_hba_rsa_eval_ms",
         "value": round(best * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(nominal_host_ms / (best * 1e3), 1),
+        "spread_pct": round(100 * (max(walls) - min(walls)) / min(walls), 1),
     }), flush=True)
 
 
