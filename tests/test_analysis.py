@@ -146,3 +146,115 @@ class TestAgainstRealReferenceArtifacts:
             base, dirs, epochs=[5, 15, 25, 35, 45, 70, 98])
         assert len(out) == 28
         assert set(out.groupby("perturbation_type").size()) == {7}
+
+
+def _mini_clip_tree(root, rsa_scale=1.0):
+    """A miniature clip_results tree in the reference layout: baseline,
+    a nested 3-run sweep, flat per-type dirs at epochs {2,3}, and a
+    2-condition lengths grid."""
+    from vit_project_tpu.analysis import parity
+    os.makedirs(root, exist_ok=True)
+    losses = [5.0, 4.0, 3.0, 2.5, 2.0, 1.8]
+    rsas = [r * rsa_scale for r in (0.1, 0.2, 0.3, 0.35, 0.4, 0.45)]
+    write_clip_csv(os.path.join(root, parity.BASELINE_NAME), losses, rsas)
+    sweep = os.path.join(root, parity.SWEEP_DIRNAME)
+    for run in (2, 3, 4):
+        d = os.path.join(sweep, f"training_run{run}")
+        os.makedirs(d)
+        bump = [lo + (1.0 if i + 1 == run else 0.0)
+                for i, lo in enumerate(losses)]
+        write_clip_csv(os.path.join(d, f"training_res_run{run}.csv"),
+                       bump, rsas, flags_epoch=run)
+    for t in parity.FIG2_TYPES:
+        d = os.path.join(root, t)
+        os.makedirs(d)
+        for run in (2, 3):
+            bump = [lo + (0.5 if i + 1 == run else 0.0)
+                    for i, lo in enumerate(losses)]
+            write_clip_csv(os.path.join(d, f"training_res_run{run}.csv"),
+                           bump, rsas, flags_epoch=run)
+    ldir = os.path.join(root, parity.LENGTHS_DIRNAME)
+    for (e, L) in ((2, 1), (2, 2)):
+        d = os.path.join(ldir, f"random_target_e{e}_l{L}")
+        os.makedirs(d)
+        bump = [lo + (2.0 if e <= i + 1 <= e + L - 1 else 0.0)
+                for i, lo in enumerate(losses)]
+        write_clip_csv(os.path.join(d, "training_res.csv"), bump, rsas)
+    return root
+
+
+class TestParityReport:
+    def test_two_tree_report(self, tmp_path, monkeypatch):
+        """Both halves present: overlays, side-by-sides, recovery merge and
+        the stats block all materialize; coverage checks run per tree."""
+        from vit_project_tpu.analysis import parity
+        monkeypatch.setattr(parity, "FIG2_EPOCHS", [2, 3])
+        ours = _mini_clip_tree(str(tmp_path / "ours"), rsa_scale=1.0)
+        ref = _mini_clip_tree(str(tmp_path / "ref"), rsa_scale=0.9)
+        out = str(tmp_path / "out")
+        rep = parity.build_report(ours, ref, out)
+        for f in ("parity_report.json", "PARITY_REPORT.md",
+                  "parity_fig1_trajectory.png",
+                  "parity_fig2_type_deltas.png",
+                  "parity_fig3_sweep_deltas.png", "parity_recovery.csv",
+                  "parity_type_deltas.csv"):
+            assert os.path.exists(os.path.join(out, f)), f
+        tr = rep["stats"]["trajectory"]
+        assert abs(tr["ours_peak_rsa"] - 0.45) < 1e-9
+        assert abs(tr["reference_peak_rsa"] - 0.405) < 1e-9
+        # identical epochs, linearly scaled RSA -> perfect correlation
+        assert abs(tr["rsa_trajectory_corr"] - 1.0) < 1e-9
+        rec = rep["stats"]["recovery"]
+        assert rec["conditions_common"] == 2
+        assert rec["nr_classification_agreement"] == 2
+        assert rec["mean_abs_recovery_time_diff"] == 0.0
+        # mini trees are deliberately NOT at reference cardinality
+        assert rep["n_failed_checks"] > 0
+
+    def test_single_tree_halves(self, tmp_path, monkeypatch):
+        from vit_project_tpu.analysis import parity
+        monkeypatch.setattr(parity, "FIG2_EPOCHS", [2, 3])
+        ours = _mini_clip_tree(str(tmp_path / "ours"))
+        rep = parity.build_report(ours, None, str(tmp_path / "o1"))
+        assert "ours_peak_rsa" in rep["stats"]["trajectory"]
+        rep2 = parity.build_report(None, ours, str(tmp_path / "o2"))
+        assert "reference_peak_rsa" in rep2["stats"]["trajectory"]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF),
+                    reason="reference artifacts not present")
+class TestParityAgainstRealReference:
+    def test_reference_half_passes_all_checks(self, tmp_path):
+        """The reference-only half must parse the ACTUAL shipped Data/ tree
+        with zero failed coverage checks and reproduce its headline stats."""
+        from vit_project_tpu.analysis import parity
+        rep = parity.main(["--reference", os.path.dirname(REF),
+                           "--out", str(tmp_path / "rep")])
+        assert rep["n_failed_checks"] == 0
+        tr = rep["stats"]["trajectory"]
+        assert abs(tr["reference_peak_rsa"] - 0.77903) < 1e-4
+        assert rep["stats"]["recovery"]["conditions_reference"] == 136
+        assert rep["stats"]["sweep"]["reference_sweep_runs"] == 98
+
+
+class TestManifest:
+    def test_run_manifest_and_tree(self, tmp_path):
+        from vit_project_tpu.analysis import manifest
+        d = tmp_path / "training_run7"
+        os.makedirs(d / "dora_params_run7")
+        write_clip_csv(d / "training_res_run7.csv",
+                       [3.0, 2.0, 1.5], [0.1, 0.2, 0.3])
+        (d / "dora_params_run7" / "epoch1_dora_params.pth").write_bytes(
+            b"\x00" * 128)
+        m = manifest.run_manifest(str(d))
+        csv_stats = m["csvs"]["training_res_run7.csv"]
+        assert csv_stats["rows"] == 3
+        assert csv_stats["first_epoch"] == 1
+        assert csv_stats["last_epoch"] == 3
+        assert abs(csv_stats["last_test_loss"] - 1.5) < 1e-9
+        assert m["n_files"] == 2
+        assert all("blake2b" in rec for rec in m["files"].values())
+        doc = manifest.tree_manifest({"sweep": str(tmp_path)},
+                                     str(tmp_path / "manifest.json"))
+        assert doc["trees"]["sweep"]["n_runs"] == 1
+        assert os.path.exists(tmp_path / "manifest.json")
