@@ -260,3 +260,117 @@ class TestReverseExport:
         for k, v in flat.items():
             np.testing.assert_array_equal(loaded[k].numpy(),
                                           np.asarray(v, np.float32))
+
+
+class TestViTPretrainedValidator:
+    """Synthetic oracle for examples/validate_vit_pretrained.py: the loader
+    must unwrap every container shape the reference ships (raw timm state
+    dict, jit-free full checkpoint with model_state_dict + DDP prefixes)
+    and the converted tree must score the same RSA as the source params."""
+
+    def _load_example(self):
+        import importlib.util
+        import pathlib
+        path = pathlib.Path(__file__).resolve().parents[1] / "examples" / \
+            "validate_vit_pretrained.py"
+        spec = importlib.util.spec_from_file_location("validate_vit", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_container_unwrapping_roundtrip(self, tmp_path):
+        import torch
+        from vit_project_tpu.models import vit as vvit
+        mod = self._load_example()
+        cfg = vvit.ViTConfig(patch=16, width=64, layers=2, heads=1,
+                             image_size=32, pre_norm=False, patch_bias=True,
+                             num_classes=10)
+        params = vvit.init_vit_params(jax.random.PRNGKey(4), cfg)
+        sd = vconvert.timm_state_dict_from_vit_params(params, patch=cfg.patch)
+        tsd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+        raw = str(tmp_path / "raw.pth")
+        torch.save(tsd, raw)
+        full = str(tmp_path / "full.pth")
+        torch.save({
+            "epoch": 0,
+            "model_state_dict": {f"module.{k}": v for k, v in tsd.items()},
+            "optimizer_state_dict": {"state": {}, "param_groups": []},
+            "val_acc": 0.1,
+        }, full)
+
+        for path in (raw, full):
+            back = vconvert.vit_params_from_timm_state_dict(
+                mod.load_vit_weights(path))
+            a = jax.tree_util.tree_leaves(params)
+            b = jax.tree_util.tree_leaves(back)
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           atol=1e-6)
+
+    def test_rsa_matches_source_params(self, tmp_path):
+        """End-to-end: a reference-style checkpoint written from known
+        params must validate (exit 0) when --expect is that params tree's
+        own THINGS-48 RSA."""
+        import sys
+        import torch
+        import scipy.io
+        from PIL import Image
+        from vit_project_tpu.core.configs import ViTTrainConfig
+        from vit_project_tpu.models import vit as vvit
+        from vit_project_tpu.train.vit_loop import ViTTrainer
+        from vit_project_tpu.cli.vit_measure import load_things_for_vit
+        mod = self._load_example()
+
+        cfg = vvit.ViTConfig(patch=16, width=64, layers=2, heads=1,
+                             image_size=32, pre_norm=False, patch_bias=True,
+                             num_classes=10)
+        params = vvit.init_vit_params(jax.random.PRNGKey(5), cfg)
+
+        rs = np.random.RandomState(0)
+        img_dir = tmp_path / "things"
+        img_dir.mkdir()
+        names = []
+        for i in range(48):
+            n = f"t{i:02d}.png"
+            Image.fromarray(rs.randint(0, 255, (32, 32, 3),
+                                       np.uint8)).save(str(img_dir / n))
+            names.append(n)
+        import pandas as pd
+        csv = str(tmp_path / "things48.csv")
+        pd.DataFrame({"image_name": names}).to_csv(csv, index=False)
+        rdm = rs.rand(48, 48)
+        rdm = ((rdm + rdm.T) / 2).astype(np.float32)
+        np.fill_diagonal(rdm, 0)
+        rdm_path = str(tmp_path / "rdm.mat")
+        scipy.io.savemat(rdm_path, {"RDM48_triplet": rdm})
+
+        trainer = ViTTrainer(cfg, ViTTrainConfig(
+            batch_size=8, compute_dtype="float32", image_size=32,
+            num_classes=10))
+        _, things_images = load_things_for_vit(csv, str(img_dir), size=32)
+        rho, _ = trainer.compute_rsa_score(
+            jax.tree_util.tree_map(jnp.asarray, params), things_images, rdm,
+            batch_size=8)
+
+        sd = vconvert.timm_state_dict_from_vit_params(params, patch=cfg.patch)
+        ckpt = str(tmp_path / "checkpoint_epoch_000.pth")
+        torch.save({"model_state_dict": {
+            f"module.{k}": torch.from_numpy(np.asarray(v))
+            for k, v in sd.items()}}, ckpt)
+
+        argv = ["validate_vit_pretrained.py", "--weights", ckpt,
+                "--things_csv", csv, "--things_img_dir", str(img_dir),
+                "--things_rdm", rdm_path, "--backbone", "test-tiny-b16p16",
+                "--expect", f"{float(rho):.6f}", "--tol", "0.02",
+                "--batch_size", "8"]
+        vvit.VIT_CONFIGS["test-tiny-b16p16"] = cfg
+        old = sys.argv
+        try:
+            sys.argv = argv
+            rc = mod.main()
+        finally:
+            sys.argv = old
+            vvit.VIT_CONFIGS.pop("test-tiny-b16p16", None)
+        assert rc == 0
