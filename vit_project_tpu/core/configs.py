@@ -149,6 +149,9 @@ class ViTTrainConfig:
                                        # feed the device step rate)
     remat: bool = False  # jax.checkpoint each block: O(1)-block activation
                          # memory for ~1/3 extra FLOPs (big-batch/model lever)
+    fused_dw: bool = False  # route dense backward through the streaming
+                            # Pallas dW+bias-grad kernel (ops/fused_dw.py);
+                            # trace-time toggle, single-chip experiments
     pp_stages: int = 1   # >1: GPipe pipeline over a ('data','stage') mesh —
                          # block depth partitioned over pp_stages devices
                          # (parallel/pipeline.py; single-process only)

@@ -8,8 +8,12 @@ entirely in VMEM (a 384x384 f32 score tile is ~0.6 MB, far under the ~16 MB VMEM
 budget). This removes the HBM round-trips for scores/probs that a naive XLA lowering
 can emit, while keeping both matmuls on the MXU.
 
-The backward pass recomputes probabilities in XLA (flash-style rematerialization:
-no [S, S] residuals are saved), wired up with jax.custom_vjp.
+The backward pass is a Pallas kernel too (two generations: _mha_bwd_pallas
+recomputes the probability tile from q/k/v; the production flash3 path
+_flash3_bwd_kernel replays it from saved row-LSE residuals) — flash-style
+rematerialization in VMEM, no [S, S] residuals ever reach HBM, wired up with
+jax.custom_vjp. The round-3 step trace (BENCHLOG.md) shows both directions
+running as Pallas programs at their dh=64 shape caps.
 
 Replaces the reference's reliance on torch's fused SDPA/cuDNN attention inside the
 external CLIP / timm models (SURVEY.md section 2: the reference has no native code of

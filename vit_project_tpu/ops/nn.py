@@ -32,6 +32,17 @@ def trunc_normal(key, shape, std: float = 0.02) -> jax.Array:
                                              jnp.float32)
 
 
+# Trace-time opt-in: route dense's backward through the fused dW+db Pallas
+# kernel (ops/fused_dw.py). Read when a step is TRACED, not when it runs —
+# set it (ViTTrainConfig.fused_dw does) before the first step executes.
+_DW_FUSED = False
+
+
+def set_dense_dw_fused(on: bool) -> None:
+    global _DW_FUSED
+    _DW_FUSED = bool(on)
+
+
 def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     """x @ w (+ b). w is [in, out].
 
@@ -48,6 +59,9 @@ def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     if isinstance(w, dict):
         from . import quant as _quant
         return _quant.int8_dense(x, w, b)
+    if _DW_FUSED and b is not None:
+        from . import fused_dw as _fdw
+        return _fdw.dense_dw_fused(x, w, b)
     y = jnp.dot(x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)

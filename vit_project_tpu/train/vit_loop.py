@@ -166,6 +166,12 @@ class ViTTrainer:
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
+        if getattr(train_cfg, "fused_dw", False):
+            # trace-time toggle: the streaming Pallas dW+db kernel replaces
+            # XLA's separate bias-grad reductions (ops/fused_dw.py); set
+            # before any step of this process is traced
+            from ..ops import nn as _vnn
+            _vnn.set_dense_dw_fused(True)
         self._train_steps: dict = {}
 
     def _classify(self, params, images, *, input_norm, with_aux=False):
