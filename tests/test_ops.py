@@ -470,10 +470,15 @@ class TestFusedDW:
         imgs = rs.randint(0, 255, (8, 32, 32, 3), np.uint8)
         lbls = rs.randint(0, 10, 8).astype(np.int32)
 
+        from vit_project_tpu.parallel import mesh as vmesh
+
         def run(fused):
+            # fused_dw is single-chip only (guard tested below); pin a
+            # 1-device mesh under the 8-virtual-device test env
             tr = ViTTrainer(cfg, ViTTrainConfig(
                 batch_size=8, compute_dtype="float32", image_size=32,
-                num_classes=10, fused_dw=fused))
+                num_classes=10, fused_dw=fused),
+                vmesh.make_mesh(n_data=1, devices=jax.devices()[:1]))
             try:
                 params = vvit.init_vit_params(jax.random.PRNGKey(0), cfg)
                 step = tr._make_train_step(None)
@@ -492,3 +497,19 @@ class TestFusedDW:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-4, atol=1e-4)
         assert vnn._DW_FUSED is False  # toggle restored
+
+    def test_fused_dw_refuses_multidevice_mesh(self):
+        """The kernel has no GSPMD rule — a sharded mesh must refuse up
+        front instead of silently all-gathering operands."""
+        import pytest
+        from vit_project_tpu.core.configs import ViTTrainConfig
+        from vit_project_tpu.models import vit as vvit
+        from vit_project_tpu.train.vit_loop import ViTTrainer
+        from vit_project_tpu.ops import nn as vnn
+        cfg = vvit.ViTConfig(patch=8, width=64, layers=2, heads=2,
+                             image_size=32, num_classes=10)
+        with pytest.raises(ValueError, match="single-chip"):
+            ViTTrainer(cfg, ViTTrainConfig(
+                batch_size=8, compute_dtype="float32", image_size=32,
+                num_classes=10, fused_dw=True))
+        assert vnn._DW_FUSED is False

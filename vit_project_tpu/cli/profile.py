@@ -311,6 +311,9 @@ def parse_args(argv=None):
                    help="dump the raw hlo_stats JSON table to this path")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--fused_dw", action="store_true",
+                   help="route dense backward through the streaming Pallas "
+                        "dW+bias-grad kernel (ops/fused_dw.py)")
     p.add_argument("--memory", action="store_true",
                    help="compile-only: print XLA's per-device memory "
                         "analysis of the step instead of tracing execution "
@@ -353,7 +356,8 @@ def main(argv=None):
     vit_cfg = vvit.VIT_CONFIGS[args.model]
     tcfg = ViTTrainConfig(batch_size=args.batch,
                           compute_dtype=args.compute_dtype,
-                          remat=args.remat, grad_accum=args.grad_accum)
+                          remat=args.remat, grad_accum=args.grad_accum,
+                          fused_dw=args.fused_dw)
     mesh = vmesh.make_mesh()
     trainer = ViTTrainer(vit_cfg, tcfg, mesh)
     params = vmesh.replicate(mesh, vvit.init_vit_params(

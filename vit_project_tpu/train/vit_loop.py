@@ -167,6 +167,11 @@ class ViTTrainer:
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
         if getattr(train_cfg, "fused_dw", False):
+            if self.mesh.devices.size > 1:
+                # the kernel has no GSPMD rule: under a sharded mesh XLA
+                # would all-gather its operands to one device
+                raise ValueError("fused_dw is a single-chip path; disable "
+                                 "it on multi-device meshes")
             # trace-time toggle: the streaming Pallas dW+db kernel replaces
             # XLA's separate bias-grad reductions (ops/fused_dw.py); set
             # before any step of this process is traced
