@@ -39,34 +39,63 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _dw_db_kernel(x_ref, g_ref, dw_ref, db_ref):
-    i = pl.program_id(0)
-    xb = x_ref[...]                                   # [bN, Din]
-    gb = g_ref[...]                                   # [bN, Dout]
+    ji = pl.program_id(0)                             # dW row-tile index
+    i = pl.program_id(2)                              # K-block index (inner)
+    xb = x_ref[...]                                   # [bN, bDin]
+    gb = g_ref[...]                                   # [bN, bDout]
     part = jax.lax.dot_general(
         xb, gb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [Din, Dout]
+        preferred_element_type=jnp.float32)           # [bDin, bDout]
     dbp = jnp.sum(gb.astype(jnp.float32), axis=0, keepdims=True)
 
     @pl.when(i == 0)
     def _init():
         dw_ref[...] = part
-        db_ref[...] = jnp.zeros_like(db_ref)
-        db_ref[0:1, :] = dbp
 
     @pl.when(i > 0)
     def _acc():
         dw_ref[...] += part
+
+    # db is independent of the dW row tile — accumulate once (ji == 0); the
+    # (0, jo) block revisits untouched on later ji sweeps
+    @pl.when(jnp.logical_and(ji == 0, i == 0))
+    def _db_init():
+        db_ref[...] = jnp.zeros_like(db_ref)
+        db_ref[0:1, :] = dbp
+
+    @pl.when(jnp.logical_and(ji == 0, i > 0))
+    def _db_acc():
         db_ref[0:1, :] += dbp
 
 
-def _pick_block(n_rows: int, d_in: int, d_out: int) -> int:
-    for bn in (1024, 512, 256, 128):
-        need = (d_in * d_out * 4          # dw accumulator (f32)
-                + bn * (d_in + d_out) * 2  # x/g blocks (bf16)
-                + 8 * d_out * 4)           # db accumulator
-        if need <= _VMEM_BUDGET:
-            return bn
-    return 128
+def _tile_candidates(dp: int) -> list[int]:
+    """Multiples of 128 that divide dp, descending, capped at 2048."""
+    return [t for t in range(min(dp, 2048), 127, -128)
+            if t % 128 == 0 and dp % t == 0]
+
+
+def _pick_tiles(d_in: int, d_out: int, itemsize: int
+                ) -> tuple[int, int, int]:
+    """(bDin, bDout, bN) maximizing the dW tile then the K depth, under the
+    VMEM budget with EVERYTHING double-buffered (Mosaic allocates two
+    copies of streamed inputs AND of revisited outputs — measured: a full
+    [3072,768] f32 accumulator alone exceeds the 16 MB scoped limit)."""
+    best = None
+    for bdi in _tile_candidates(d_in):
+        for bdo in _tile_candidates(d_out):
+            for bn in (512, 256, 128):
+                need = (2 * bdi * bdo * 4
+                        + 2 * bn * (bdi + bdo) * itemsize
+                        + 2 * 8 * bdo * 4)
+                if need > _VMEM_BUDGET:
+                    continue
+                key = (bdi * bdo, bn)
+                if best is None or key > best[0]:
+                    best = (key, (bdi, bdo, bn))
+                break
+    if best is None:
+        return 128, 128, 128
+    return best[1]
 
 
 def dw_db_pallas(x2d: jax.Array, g2d: jax.Array,
@@ -74,29 +103,32 @@ def dw_db_pallas(x2d: jax.Array, g2d: jax.Array,
                  ) -> tuple[jax.Array, jax.Array]:
     """x2d: [N, D_in], g2d: [N, D_out] -> (dW [D_in, D_out] f32,
     db [D_out] f32). Zero-pads rows/lanes to tile multiples (zero rows
-    contribute nothing to either sum)."""
+    contribute nothing to either sum). Grid: (row tiles, col tiles,
+    K blocks) with K innermost — each dW tile accumulates in a resident
+    f32 VMEM block across its K sweep."""
     N, Din = x2d.shape
     _, Dout = g2d.shape
     Dip, Dop = _round_up(Din, 128), _round_up(Dout, 128)
-    bN = _pick_block(N, Dip, Dop)
+    bDin, bDout, bN = _pick_tiles(Dip, Dop, x2d.dtype.itemsize)
     Np = _round_up(N, bN)
     x2d = jnp.pad(x2d, ((0, Np - N), (0, Dip - Din)))
     g2d = jnp.pad(g2d, ((0, Np - N), (0, Dop - Dout)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    grid = (Dip // bDin, Dop // bDout, Np // bN)
     dw, db = pl.pallas_call(
         _dw_db_kernel,
-        grid=(Np // bN,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bN, Dip), lambda i: (i, 0),
+            pl.BlockSpec((bN, bDin), lambda ji, jo, i: (i, ji),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bN, Dop), lambda i: (i, 0),
+            pl.BlockSpec((bN, bDout), lambda ji, jo, i: (i, jo),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((Dip, Dop), lambda i: (0, 0),
+            pl.BlockSpec((bDin, bDout), lambda ji, jo, i: (ji, jo),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, Dop), lambda i: (0, 0),
+            pl.BlockSpec((8, bDout), lambda ji, jo, i: (0, jo),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
