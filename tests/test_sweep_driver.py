@@ -1072,10 +1072,12 @@ class TestBatchedPreemption:
         from vit_project_tpu.train import multi_fork as mf
         trained = []
 
-        def record(su, forks, inits):
+        def record(su, forks, inits, guard=None):
             trained.extend(f.run for f in forks)
             for f in forks:
                 f.finished = True
+            return {"lock_steps": 1, "live": len(forks), "rider": 0,
+                    "pad": 0}
 
         monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
         monkeypatch.setattr(mf, "_run_group", record)
@@ -1091,10 +1093,12 @@ class TestBatchedPreemption:
         from vit_project_tpu.train import multi_fork as mf
         trained = []
 
-        def record(su, forks, inits):
+        def record(su, forks, inits, guard=None):
             trained.extend(f.run for f in forks)
             for f in forks:
                 f.finished = True
+            return {"lock_steps": 1, "live": len(forks), "rider": 0,
+                    "pad": 0}
 
         monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
         monkeypatch.setattr(mf, "_run_group", record)
@@ -1104,3 +1108,92 @@ class TestBatchedPreemption:
             group_size=2, preempt_guard=g)
         assert failed == [] and trained == [1, 2, 3, 4]
         assert not getattr(g, "undispatched", None)
+
+    def test_mid_group_stop_records_unfinished_and_later_groups(
+            self, tmp_path, monkeypatch):
+        """A stop flag raised DURING a group stops at the next lock-step
+        boundary: the group's unfinished members plus every undispatched
+        group land on guard.undispatched; finished members are reported
+        done, not failed."""
+        from vit_project_tpu.train import multi_fork as mf
+
+        def record(su, forks, inits, guard=None):
+            # simulate: fork A finished at the boundary, fork B was not
+            forks[0].finished = True
+            forks[1].finished = False
+            return {"lock_steps": 1, "live": 2, "rider": 0, "pad": 0,
+                    "interrupted": True}
+
+        monkeypatch.setattr(mf, "_Setup", self._stub_setup(tmp_path))
+        monkeypatch.setattr(mf, "_run_group", record)
+        done = []
+        g = self._TripAfter(10 ** 6)
+        failed = mf.run_batched_sweep(
+            {"output_base_directory": str(tmp_path)}, [1, 2, 3, 4],
+            group_size=2, preempt_guard=g, done_report=done.extend)
+        assert failed == []                 # preemption is not failure
+        assert g.undispatched == [2, 3, 4]  # unfinished + later group
+        assert done == [1]                  # the finished member reported
+
+    def test_mid_group_preemption_end_to_end(self, sweep_fixture):
+        """REAL mid-group preemption: the guard trips during the first
+        group's lock-step loop; the run that already finished stands, the
+        interrupted run holds exactly its completed epochs, and a re-invoke
+        completes it to the uninterrupted oracle's trajectory."""
+        import shutil
+        from vit_project_tpu.train import multi_fork as mf
+        fx = sweep_fixture
+        work, base = fx["work"], fx["base"]
+
+        def config(out_base):
+            return {
+                "csv_file": str(work / "train.csv"),
+                "img_dir": str(fx["img_dir"]),
+                "inference_csv_file": str(work / "val.csv"),
+                "RDM48_triplet_dir": str(work / "rdm.mat"),
+                "backbone": "test-tiny", "epochs": 3, "batch_size": 16,
+                "train_portion": 0.8, "lr": 3e-4, "logger": None,
+                "early_stopping_patience": 20, "random_seed": 1,
+                "vision_layers": 1, "transformer_layers": 1, "rank": 4,
+                "criterion": "mse", "cuda": 0, "compute_dtype": "float32",
+                "perturb_type": "random_target", "perturb_length": 1,
+                "perturb_seed": 7,
+                "baseline_dora_directory": str(base / "dora_params"),
+                "baseline_random_state_path": str(base / "random_states"),
+                "baseline_split_indices_path":
+                    str(base / "random_states" / "dataset_split_indices.pth"),
+                "output_base_directory": out_base,
+            }
+
+        oracle = str(work / "preempt_oracle")
+        failed = mf.run_batched_sweep(config(oracle), [2, 3], group_size=2)
+        assert failed == []
+
+        out = str(work / "preempt_mid")
+        g = self._TripAfter(1)  # first lock-step-boundary poll trips
+        failed = mf.run_batched_sweep(config(out), [2, 3], group_size=2,
+                                      preempt_guard=g)
+        assert failed == []
+        # run 3 forks at epoch 2 (0-indexed) and caps at 3: it finished in
+        # lock-step 0; run 2 still had epoch 3 to train -> interrupted
+        assert g.undispatched == [2]
+        rows2 = _read_rows(os.path.join(
+            out, "training_run2", "training_res_run2.csv"))
+        assert [r[0] for r in rows2[1:]] == ["2"]  # one completed lock-step
+        rows3 = _read_rows(os.path.join(
+            out, "training_run3", "training_res_run3.csv"))
+        assert [r[0] for r in rows3[1:]] == ["3"]  # finished before the stop
+
+        failed = mf.run_batched_sweep(config(out), [2], group_size=2)
+        assert failed == []
+        for run in (2, 3):
+            got = _read_rows(os.path.join(
+                out, f"training_run{run}", f"training_res_run{run}.csv"))
+            want = _read_rows(os.path.join(
+                oracle, f"training_run{run}", f"training_res_run{run}.csv"))
+            assert [r[0] for r in got] == [r[0] for r in want]
+            assert [r[5:] for r in got] == [r[5:] for r in want]
+            for rg, rw in zip(got[1:], want[1:]):
+                np.testing.assert_allclose(
+                    [float(x) for x in rg[1:3]],
+                    [float(x) for x in rw[1:3]], rtol=1e-4)

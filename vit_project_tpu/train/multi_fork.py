@@ -475,8 +475,20 @@ def run_batched_sweep(base_config: dict, training_order: list[int], *,
         if not forks:
             continue
         try:
-            st = _run_group(su, forks, inits)
+            st = _run_group(su, forks, inits, guard=preempt_guard)
+            interrupted = st.pop("interrupted", False)
             _tally_ride_along(totals, st)
+            if interrupted:
+                _record_group_preemption(
+                    preempt_guard, [f.run for f in forks if not f.finished],
+                    [r for g in groups[gi + 1:] for r in g], log,
+                    "re-invoke with --training_order <the undispatched "
+                    "list>; partial runs resume in place")
+                if done_report is not None:
+                    done = sorted(f.run for f in forks if f.finished)
+                    if done:
+                        done_report(done)
+                break
             log(f"Group {gi + 1}/{len(groups)} (runs "
                 f"{[f.run for f in forks]}) completed "
                 f"({_ride_along_str(st)})")
@@ -513,6 +525,20 @@ def _ride_along_str(st: dict) -> str:
     if st["pad"]:
         s += f" + {st['pad']} mesh-pad fork-epochs"
     return s
+
+
+def _record_group_preemption(guard, unfinished, later_items, log,
+                             hint) -> None:
+    """A group stopped at a lock-step boundary (mid-group preemption poll in
+    _run_group): its unfinished members plus every not-yet-dispatched group
+    go on `guard.undispatched` for the CLI's exit-143 contract. The
+    unfinished members' completed epochs are already on disk (per-lock-step
+    checkpoints + CSV rows), so re-invoking resumes them in place."""
+    remaining = list(unfinished) + list(later_items)
+    if guard is not None:
+        guard.undispatched = remaining
+    log(f"Preemption requested - stopped at a lock-step boundary with "
+        f"{len(remaining)} item(s) to re-dispatch: {remaining} ({hint})")
 
 
 def _stop_batched(guard, gi: int, groups, items_of, log, hint) -> bool:
@@ -589,8 +615,16 @@ def run_batched_lengths(base_config: dict, onsets: list[int], length: int, *,
         if not forks:
             continue
         try:
-            st = _run_group(su, forks, inits)
+            st = _run_group(su, forks, inits, guard=preempt_guard)
+            interrupted = st.pop("interrupted", False)
             _tally_ride_along(totals, st)
+            if interrupted:
+                _record_group_preemption(
+                    preempt_guard,
+                    [f.label for f in forks if not f.finished],
+                    [name for g in groups[gi + 1:] for _, name in g], log,
+                    "conditions resume in place on re-invoke")
+                break
             log(f"Group {gi + 1}/{len(groups)} ({names}) completed "
                 f"({_ride_along_str(st)})")
         except Exception as e:
@@ -667,7 +701,7 @@ class _PrintLogger:
     warning = error = info
 
 
-def _run_group(su: _Setup, forks: list[_ForkState], inits):
+def _run_group(su: _Setup, forks: list[_ForkState], inits, guard=None):
     """Train one group of forks to completion under the lock-step loop.
 
     `inits` holds each fork's (trainable, opt_state, data_seed) from
@@ -708,8 +742,20 @@ def _run_group(su: _Setup, forks: list[_ForkState], inits):
         for f in forks]), r_pad))
 
     stats = {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
+    # lock-step-boundary preemption poll: a ~30 s spot notice must stop the
+    # group within ONE lock-step (seconds), not at the group's end (wide
+    # groups run many minutes). Every completed lock-step has already
+    # written its per-epoch checkpoints + CSV rows, so the partial group
+    # resumes in place on re-invoke. Count-consistent across a pod: every
+    # host runs the same lock-steps, so the collective poll's all-gather
+    # cadence cannot diverge.
+    poll = (getattr(guard, "should_stop_collective", None)
+            or getattr(guard, "should_stop", None)) if guard else None
     t = 0
     while not all(f.stopped or f.epoch0_at(t) >= cfg.epochs for f in forks):
+        if t > 0 and poll is not None and poll():
+            stats["interrupted"] = True
+            break
         idx_mats, valid_mats, dkeys, size_rows = [], [], [], []
         for f, sh in zip(forks, shufflers):
             e0 = min(f.epoch0_at(t), cfg.epochs - 1)  # riders reuse last
