@@ -15,6 +15,15 @@ from vit_project_tpu.cli import sweep as sweep_cli
 from vit_project_tpu.train import clip_loop
 
 
+def _finish_group_stub(su, forks, inits, guard=None):
+    """Monkeypatch stand-in for multi_fork._run_group: mark every fork
+    finished and return an empty ride-along stats dict (the real signature
+    takes guard= and returns the stats mapping)."""
+    for f in forks:
+        f.finished = True
+    return {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
+
+
 class TestOrders:
     def test_midpoint_order(self):
         order = sweep_cli.generate_midpoint_order(1, 98)
@@ -499,10 +508,7 @@ class TestLengthsResumeLadderIntegrity:
 
         calls = []
         monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
-        monkeypatch.setattr(mf, "_run_group",
-                            lambda su, forks, inits: [setattr(f, "finished",
-                                                              True)
-                                                      for f in forks])
+        monkeypatch.setattr(mf, "_run_group", _finish_group_stub)
         failed = mf.run_batched_lengths(
             {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
         assert failed == []
@@ -528,10 +534,7 @@ class TestLengthsResumeLadderIntegrity:
 
         calls = []
         monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
-        monkeypatch.setattr(mf, "_run_group",
-                            lambda su, forks, inits: [setattr(f, "finished",
-                                                              True)
-                                                      for f in forks])
+        monkeypatch.setattr(mf, "_run_group", _finish_group_stub)
         failed = mf.run_batched_lengths(
             {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
         assert failed == []
@@ -557,10 +560,7 @@ class TestLengthsResumeLadderIntegrity:
 
         calls = []
         monkeypatch.setattr(mf, "_Setup", self._stub(tmp_path, calls))
-        monkeypatch.setattr(mf, "_run_group",
-                            lambda su, forks, inits: [setattr(f, "finished",
-                                                              True)
-                                                      for f in forks])
+        monkeypatch.setattr(mf, "_run_group", _finish_group_stub)
         failed = mf.run_batched_lengths(
             {"output_base_directory": str(tmp_path)}, [3], 2, group_size=8)
         assert failed == []
@@ -601,10 +601,11 @@ class TestBatchedOrderDedup:
             def load_state(self, label, dora_file, rs_dir, rfe, **kw):
                 return (None, None, 0)
 
-        def record_group(su, forks, inits):
+        def record_group(su, forks, inits, guard=None):
             seen_groups.append([f.run for f in forks])
             for f in forks:
                 f.finished = True
+            return {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
 
         monkeypatch.setattr(mf, "_Setup", StubSetup)
         monkeypatch.setattr(mf, "_run_group", record_group)
@@ -638,7 +639,7 @@ class TestGroupFailureReporting:
     def test_sweep_reports_only_unfinished_runs(self, tmp_path, monkeypatch):
         from vit_project_tpu.train import multi_fork as mf
 
-        def crash_after_run2(su, forks, inits):
+        def crash_after_run2(su, forks, inits, guard=None):
             # run 2 completed all its epochs... then the group died
             next(f for f in forks if f.run == 2).finished = True
             raise RuntimeError("boom")
@@ -653,7 +654,7 @@ class TestGroupFailureReporting:
                                                         monkeypatch):
         from vit_project_tpu.train import multi_fork as mf
 
-        def crash_after_e8(su, forks, inits):
+        def crash_after_e8(su, forks, inits, guard=None):
             next(f for f in forks if f.run == 8).finished = True
             raise RuntimeError("boom")
 
@@ -682,10 +683,11 @@ class TestGroupFailureReporting:
         trained = []
         monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
 
-        def run_group(su, forks, inits):
+        def run_group(su, forks, inits, guard=None):
             trained.extend(f.run for f in forks)
             for f in forks:
                 f.finished = True
+            return {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
 
         monkeypatch.setattr(mf, "_run_group", run_group)
         failed = mf.run_batched_sweep(
@@ -710,10 +712,11 @@ class TestGroupFailureReporting:
         trained = []
         monkeypatch.setattr(mf, "_Setup", CrashOnSecondLoad)
 
-        def run_group(su, forks, inits):
+        def run_group(su, forks, inits, guard=None):
             trained.extend(f.label for f in forks)
             for f in forks:
                 f.finished = True
+            return {"lock_steps": 0, "live": 0, "rider": 0, "pad": 0}
 
         monkeypatch.setattr(mf, "_run_group", run_group)
         failed = mf.run_batched_lengths(
