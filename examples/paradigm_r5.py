@@ -73,21 +73,14 @@ EPOCHS, PATIENCE, RANK, SEED, BS = 110, 20, 32, 1, 64
 BACKBONE, DTYPE = "ViT-L/14", "bfloat16"
 
 
-def _csv_last_epoch(path: str) -> int:
-    if not os.path.exists(path):
-        return 0
-    last = 0
-    with open(path) as f:
-        f.readline()
-        for line in f:
-            if line.strip():
-                last = int(float(line.split(",")[0]))
-    return last
-
-
-def _run_complete(csv_path: str) -> bool:
-    """A sweep run is done when its CSV reached the epoch cap or early
-    stopping provably fired (>= patience epochs after the best test loss)."""
+def _run_complete(csv_path: str, onset: int, length: int) -> bool:
+    """A run is done when its CSV reached the epoch cap or early stopping
+    provably fired under the trainer's ACTUAL rule: the patience counter
+    increments only OUTSIDE the perturbation window [onset, onset+length-1]
+    (window-paused patience, reference new_cvpr...pipeline.py:1049-1056; the
+    lock-step loop in train/multi_fork.py). Counting all post-best rows
+    would misclassify a long-window condition interrupted mid-window as
+    early-stopped and skip it forever on resume."""
     if not os.path.exists(csv_path):
         return False
     rows = []
@@ -102,14 +95,25 @@ def _run_complete(csv_path: str) -> bool:
         return False
     if rows[-1][0] >= EPOCHS:
         return True
-    best_i = min(range(len(rows)), key=lambda i: rows[i][1])
-    return (len(rows) - 1 - best_i) >= PATIENCE
+    best = float("inf")
+    no_improve = 0
+    for epoch, test in rows:
+        in_win = onset <= epoch <= onset + length - 1
+        if test < best:
+            best = test
+            no_improve = 0
+        elif not in_win:
+            no_improve += 1
+        if no_improve >= PATIENCE:
+            return True
+    return False
 
 
 def sweep_type(work: str, base: str, data: dict, ptype: str, outdir: str,
                sweep_cli) -> float:
     todo = [r for r in FIG2_RUNS if not _run_complete(
-        os.path.join(outdir, f"training_run{r}", f"training_res_run{r}.csv"))]
+        os.path.join(outdir, f"training_run{r}", f"training_res_run{r}.csv"),
+        r, 1)]
     if not todo:
         print(f"   {outdir}: all {len(FIG2_RUNS)} runs already complete")
         return 0.0
@@ -143,7 +147,7 @@ def drive_lengths(work: str, base: str, data: dict, lengths_dir: str,
         onsets = [E for E in LENGTHS_GRID[L]
                   if not _run_complete(os.path.join(
                       lengths_dir, f"random_target_e{E}_l{L}",
-                      "training_res.csv"))]
+                      "training_res.csv"), E, L)]
         if not onsets:
             print(f"   length {L}: all conditions complete")
             continue
@@ -334,12 +338,18 @@ def main(argv=None):
                  "uniform_target": os.path.join(work, "sweep_uniform_target")}
     f2 = figs.plot_fig2(f"{base}/training_res.csv", type_dirs, FIG2_RUNS,
                         os.path.join(work, "fig2_four_types.png"))
-    f4 = figs.plot_fig4(f"{base}/training_res.csv",
-                        os.path.join(work, "lengths"),
-                        os.path.join(work, "fig4_recovery_136.png"))
-    rec = figs.recovery_table(f"{base}/training_res.csv",
-                              os.path.join(work, "lengths"))
-    rec.to_csv(os.path.join(work, "recovery_table_136.csv"), index=False)
+    # the fig4/recovery stage needs a lengths tree: on a --skip_lengths run
+    # against a sweeps-only workdir, crashing here would discard the sweep
+    # results before the mirror and summary are written
+    rec = []
+    f4 = None
+    if figs.list_length_runs(os.path.join(work, "lengths")):
+        f4 = figs.plot_fig4(f"{base}/training_res.csv",
+                            os.path.join(work, "lengths"),
+                            os.path.join(work, "fig4_recovery_136.png"))
+        rec = figs.recovery_table(f"{base}/training_res.csv",
+                                  os.path.join(work, "lengths"))
+        rec.to_csv(os.path.join(work, "recovery_table_136.csv"), index=False)
     times["analysis"] = round(time.time() - t0, 1)
     print(f"fig2(4 types): {f2}\nfig4(136): {f4}\n"
           f"recovery table: {len(rec)} conditions")
@@ -361,7 +371,8 @@ def main(argv=None):
         print(f"mirrored {n_csv} CSVs -> {args.mirror}")
 
     n_dirs = len([d for d in os.listdir(os.path.join(work, "lengths"))
-                  if d.startswith("random_target_e")])
+                  if d.startswith("random_target_e")]) \
+        if os.path.isdir(os.path.join(work, "lengths")) else 0
     times["total"] = round(time.time() - t_all, 1)
     summary = {"wall_seconds": times, "lengths_dirs": n_dirs,
                "target_noise_vs_sweep": tn, "mirrored_csvs": n_csv,

@@ -427,8 +427,11 @@ class TestFusedDW:
     def test_kernel_matches_oracle(self):
         from vit_project_tpu.ops import fused_dw as fdw
         rs = np.random.RandomState(0)
+        # last shape forces BOTH dW dims to tile (ji > 1 and jo > 1): the
+        # regime where a wrong grid order would flush the db accumulator
+        # between non-consecutive revisits on hardware
         for (N, Din, Dout) in [(50, 768, 2304), (197, 64, 1000),
-                               (300, 256, 768)]:
+                               (300, 256, 768), (64, 2048, 2560)]:
             x = jnp.asarray(rs.randn(N, Din).astype(np.float32))
             g = jnp.asarray(rs.randn(N, Dout).astype(np.float32))
             dw, db = fdw.dw_db_pallas(x, g, interpret=True)

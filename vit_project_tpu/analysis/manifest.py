@@ -59,8 +59,12 @@ def _csv_stats(path: str) -> dict[str, Any]:
             continue
         vals = line.split(",")
         row = dict(zip(header, vals))
-        out[f"{tag}_epoch"] = int(float(row.get("epoch", "nan"))) \
-            if row.get("epoch", "").strip() else None
+        try:
+            out[f"{tag}_epoch"] = int(float(row["epoch"]))
+        except (KeyError, ValueError):
+            # a torn write or repeated mid-file header must degrade to a
+            # missing stat for this one file, not abort the tree manifest
+            out[f"{tag}_epoch"] = None
         for k in ("train_loss", "test_loss", "behavioral_rsa_rho",
                   "val_loss", "val_acc", "rsa_score"):
             if k in row:

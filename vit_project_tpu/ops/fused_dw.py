@@ -39,7 +39,15 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _dw_db_kernel(x_ref, g_ref, dw_ref, db_ref):
-    ji = pl.program_id(0)                             # dW row-tile index
+    # grid is (jo, ji, i): the dW COLUMN tile is the OUTER dim so the db
+    # block (indexed (0, jo)) keeps one block index for the entire
+    # (ji, i) sub-sweep — on compiled TPU an output block is flushed when
+    # its index changes and is NOT re-fetched on a later revisit, so a
+    # non-consecutive revisit (e.g. db under a (ji, jo, i) order with
+    # ji > 1) would overwrite the accumulated values with stale buffer
+    # contents. With jo outer, both outputs only ever see consecutive
+    # revisits.
+    ji = pl.program_id(1)                             # dW row-tile index
     i = pl.program_id(2)                              # K-block index (inner)
     xb = x_ref[...]                                   # [bN, bDin]
     gb = g_ref[...]                                   # [bN, bDout]
@@ -85,6 +93,8 @@ def _pick_tiles(d_in: int, d_out: int, itemsize: int
         for bdo in _tile_candidates(d_out):
             for bn in (512, 256, 128):
                 need = (2 * bdi * bdo * 4
+                        + bdi * bdo * 4   # the dot's result buffer ("part")
+                                          # lives in VMEM before the +=
                         + 2 * bn * (bdi + bdo) * itemsize
                         + 2 * 8 * bdo * 4)
                 if need > _VMEM_BUDGET:
@@ -115,20 +125,20 @@ def dw_db_pallas(x2d: jax.Array, g2d: jax.Array,
     g2d = jnp.pad(g2d, ((0, Np - N), (0, Dop - Dout)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grid = (Dip // bDin, Dop // bDout, Np // bN)
+    grid = (Dop // bDout, Dip // bDin, Np // bN)
     dw, db = pl.pallas_call(
         _dw_db_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bN, bDin), lambda ji, jo, i: (i, ji),
+            pl.BlockSpec((bN, bDin), lambda jo, ji, i: (i, ji),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bN, bDout), lambda ji, jo, i: (i, jo),
+            pl.BlockSpec((bN, bDout), lambda jo, ji, i: (i, jo),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bDin, bDout), lambda ji, jo, i: (ji, jo),
+            pl.BlockSpec((bDin, bDout), lambda jo, ji, i: (ji, jo),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bDout), lambda ji, jo, i: (0, jo),
+            pl.BlockSpec((8, bDout), lambda jo, ji, i: (0, jo),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

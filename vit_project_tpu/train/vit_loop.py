@@ -166,17 +166,19 @@ class ViTTrainer:
         self.compute_dtype = (jnp.bfloat16
                               if train_cfg.compute_dtype == "bfloat16"
                               else jnp.float32)
-        if getattr(train_cfg, "fused_dw", False):
-            if self.mesh.devices.size > 1:
-                # the kernel has no GSPMD rule: under a sharded mesh XLA
-                # would all-gather its operands to one device
-                raise ValueError("fused_dw is a single-chip path; disable "
-                                 "it on multi-device meshes")
-            # trace-time toggle: the streaming Pallas dW+db kernel replaces
-            # XLA's separate bias-grad reductions (ops/fused_dw.py); set
-            # before any step of this process is traced
-            from ..ops import nn as _vnn
-            _vnn.set_dense_dw_fused(True)
+        if getattr(train_cfg, "fused_dw", False) \
+                and self.mesh.devices.size > 1:
+            # the kernel has no GSPMD rule: under a sharded mesh XLA
+            # would all-gather its operands to one device
+            raise ValueError("fused_dw is a single-chip path; disable "
+                             "it on multi-device meshes")
+        # trace-time toggle for the streaming Pallas dW+db kernel
+        # (ops/fused_dw.py). Assigned UNCONDITIONALLY so a fused trainer
+        # cannot leak the flag into later trainers in the same process
+        # (which would silently fuse an A/B baseline, or route a sharded
+        # mesh's dense layers through the kernel the guard above blocks).
+        from ..ops import nn as _vnn
+        _vnn.set_dense_dw_fused(bool(getattr(train_cfg, "fused_dw", False)))
         self._train_steps: dict = {}
 
     def _classify(self, params, images, *, input_norm, with_aux=False):
